@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully executed via the no-op sink (so write/collect costs
+don't pollute the measurement) after a warm-up pass of the first query to
+amortize JVM/session startup out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from sdg_big_data_spark.plans import catalog  # noqa: E402
+from sdg_big_data_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "a11_threshold_indicator",
+    "a1_pricing_summary",
+    "a2_count_distinct",
+    "j8_multiway_join",
+    "a9_winsorized_sum",
+    "w2_daily_dominant",
+    "w5_rolling_days",
+    "g_sessionize",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "sim_cosine_topk",
+    "t_quality_score",
+    "t_lang_id",
+    "f6_model_scoring",
+]
+
+
+def run_query(spark, name: str, fn) -> float:
+    t0 = time.perf_counter()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="sdg-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.queries()
+    # Warm-up: JVM JIT + parquet footer caches, not counted.
+    qs[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, qs[name]), 3)
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

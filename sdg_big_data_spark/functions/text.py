@@ -1,0 +1,150 @@
+"""Text functions — SURVEY.md §2.9 string family, §2.10 F7/F8, plus the
+LLM-training-data text-analysis operators (language ID, quality scoring,
+token counting, fingerprinting).
+
+Everything here is built-in-expression based (JVM codegen, no Python
+UDFs): at 100 TB of documents, per-row Python is the difference between
+hours and weeks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+URL_RE = r"http\S+"
+# Accent-fold map mirroring the reference's regexp_replace chains
+# (`build_random_sets.py:52-62`), as one translate() call.
+_ACCENT_SRC = "áàâãäéèêëíìîïóòôõöúùûüçñýÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑ"
+_ACCENT_DST = "aaaaaeeeeiiiiooooouuuucnyAAAAAEEEEIIIIOOOOOUUUUCN"
+TOKEN_SPLIT_RE = r"[^a-z0-9']+"
+
+
+def strip_urls(col: Column) -> Column:
+    """URL removal (`build_random_sets.py:38`)."""
+    return F.regexp_replace(col, URL_RE, "")
+
+
+def fold_accents(col: Column) -> Column:
+    """Accent folding as a single translate() — one pass, vs the
+    reference's 10 chained regexp_replace calls."""
+    return F.translate(col, _ACCENT_SRC, _ACCENT_DST)
+
+
+def normalize_text(col: Column) -> Column:
+    """The reference's corpus normalization (`build_random_sets.py:38,50-62`):
+    strip URLs → lowercase → fold accents."""
+    return fold_accents(F.lower(strip_urls(col)))
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace/punct tokenization of normalized text → array<string>,
+    with empty tokens removed."""
+    return F.filter(F.split(normalize_text(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Token counting for quality/budget accounting (BPE-ish proxy:
+    whitespace tokens; sub-word inflation is a per-language constant
+    applied downstream)."""
+    return F.size(tokenize(col))
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """Contiguous n-grams from a token array, as space-joined strings.
+    Pure array expressions (transform over a slice), no UDF."""
+    k = F.size(tokens) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) for near-dup detection."""
+    return F.array_distinct(ngrams(tokenize(col), n))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Exact-dup fingerprint: md5 of normalized, whitespace-collapsed text.
+    md5 is identical across engines → oracle-checkable."""
+    return F.md5(F.concat_ws(" ", tokenize(col)))
+
+
+# --- language ID (n-gram/stopword heuristic) --------------------------------
+
+# Tiny built-in stopword profiles; a real deployment swaps in fasttext via
+# the scoring operator (operators/scoring.py). Heuristic = count of
+# language-marker word hits, argmax with deterministic tiebreak.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for", "with", "fast"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+    "fr": ["le", "les", "des", "une", "est", "dans", "pour", "que", "sur", "avec"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "für", "auf"],
+}
+
+
+def _marker_hits(tokens: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-word hits, 'und' when no
+    marker fires. Deterministic tiebreak: alphabetically-first language
+    wins (struct max compares (hits, pref) lexicographically, so the
+    preference rank is descending-alphabet)."""
+    toks = tokenize(col)
+    langs = sorted(LANG_MARKERS, reverse=True)  # pref i: higher = earlier alphabet
+    scored = F.array(
+        *[
+            F.struct(
+                _marker_hits(toks, LANG_MARKERS[lang]).alias("hits"),
+                F.lit(i).alias("pref"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# --- quality scoring ---------------------------------------------------------
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality features for corpus filtering: length, token count,
+    mean token length, punctuation ratio, stopword ratio, and a composite
+    0-1 score. All codegen'd expressions — one narrow pass."""
+    c = F.col(text_col)
+    toks = tokenize(c)
+    n_chars = F.length(c)
+    n_tok = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(
+        n_tok > 0, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tok.cast("int").alias("q_n_tokens"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(stop_ratio, 4).alias("q_stopword_ratio"),
+        F.round(mean_tok_len, 4).alias("q_mean_token_len"),
+        F.round(score, 2).alias("q_score"),
+    )

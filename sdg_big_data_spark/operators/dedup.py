@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+1. **Exact** — md5 fingerprint of normalized text, hash-groupBy. One
+   shuffle of (16-byte key, id); at 100 TB this is the cheapest possible
+   full-corpus pass.
+2. **MinHash + LSH** — shingle → dictionary-encode → k minhash values →
+   band buckets → candidates share a band bucket → verify with exact
+   Jaccard. Candidate generation is an equi-join on band signature, so
+   Catalyst gives a hash-shuffle join; no all-pairs blowup.
+3. **SimHash** — bitwise majority over token hashes; near-dups differ in
+   few bits. Bucketed by rotated prefixes for scale.
+4. **N-gram Jaccard (all candidate pairs)** — the exact verifier; only
+   ever run on LSH candidates (or small corpora, as in the oracle tests).
+
+Everything is built-in expressions — deterministic, engine-portable
+(every hash is explicit integer arithmetic, no engine-native ``hash()``),
+so the DuckDB oracle can replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+
+# Fixed affine-permutation constants for minhash (public-domain technique:
+# Broder 1997, "On the resemblance and containment of documents").
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1431655781, 1183186591),
+    (1284865837, 1091562949),
+    (1149582355, 1387288217),
+    (1053253627, 1974591399),
+    (984083771, 746147807),
+    (912541517, 1676447807),
+    (857171101, 541088063),
+    (799199663, 1463708143),
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: fingerprint → (canonical id, copy count).
+    Canonical = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col), T.doc_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct word-n-gram shingles."""
+    return df.select(
+        F.col(id_col), F.explode(T.shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity (ids a < b).
+
+    Scale note: quadratic in docs sharing a shingle — this is the VERIFY
+    stage; candidate generation at scale is :func:`minhash_lsh_candidates`.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def shingle_ids(sh: DataFrame) -> DataFrame:
+    """Dictionary-encode shingles to dense ids.
+
+    Deterministic (row_number over sorted shingles) so the oracle can
+    replay it. Scale note: the global sort is the small-data/testing
+    path; at 100 TB swap ``sid`` for a 64-bit arithmetic hash of the
+    shingle bytes — the minhash algebra is unchanged.
+    """
+    dict_df = sh.select("shingle").distinct()
+    w = Window.orderBy("shingle")
+    return dict_df.withColumn("sid", F.row_number().over(w))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, perm_index, minhash) — k minhash values per doc via fixed
+    affine permutations over dictionary-encoded shingles."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sid = shingle_ids(sh)
+    enc = sh.join(F.broadcast(sid), "shingle").select(id_col, "sid")
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
+            )
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+    exploded = enc.select(id_col, F.col("sid").cast("long").alias("sid"), F.explode(perms).alias("p"))
+    return exploded.groupBy(id_col, F.col("p.i").alias("perm")).agg(
+        F.min(
+            (F.col("p.a") * F.col("sid") + F.col("p.b")) % F.lit(MINHASH_PRIME)
+        ).alias("minhash")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ANY band of their minhash
+    signature. Banding = groupBy band signature + self-join — pure
+    equi-joins, shuffle on (band, signature) only."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    bands = (
+        sig.withColumn("band", F.floor(F.col("perm") / rows_per_band))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                ":", F.sort_array(F.collect_list(F.format_string("%d.%d", "perm", "minhash")))
+            ).alias("band_sig")
+        )
+    )
+    x = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    y = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        x.join(y, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over dictionary-encoded tokens: bit b set iff
+    the majority of token hashes have bit b set. Near-dups → small
+    Hamming distance. Pure integer arithmetic (portable)."""
+    toks = df.select(F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("tok"))
+    tok_dict = toks.select("tok").distinct()
+    w = Window.orderBy("tok")
+    tok_ids = tok_dict.withColumn(
+        "h", (F.row_number().over(w) * F.lit(2654435761)) % F.lit(2**32)
+    )
+    enc = toks.join(F.broadcast(tok_ids), "tok")
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = enc.select(id_col, "h", bit_idx).withColumn(
+        "vote",
+        F.when((F.col("h").cast("long") / F.pow(F.lit(2), F.col("bit"))).cast("long") % 2 == 1, 1).otherwise(-1),
+    )
+    votes = per_bit.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )

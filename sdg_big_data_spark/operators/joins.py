@@ -1,0 +1,97 @@
+"""Joins — SURVEY.md §2.3 (J1-J9).
+
+Canonical forms for every join shape the reference executes. Scale rules
+baked in:
+
+- dimension tables (region/nation/admin/tz/label-lists) are broadcast —
+  no shuffle of the fact side (`geocode_stop_locations.scala:82`,
+  `tz_offset.scala:27`, `retrieve_top_tweets_peel.py:46`);
+- anti/semi joins are expressed as ``left_anti`` / ``left_semi`` (one
+  shuffle, no post-filter, no null-handling footguns) instead of the
+  reference's outer-join-then-isNull and collect-then-isin spellings
+  (`split_random.py:36`, `wbgps/analysis.py:354-356`);
+- big-big joins shuffle on the key; AQE skew-join splits oversized
+  partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """J4 — broadcast hash join for small dimensions. The hint is explicit
+    (not left to autoBroadcastJoinThreshold) because dimension size is
+    known by construction and the cost of a wrong shuffle at 100 TB
+    dwarfs the cost of the hint."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def anti_join(df: DataFrame, exclude: DataFrame, on: str | list[str]) -> DataFrame:
+    """J3/U2 — rows of ``df`` whose key does NOT appear in ``exclude``.
+
+    Canonical form of both reference spellings: ``left_outer`` + isNull
+    (`split_random.py:36`) and broadcast ``left_anti``
+    (`retrieve_top_tweets_peel.py:46`). Broadcast applied automatically
+    when ``exclude`` is small (AQE); call sites with a known-small exclude
+    list should pass ``F.broadcast(exclude)`` themselves.
+    """
+    return df.join(exclude, on, "left_anti")
+
+
+def semi_join(df: DataFrame, keep: DataFrame, on: str | list[str]) -> DataFrame:
+    """J5/U3 — rows of ``df`` whose key appears in ``keep``. Replaces the
+    reference's driver-side ``collect()`` + ``isin(list)``
+    (`wbgps/analysis.py:354-356`), which caps out at driver memory; the
+    semi-join form scales to any key-list size and still broadcasts when
+    small."""
+    return df.join(keep, on, "left_semi")
+
+
+def rank_join(
+    df: DataFrame,
+    ranks: Sequence[int],
+    order_by: Sequence[str],
+    ascending: bool = False,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """J7/O5 — attach a global rank and keep only the requested ranks
+    (log-spaced rank sampling, `sample_tweets_to_validate_inference_on_
+    random_set.py:21-33,62-66`).
+
+    The reference ranks 100M rows through a single-partition Window
+    (`:65`). Here: filter-first via a top-k bound — only rows that can
+    hold rank <= max(ranks) are shuffled to the final single-partition
+    ranking, so the narrow stage does the heavy lifting. Deterministic:
+    ties broken by the full ``order_by`` list (callers append a unique id).
+    """
+    kmax = max(ranks)
+    cols = [F.col(c) for c in order_by]
+    ordering = [c.desc() for c in cols] if not ascending else [c.asc() for c in cols]
+    # Stage 1: per-partition top-kmax (narrow, no shuffle).
+    part_w = Window.partitionBy(F.spark_partition_id()).orderBy(*ordering)
+    pruned = (
+        df.withColumn("__pr", F.row_number().over(part_w))
+        .where(F.col("__pr") <= kmax)
+        .drop("__pr")
+    )
+    # Stage 2: global rank over the pruned (≤ kmax × n_partitions) rows.
+    w = Window.orderBy(*ordering)
+    ranked = pruned.withColumn(rank_col, F.row_number().over(w))
+    wanted = F.array(*[F.lit(r) for r in ranks])
+    return ranked.where(F.array_contains(wanted, F.col(rank_col)))
+
+
+def multiway_join(base: DataFrame, joins: Sequence[tuple[DataFrame, str | list[str], str]]) -> DataFrame:
+    """J8 — chained join (`wbgps/analysis.py:184-188,241-251`). Catalyst
+    reorders/plans each hop; callers wrap small sides in F.broadcast."""
+    out = base
+    for other, on, how in joins:
+        out = out.join(other, on, how)
+    return out

@@ -1,0 +1,144 @@
+"""Relational core — SURVEY.md §2.2 (P*), §2.4 (A*) operator contract.
+
+Thin, tested wrappers over the DataFrame API. Everything here stays inside
+whole-stage codegen (no Python in the hot path); Catalyst handles pushdown,
+pruning, join reordering. The wrappers exist to (a) pin the declared
+semantics, (b) carry the scale guidance in one place.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def weighted_mean(col: str | Column, weight: str | Column) -> Column:
+    """A6 — weighted mean as a composite aggregate expression
+    (`wbgps/analysis.py:219,260`). Map-side partial aggregation applies to
+    both the numerator and denominator sums, so this is one shuffle of two
+    doubles per group regardless of input size.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return F.sum(c * w) / F.sum(w)
+
+
+def sem(col: str | Column) -> Column:
+    """A7 — standard error of the mean: stddev / sqrt(n)
+    (`wbgps/analysis.py:220-224`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.stddev(c) / F.sqrt(F.count(c))
+
+
+def count_ratio(predicate: Column) -> Column:
+    """A8 — selectivity of a predicate as ONE aggregate
+    (`compute_share_top_tweets_containing_ngram.py:103-104` does two
+    ``count()`` actions = two full scans; the engine form is a single
+    conditional aggregate = one scan)."""
+    return F.sum(F.when(predicate, F.lit(1)).otherwise(F.lit(0))) / F.count(F.lit(1))
+
+
+def winsorized(col: str | Column, lower: float = 0.01, upper: float = 0.99) -> "WinsorSpec":
+    """A9 — winsorization spec; see :func:`winsorize` below."""
+    return WinsorSpec(F.col(col) if isinstance(col, str) else col, lower, upper)
+
+
+class WinsorSpec:
+    def __init__(self, col: Column, lower: float, upper: float):
+        self.col, self.lower, self.upper = col, lower, upper
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    by: Sequence[str] = (),
+    exact: bool = True,
+) -> DataFrame:
+    """A9 — clip a column at its [p_lower, p_upper] quantiles, optionally
+    per group (`indicators/code/1_import.py:122-127` uses scipy winsorize).
+
+    ``exact=True`` uses ``F.percentile`` (exact, sort-based — fine up to
+    ~1e9 rows per group); ``exact=False`` uses ``percentile_approx``
+    (constant-memory sketch, the 100 TB path). Implemented as a window (or
+    scalar subquery via crossJoin for the global case) + least/greatest
+    clip — no second scan of the data.
+    """
+    pct = F.percentile if exact else F.percentile_approx
+    c = F.col(col)
+    if by:
+        w = Window.partitionBy(*by)
+        lo = pct(c, F.lit(lower)).over(w)
+        hi = pct(c, F.lit(upper)).over(w)
+        return df.withColumn(col, F.least(F.greatest(c, lo), hi))
+    bounds = df.agg(
+        pct(c, F.lit(lower)).alias("__lo"), pct(c, F.lit(upper)).alias("__hi")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(col, F.least(F.greatest(c, F.col("__lo")), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )
+
+
+def threshold_indicator(
+    scores: DataFrame,
+    score_col: str,
+    cutoff: float,
+    group_cols: Sequence[str],
+    id_col: str,
+    out_name: str = "n_ids",
+    approx: bool = False,
+) -> DataFrame:
+    """A11 — the flagship query (`compiled-bookdown/13-indicator_time_series
+    .Rmd:12-13`): filter score >= cutoff, group, count distinct ids.
+
+    Scale: the filter is pushed to the scan (cutoffs select 1e-5 of rows at
+    reference base rates), so the shuffle carries only survivors.
+    ``approx=True`` swaps in HLL ``approx_count_distinct`` — at 100 TB the
+    exact distinct count is a giant shuffle of ids; the sketch is
+    mergeable and constant-size per group.
+    """
+    agg = (
+        F.approx_count_distinct(id_col) if approx else F.countDistinct(id_col)
+    ).alias(out_name)
+    return scores.where(F.col(score_col) >= cutoff).groupBy(*group_cols).agg(agg)
+
+
+def zscore_by_group(
+    df: DataFrame, col: str, by: Sequence[str], out_name: str | None = None
+) -> DataFrame:
+    """A15 — per-group z-score (`news-analytics/README.md:39`), as a window
+    so the input is scanned once (group stats broadcast back by the window
+    exchange rather than a self-join)."""
+    w = Window.partitionBy(*by)
+    c = F.col(col)
+    return df.withColumn(out_name or f"{col}_z", (c - F.avg(c).over(w)) / F.stddev(c).over(w))
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str] | None,
+    agg: Column,
+) -> DataFrame:
+    """A5 — wide reshape (`labeling.py:210-211`). ALWAYS pass ``values``
+    when known: without it Spark runs an extra distinct-collect job over
+    the full input just to discover the column set."""
+    return df.groupBy(*group_cols).pivot(pivot_col, values).agg(agg)
+
+
+def collapse(
+    df: DataFrame, by: Sequence[str], means: Sequence[str] = (), sums: Sequence[str] = ()
+) -> DataFrame:
+    """A14 — Stata-style panel collapse (`1_sentiment_country.do:22`):
+    grouped means + sums in one pass."""
+    aggs = [F.avg(c).alias(f"{c}_mean") for c in means] + [
+        F.sum(c).alias(f"{c}_sum") for c in sums
+    ]
+    return df.groupBy(*by).agg(*aggs)

@@ -1,0 +1,88 @@
+"""Sampling — SURVEY.md §2.8 (R1-R3), a first-class operator family.
+
+Two families:
+
+1. **Spark-native seeded sampling** (``sample`` / ``sampleBy``) — parity
+   with the reference (`build_random_sets.py:45-47`,
+   `select_tweets_containing_ngrams.py:141-145`). Reproducible only for a
+   fixed partitioning (SURVEY §7.5.5), which is why the engine also has:
+2. **Deterministic hash sampling** — keyed by a column through a fixed
+   integer mix, so membership is a pure row property: stable across
+   partitionings, engines (same arithmetic runs in any SQL dialect),
+   and reruns — the property a 100 TB incremental pipeline actually
+   needs (re-running a failed partition must re-select the same rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative-hash constant (public domain, TAOCP §6.4).
+_MIX = 2654435761
+_MOD = 2**32
+
+
+def hash_bucket(key: Column, buckets: int = _MOD) -> Column:
+    """Deterministic bucket in [0, buckets) from a 64-bit key column.
+    Pure arithmetic (``(key * 2654435761) mod 2^32``) — expressible
+    identically in Spark and any ANSI-SQL oracle."""
+    return (key.cast("long") * F.lit(_MIX)) % F.lit(_MOD) % F.lit(buckets)
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """R1 (deterministic form) — Bernoulli-style sample keeping rows whose
+    hash bucket falls below ``fraction``. One narrow filter, pushed to the
+    scan when ``key_col`` is a stored column."""
+    threshold = int(fraction * _MOD)
+    return df.where(hash_bucket(F.col(key_col)) < F.lit(threshold))
+
+
+def seeded_sample(df: DataFrame, fraction: float, seed: int = 0) -> DataFrame:
+    """R1 (reference-parity form) — `df.sample(False, frac, seed)`
+    (`build_random_sets.py:45-47`)."""
+    return df.sample(False, fraction, seed)
+
+
+def stratified_hash_sample(
+    df: DataFrame, stratum_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """R2 (deterministic form) — per-stratum target of ``n_per_stratum``
+    rows: fraction = min(1, n/count) per stratum (the reference's
+    frac-dict rule, `select_tweets_containing_ngrams.py:141-145`), applied
+    via the hash filter.
+
+    Unlike the reference, the fraction table is NOT collected to the
+    driver — it is broadcast-joined back, so a billion-stratum table
+    works."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    fracs = counts.withColumn(
+        "__frac",
+        F.when(F.col("__n") <= n_per_stratum, F.lit(1.0)).otherwise(
+            F.lit(float(n_per_stratum)) / F.col("__n")
+        ),
+    )
+    return (
+        df.join(F.broadcast(fracs), stratum_col)
+        .where(hash_bucket(F.col(key_col)) < (F.col("__frac") * _MOD).cast("long"))
+        .drop("__n", "__frac")
+    )
+
+
+def stratified_sample_by(
+    df: DataFrame, stratum_col: str, n_per_stratum: int, seed: int = 0
+) -> DataFrame:
+    """R2 (reference-parity form) — computed fraction dict + ``sampleBy``.
+    Keeps the driver-side dict (matches reference semantics exactly);
+    use stratified_hash_sample when the stratum count is unbounded."""
+    counts = dict(df.groupBy(stratum_col).count().collect())
+    fracs = {k: min(1.0, n_per_stratum / v) for k, v in counts.items()}
+    return df.sampleBy(stratum_col, fracs, seed)
+
+
+def fixed_n_sample(df: DataFrame, n: int, key_col: str, oversample: float = 1.2) -> DataFrame:
+    """R3 — fixed-size random sample (pandas ``sample(n=10**6)``,
+    `count_kskipngrams.py:133`): deterministic hash-order + limit. The
+    hash ordering is a full shuffle of the *keys only* at worst; limit is
+    pushed down (CollectLimit with early termination)."""
+    return df.orderBy(hash_bucket(F.col(key_col)), F.col(key_col)).limit(n)

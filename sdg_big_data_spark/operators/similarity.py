@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **Brute-force cosine top-k** — exact baseline: broadcast the query set,
+  one narrow pass over the corpus, per-query top-k via window over the
+  (small) candidate set. Linear in corpus size; right answer, right
+  shape for ≤ millions of vectors per query batch.
+- **LSH-bucketed (random hyperplane)** — the scale path: sign-bit
+  sketches bucket the corpus; only same-bucket pairs are scored. Buckets
+  are an equi-join key, so candidate generation is a hash join, not a
+  cross join.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` fold (JVM codegen over
+array columns — no Python). For very wide vectors or very hot loops, the
+``pandas_cosine_topk`` variant moves the math to a vectorized Arrow batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Fixed deterministic hyperplane constants (mixed by index) so LSH buckets
+# are reproducible across runs/engines.
+_HP_MIX_A = 2654435761
+_HP_MIX_B = 40503
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
+
+    ``queries`` is broadcast (query batches are small by construction);
+    the corpus is scanned once — no shuffle until the per-query top-k,
+    which AQE sizes by query count, not corpus size. Ties broken by
+    neighbor id ascending (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of ``n_planes`` fixed
+    pseudo-random hyperplanes. Hyperplane p's j-th component is a
+    deterministic integer mix in [-1, 1] — reproducible everywhere."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        comps = F.array(
+            *[
+                F.lit(
+                    (((p * 1_000_003 + j) * _HP_MIX_A + _HP_MIX_B) % 2_000_001)
+                    / 1_000_000.0
+                    - 1.0
+                )
+                for j in range(dim)
+            ]
+        )
+        proj = dot(vec, comps)
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k: score only same-bucket pairs.
+
+    Recall is tunable via ``n_planes`` (fewer planes → bigger buckets →
+    higher recall, more compute). At 100 TB the bucket join replaces the
+    corpus × queries cross product with |bucket|-sized probes.
+    """
+    cb = corpus.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+    qb = queries.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+    q = qb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__bkt"
+    )
+    c = cb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bkt")
+    scored = (
+        c.join(F.broadcast(q), "__bkt")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv", "__bkt")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
+    cosine verify (pairs a < b with cos >= threshold)."""
+    b = df.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+    x = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bkt")
+    y = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bkt")
+    return (
+        x.join(y, "__bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

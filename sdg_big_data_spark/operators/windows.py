@@ -1,0 +1,213 @@
+"""Window operators — SURVEY.md §2.5 (W1-W8).
+
+All pure built-in window expressions (JVM, whole-stage codegen). The one
+structural scale rule: NEVER ``Window.orderBy`` without ``partitionBy`` on
+big data (single-partition sort) — the global-rank helpers here pre-prune
+with a per-partition top-k so the single-partition stage sees only
+candidates (see also joins.rank_join).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def modal_value(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """W1/W2 — per-key argmax ("modal value"): the value with the largest
+    weight per key (`wbgps/analysis.py:164-182` picks the geom with max
+    n_days per user; `:378-388` the daily dominant location).
+
+    Deterministic: ties broken by ``value_col`` ascending (then
+    ``tiebreak_col``). One shuffle on the key; row_number beats the
+    reference's max-over-window + equality filter (which keeps ALL tied
+    rows and needs a second dedup).
+    """
+    order = [F.col(weight_col).desc(), F.col(value_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def lag_prev(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cols: Sequence[str],
+    prefix: str = "prev_",
+) -> DataFrame:
+    """W3 — previous-row values per key (`wbgps/analysis.py:392-397`
+    migration: previous geom/date per user ordered by date)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{prefix}{c}", F.lag(c, 1).over(w))
+    return out
+
+
+def global_topk(
+    df: DataFrame, order_by: Sequence[str], k: int, ascending: bool = False,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """W4/O2 — global top-k with optional dense global rank attached.
+
+    The reference's `F.row_number().over(Window.orderBy(desc))` over 100M
+    rows (`sample_tweets...py:65`) funnels everything through ONE task.
+    Engine form: Spark's ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition top-k heaps, then a k-sized
+    merge on the driver — so the full sort never happens. Ranks (if
+    requested) are then assigned over only k rows.
+    """
+    cols = [F.col(c) for c in order_by]
+    ordering = [c.asc() for c in cols] if ascending else [c.desc() for c in cols]
+    top = df.orderBy(*ordering).limit(k)
+    if rank_col:
+        w = Window.orderBy(*ordering)  # only k rows by now — safe
+        top = top.withColumn(rank_col, F.row_number().over(w))
+    return top
+
+
+def rolling_days(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    days: int,
+    aggs: dict[str, Column],
+    min_periods: int | None = None,
+) -> DataFrame:
+    """W5 — rolling time window per key, trailing ``days`` days inclusive
+    (pandas ``rolling('49D')`` inside the reference's grouped-map,
+    `labeling.py:47-63`). Implemented as ``rangeBetween`` on epoch
+    seconds — native window, no Python, no per-user pandas frame.
+
+    ``min_periods`` reproduces pandas' null-below-threshold semantics via
+    a windowed count guard.
+    """
+    t = F.col(time_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t)
+        .rangeBetween(-(days * 86400 - 1), 0)
+    )
+    out = df
+    for name, expr in aggs.items():
+        col = expr.over(w)
+        if min_periods:
+            col = F.when(F.count(F.lit(1)).over(w) >= min_periods, col)
+        out = out.withColumn(name, col)
+    return out
+
+
+def cumulative_share(
+    df: DataFrame, order_col: str, value_col: str,
+    by: Sequence[str] = (), out_name: str = "cum_share",
+) -> DataFrame:
+    """W6 — running share of a total (wealth-percentile binning,
+    `wbgps/analysis.py:75-81`): cumsum(value)/sum(value) ordered by
+    ``order_col``."""
+    w_cum = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*by)
+    return df.withColumn(
+        out_name, F.sum(value_col).over(w_cum) / F.sum(value_col).over(w_all)
+    )
+
+
+def centered_ma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    before: int,
+    after: int,
+    out_name: str = "ma",
+) -> DataFrame:
+    """W7 — centered moving average (`wbgps/analysis.py:283-285` pandas
+    ``rolling(28, center=True, min_periods=1)`` ⇒ rowsBetween(-14, 13))."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-before, after)
+    )
+    return df.withColumn(out_name, F.avg(value_col).over(w))
+
+
+def date_spine(
+    df: DataFrame, key_cols: Sequence[str], date_col: str,
+) -> DataFrame:
+    """W8 (part 1) — per-key daily calendar spanning each key's [min,max]
+    date (pandas ``reindex(base_dates)``, `labeling.py:132-142`), built
+    with ``sequence`` + ``explode`` — distributed, one row group per key,
+    no driver-side calendar."""
+    spans = df.groupBy(*key_cols).agg(
+        F.min(F.to_date(date_col)).alias("__d0"), F.max(F.to_date(date_col)).alias("__d1")
+    )
+    return spans.select(
+        *key_cols,
+        F.explode(F.sequence("__d0", "__d1", F.expr("interval 1 day"))).alias(date_col),
+    )
+
+
+def ffill(
+    df: DataFrame, key_cols: Sequence[str], order_col: str, cols: Sequence[str]
+) -> DataFrame:
+    """W8 (part 2) — forward fill: last non-null over the ordered partition
+    (`F.last(ignorenulls=True)`)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def bfill(
+    df: DataFrame, key_cols: Sequence[str], order_col: str, cols: Sequence[str]
+) -> DataFrame:
+    """W8 (part 3) — backward fill: first non-null over the forward frame."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """W8 — full gap-fill: daily spine per key, left-join observations,
+    ffill then bfill (the reference's reindex→interpolate('nearest')→
+    ffill→bfill, `labeling.py:132-142`; nearest-interpolation of
+    categoricals is approximated by ffill-then-bfill, matching its
+    boundary behavior on runs)."""
+    spine = date_spine(df, key_cols, date_col)
+    obs = df.select(*key_cols, F.to_date(date_col).alias(date_col), *value_cols)
+    joined = spine.join(obs, [*key_cols, date_col], "left")
+    return bfill(ffill(joined, key_cols, date_col, value_cols), key_cols, date_col, value_cols)

@@ -1,0 +1,265 @@
+"""Catalog queries — LLM-training-data pipeline operators: deduplication,
+similarity search, model scoring (F6), and gap-based sessionization (the
+SQL-expressible core of stop detection F2).
+
+Dedup/similarity hashes are explicit integer arithmetic (operators/dedup.py)
+so every step — including MinHash+LSH candidate generation — has an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, scoring, similarity
+from .catalog import register, table
+from .text_queries import _SQL_TOKS
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+_SQL_SHINGLE_TABLE = f"""
+    toks AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
+      FROM toks WHERE len(t) >= 3
+    )
+"""
+
+
+@register(
+    "d_exact_dedup",
+    sql=f"""
+    SELECT md5(array_to_string({_SQL_TOKS.format(c="text")}, ' ')) AS fp,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup-exact",),
+    doc="exact dedup via md5 fingerprint of normalized text; one shuffle "
+    "of (16-byte key, id) — the cheapest full-corpus pass at 100 TB",
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "d_jaccard_top_pairs",
+    sql=f"""
+    WITH {_SQL_SHINGLE_TABLE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a ASC, id_b ASC
+    LIMIT 50
+    """,
+    tags=("dedup-jaccard",),
+    doc="n-gram Jaccard verify stage: 50 most-similar pairs (candidate "
+    "generation at scale is d_minhash_lsh, not this all-pairs form)",
+)
+def d_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text")
+    return (
+        pairs.withColumn("jaccard", F.round("jaccard", 4))
+        .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(50)
+    )
+
+
+def _minhash_sql() -> str:
+    perm_rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(dedup.MINHASH_PERMS)
+    )
+    return f"""
+    WITH {_SQL_SHINGLE_TABLE},
+    dict AS (
+      SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+      FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    enc AS (SELECT sh.doc_id, dict.sid FROM sh JOIN dict USING (shingle)),
+    perms(i, a, b) AS (VALUES {perm_rows})
+    SELECT enc.doc_id, perms.i AS perm,
+           min((perms.a * enc.sid + perms.b) % {dedup.MINHASH_PRIME}) AS minhash
+    FROM enc CROSS JOIN perms
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "d_minhash_signatures",
+    sql=_minhash_sql(),
+    tags=("dedup-minhash",),
+    doc="MinHash signatures (8 fixed affine permutations over "
+    "dictionary-encoded shingles) — deterministic, engine-portable",
+)
+def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text").select(
+        "doc_id", "perm", "minhash"
+    )
+
+
+@register(
+    "d_minhash_lsh",
+    sql=f"""
+    WITH sig AS ({_minhash_sql()}),
+    bands AS (
+      SELECT doc_id, perm // 2 AS band,
+             array_to_string(list_sort(list(format('{{:d}}.{{:d}}', perm, minhash))), ':')
+               AS band_sig
+      FROM sig GROUP BY doc_id, perm // 2
+    )
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+    """,
+    tags=("dedup-minhash", "dedup-lsh"),
+    doc="LSH banding over minhash signatures → candidate near-dup pairs; "
+    "equi-join on (band, signature), no all-pairs product",
+)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, "doc_id", "text")
+
+
+@register(
+    "sim_cosine_topk",
+    sql="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(c.embedding, x -> CAST(x AS DOUBLE)))))
+               AS cos
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann-baseline"),
+    doc="brute-force cosine top-5 (exact ANN baseline): broadcast query "
+    "batch, one corpus pass, per-query window top-k",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+@register(
+    "f6_model_scoring",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(n_tokens - 40) / 10.0)), 6) AS is_relevant,
+           round(1.0 / (1.0 + exp(-(n_tokens - 50) / 10.0)), 6) AS is_spam
+    FROM t
+    """,
+    tags=("F6", "scoring"),
+    doc="mapInPandas batch scorer (pluggable model; deterministic logistic "
+    "stub here so the Arrow plumbing itself is oracle-verified) — replaces "
+    "the reference's SLURM+ONNX out-of-Spark loop",
+)
+def f6_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scores = scoring.score_documents(
+        docs, "text", "doc_id", ["is_relevant", "is_spam"]
+    )
+    return scores.select(
+        "doc_id",
+        F.round("is_relevant", 6).alias("is_relevant"),
+        F.round("is_spam", 6).alias("is_spam"),
+    )
+
+
+@register(
+    "g_sessionize",
+    sql="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, value,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) > 3600
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, t, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           min(t) AS t_start, max(t) AS t_end,
+           max(t) - min(t) AS duration,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("F2-core", "sessionize"),
+    doc="gap-based sessionization (the relational core of stop detection "
+    "F2: new segment when gap > max_gap=3600s, stop_locations.py pattern) "
+    "— lag + running sum, no Python",
+)
+def g_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("ts").cast("long").alias("t"),
+        "value",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 3600, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.withColumn("session_id", F.sum("new_session").over(ws))
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("t").alias("t_start"),
+        F.max("t").alias("t_end"),
+        (F.max("t") - F.min("t")).alias("duration"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

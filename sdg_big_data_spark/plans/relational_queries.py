@@ -1,0 +1,611 @@
+"""Catalog queries — scans, predicates, joins, aggregations, sets, sorts,
+sampling (SURVEY.md §2.1-§2.4, §2.6-§2.8).
+
+Every query here runs on the driver's TPC-H-ish tables and has an exact
+DuckDB oracle. Scale notes are on the operator wrappers these call
+(operators/relational.py, operators/joins.py, operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import joins, relational, sampling
+from .catalog import register, table
+
+# --------------------------------------------------------------------------
+# A11 — flagship threshold indicator (13-indicator_time_series.Rmd:12-13)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a11_threshold_indicator",
+    sql="""
+    SELECT year(ts) AS year, month(ts) AS month, event_type,
+           count(DISTINCT user_id) AS n_users
+    FROM events WHERE value >= 100.0
+    GROUP BY 1, 2, 3
+    """,
+    tags=("A11", "flagship"),
+    doc="filter score>=cutoff → group → countDistinct users",
+)
+def a11_threshold_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return relational.threshold_indicator(
+        events.withColumn("year", F.year("ts")).withColumn("month", F.month("ts")),
+        score_col="value",
+        cutoff=100.0,
+        group_cols=["year", "month", "event_type"],
+        id_col="user_id",
+        out_name="n_users",
+    )
+
+
+# --------------------------------------------------------------------------
+# Predicates P1-P14
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p_predicate_pushdown",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_quantity BETWEEN 5 AND 45
+      AND l_returnflag IN ('A', 'R')
+      AND l_discount IS NOT NULL
+    """,
+    tags=("P1", "P5", "P6", "P7", "P8", "S1"),
+    doc="range + IN + null predicates, all pushed to the parquet scan",
+)
+def p_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_quantity").between(5, 45)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_discount").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "p_string_predicates",
+    sql="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE contains(p_name, 'red') AND NOT contains(p_name, 'widget')
+      AND regexp_matches(p_brand, 'Brand#1[0-9]')
+    """,
+    tags=("P9", "P10"),
+    doc="contains / negated contains / rlike predicates",
+)
+def p_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.where(
+        F.col("p_name").contains("red")
+        & ~F.col("p_name").contains("widget")
+        & F.col("p_brand").rlike("Brand#1[0-9]")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "p14_dedup_by_subset",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("P13", "P14"),
+    doc="deterministic dropDuplicates(subset): keep first by (date, key)",
+)
+def p14_dedup_by_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dropDuplicates keeps an ARBITRARY row per key — fine for the
+    # reference's use (`build_random_sets.py:38-39`) but not testable;
+    # engine's canonical dedup is deterministic via row_number.
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations A1-A10, A14
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(max(l_discount), 2) AS max_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A3"),
+    doc="TPC-H Q1-style grouped sum/avg/max/count",
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.max("l_discount"), 2).alias("max_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a2_count_distinct",
+    sql="""
+    SELECT c.c_nationkey, count(DISTINCT o.o_custkey) AS n_active_cust,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("A2", "J1"),
+    doc="countDistinct over an equi-join",
+)
+def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "a3_global_agg",
+    sql="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+    tags=("A3",),
+    doc="global no-group aggregate (parquet footer-stats servable)",
+)
+def a3_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "a5_pivot_orderstatus",
+    sql="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A5",),
+    doc="pivot wide-reshape (values enumerated → no discovery pass)",
+)
+def a5_pivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    piv = relational.pivot_agg(
+        orders,
+        ["o_orderpriority"],
+        "o_orderstatus",
+        ["F", "O", "P"],
+        F.sum("o_totalprice"),
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "a6_weighted_mean",
+    sql="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A6",),
+    doc="weighted mean as composite aggregate (wbgps/analysis.py:219)",
+)
+def a6_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(relational.weighted_mean("l_extendedprice", "l_quantity"), 4).alias(
+            "wmean_price"
+        )
+    )
+
+
+@register(
+    "a7_stddev_sem",
+    sql="""
+    SELECT o_orderpriority,
+           count(o_totalprice) AS n,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(stddev_samp(o_totalprice) / sqrt(count(o_totalprice)), 4) AS sem
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("A7",),
+    doc="dispersion + standard error of the mean (wbgps/analysis.py:220-224)",
+)
+def a7_stddev_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("o_totalprice").alias("n"),
+        F.round(F.stddev("o_totalprice"), 4).alias("sd"),
+        F.round(relational.sem("o_totalprice"), 4).alias("sem"),
+    )
+
+
+@register(
+    "a8_count_ratio",
+    sql="""
+    SELECT l_returnflag,
+           round(CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS discounted_share
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A8",),
+    doc="selectivity as ONE conditional aggregate (ref does two count() scans)",
+)
+def a8_count_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(relational.count_ratio(F.col("l_discount") > 0.05), 6).alias(
+            "discounted_share"
+        )
+    )
+
+
+@register(
+    "a9_winsorized_sum",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+             quantile_cont(o_totalprice, 0.99) AS hi
+      FROM orders
+    )
+    SELECT year(o_orderdate) AS year,
+           round(sum(least(greatest(o_totalprice, b.lo), b.hi)), 2) AS wsum_price,
+           count(*) AS n_orders
+    FROM orders, b
+    GROUP BY year(o_orderdate)
+    """,
+    tags=("A9",),
+    doc="winsorize at [p01,p99] then grouped sum (1_import.py:122-127)",
+)
+def a9_winsorized_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    clipped = relational.winsorize(orders, "o_totalprice", 0.01, 0.99, exact=True)
+    return (
+        clipped.withColumn("year", F.year("o_orderdate"))
+        .groupBy("year")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("wsum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "a10_log_share",
+    sql="""
+    SELECT c_mktsegment,
+           count(*) AS n_cust,
+           round(ln(count(*)), 6) AS ln_n_cust,
+           round(100.0 * count(*) / sum(count(*)) OVER (), 4) AS pct_cust
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("A10",),
+    doc="log / share transforms post-aggregation (1_import.py:131-141)",
+)
+def a10_log_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    counts = customer.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_cust"))
+    return counts.select(
+        "c_mktsegment",
+        "n_cust",
+        F.round(F.log("n_cust"), 6).alias("ln_n_cust"),
+        F.round(100.0 * F.col("n_cust") / F.sum("n_cust").over(Window.partitionBy()), 4).alias(
+            "pct_cust"
+        ),
+    )
+
+
+@register(
+    "a14_panel_collapse",
+    sql="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           round(avg(value), 4) AS value_mean,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("A14",),
+    doc="daily panel collapse: mean + count by (group, day)",
+)
+def a14_panel_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(F.avg("value"), 4).alias("value_mean"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins J2-J5, J8
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j2_left_join_counts",
+    sql="""
+    SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    tags=("J2", "P12"),
+    doc="left outer join preserving customers with zero orders",
+)
+def j2_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "j3_anti_join",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("J3", "U2"),
+    doc="left_anti: customers with no orders (canonical form of split_random.py:36)",
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return joins.anti_join(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j4_broadcast_join",
+    sql="""
+    SELECT p.p_brand, round(sum(l.l_extendedprice), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("J4", "J1"),
+    doc="broadcast hash join: fact × small dim, no fact-side shuffle",
+)
+def j4_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        joins.broadcast_join(li, part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j5_semi_join",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    tags=("J5", "U3"),
+    doc="left_semi replacing collect()+isin (wbgps/analysis.py:354-356)",
+)
+def j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    keep = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        joins.semi_join(orders, keep, "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "j8_multiway_join",
+    sql="""
+    SELECT r.r_name, year(o.o_orderdate) AS year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, year(o.o_orderdate)
+    """,
+    tags=("J8", "J1", "J4"),
+    doc="5-way join chain; dims broadcast, facts shuffle once on orderkey",
+)
+def j8_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = joins.multiway_join(
+        li,
+        [
+            (orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner"),
+            (F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"), "inner"),
+            (F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "inner"),
+            (F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"), "inner"),
+        ],
+    )
+    return (
+        joined.withColumn("year", F.year("o_orderdate"))
+        .groupBy("r_name", "year")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sets U1, sorts O2/O4, sampling R1/R2
+# --------------------------------------------------------------------------
+
+
+@register(
+    "u1_union",
+    sql="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM (
+      SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity >= 45
+      UNION ALL
+      SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity <= 5
+    ) GROUP BY l_returnflag
+    """,
+    tags=("U1",),
+    doc="unionByName of two slices (stop_locations_append.py:128-129 pattern)",
+)
+def u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    hi = li.where(F.col("l_quantity") >= 45)
+    lo = li.where(F.col("l_quantity") <= 5)
+    return (
+        hi.unionByName(lo)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@register(
+    "o2_global_topk",
+    sql="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey DESC
+    LIMIT 10
+    """,
+    tags=("O2", "W4"),
+    doc="global top-k via TakeOrderedAndProject (no full sort, no single-partition window)",
+)
+def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_topk
+
+    orders = table(spark, sf_dir, "orders")
+    return global_topk(orders, ["o_totalprice", "o_orderkey"], 10).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@register(
+    "o4_uncertainty_band",
+    sql="""
+    SELECT event_id, round(value, 2) AS value
+    FROM events
+    ORDER BY abs(value - 250.0) ASC, event_id ASC
+    LIMIT 20
+    """,
+    tags=("O4",),
+    doc="nsmallest around a pivot score (uncertainty sampling at 0.5)",
+)
+def o4_uncertainty_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.withColumn("__d", F.abs(F.col("value") - 250.0))
+        .orderBy(F.col("__d").asc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "r1_hash_sample",
+    sql="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 < 858993459
+    """,
+    tags=("R1",),
+    doc="deterministic Bernoulli sample (20%) — stable across partitionings/engines",
+)
+def r1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.2).select("doc_id", "lang")
+
+
+@register(
+    "r2_stratified_sample",
+    sql="""
+    WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN n ON d.lang = n.lang
+    WHERE (d.doc_id * 2654435761) % 4294967296
+          < CAST(floor(least(1.0, 40.0 / n.cnt) * 4294967296) AS BIGINT)
+    """,
+    tags=("R2",),
+    doc="stratified sample, n≈40/stratum, fraction table broadcast (not collected)",
+)
+def r2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(docs, "lang", "doc_id", 40).select(
+        "doc_id", "lang"
+    )

@@ -1,0 +1,252 @@
+"""Catalog queries — text/string family (SURVEY.md §2.9), array aggregates
+A12/A13, z-scores A15, dictionary sentiment F8, and the text-analysis
+operators for training-data pipelines (language ID, quality scoring, token
+counting) on the ``documents`` table.
+
+All pure built-in expressions — zero Python UDFs in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import relational
+from .catalog import register, table
+
+# SQL fragments mirroring functions/text.py exactly.
+_SQL_NORM = (
+    "translate(lower(regexp_replace({c}, 'http\\S+', '', 'g')), "
+    f"'{T._ACCENT_SRC}', '{T._ACCENT_DST}')"
+)
+_SQL_TOKS = (
+    "list_filter(string_split_regex(" + _SQL_NORM + ", '[^a-z0-9'']+'), x -> x <> '')"
+)
+
+POSITIVE_WORDS = ["fast", "big", "good"]
+NEGATIVE_WORDS = ["slow", "small", "bad"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "f_string_normalize",
+    sql=f"""
+    SELECT doc_id,
+           {_SQL_NORM.format(c="text")} AS norm_text,
+           len({_SQL_TOKS.format(c="text")}) AS n_tokens
+    FROM documents
+    """,
+    tags=("scalar-string", "F7"),
+    doc="corpus normalization: URL strip → lower → accent fold → tokenize "
+    "(build_random_sets.py:38,50-62), one translate() pass instead of the "
+    "reference's 10 chained regexp_replace",
+)
+def f_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.normalize_text(F.col("text")).alias("norm_text"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+@register(
+    "a12_explode_value_counts",
+    sql=f"""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest({_SQL_TOKS.format(c="text")}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+    tags=("A12", "F7"),
+    doc="explode + value_counts (news regions frequency table, cell 19)",
+)
+def a12_explode_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "a13_collect_sorted_set",
+    sql="""
+    SELECT lang,
+           array_to_string(list_sort(list_distinct(list(source))), ',') AS sources
+    FROM documents GROUP BY lang
+    """,
+    tags=("A13",),
+    doc="grouped sorted collect_set (news cell 23), string-joined for a "
+    "stable cross-engine representation",
+)
+def a13_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources")
+    )
+
+
+@register(
+    "a15_zscore_by_group",
+    sql="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS value_z
+    FROM events
+    """,
+    tags=("A15",),
+    doc="per-group z-score via window, single scan (news README:39)",
+)
+def a15_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    out = relational.zscore_by_group(events, "value", ["event_type"])
+    return out.select(
+        "event_id", "event_type", F.round("value_z", 4).alias("value_z")
+    )
+
+
+@register(
+    "f8_dictionary_sentiment",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_SQL_TOKS.format(c="text")} AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           len(list_filter(toks, x -> list_contains({_sql_list(POSITIVE_WORDS)}, x)))
+             AS n_pos,
+           len(list_filter(toks, x -> list_contains({_sql_list(NEGATIVE_WORDS)}, x)))
+             AS n_neg,
+           round(CAST(len(list_filter(toks, x -> list_contains({_sql_list(POSITIVE_WORDS)}, x)))
+                 - len(list_filter(toks, x -> list_contains({_sql_list(NEGATIVE_WORDS)}, x))) AS DOUBLE)
+                 / len(toks), 6) AS sentiment_tf
+    FROM t WHERE len(toks) > 0
+    """,
+    tags=("F8", "A14"),
+    doc="bag-of-words dictionary sentiment TF (news notebook cell 15): "
+    "lexicon hits / total tokens, as pure array expressions (the reference "
+    "used pandas + mp.Pool — here it distributes for free)",
+)
+def f8_dictionary_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = T.tokenize(F.col("text"))
+    pos_arr = F.array(*[F.lit(w) for w in POSITIVE_WORDS])
+    neg_arr = F.array(*[F.lit(w) for w in NEGATIVE_WORDS])
+    n_pos = F.size(F.filter(toks, lambda x: F.array_contains(pos_arr, x)))
+    n_neg = F.size(F.filter(toks, lambda x: F.array_contains(neg_arr, x)))
+    n_tok = F.size(toks)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_pos.alias("n_pos"),
+            n_neg.alias("n_neg"),
+            n_tok.alias("__n"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_pos",
+            "n_neg",
+            F.round(
+                (F.col("n_pos") - F.col("n_neg")).cast("double") / F.col("__n"), 6
+            ).alias("sentiment_tf"),
+        )
+    )
+
+
+def _sql_marker_hits(markers: list[str]) -> str:
+    return f"len(list_filter(toks, x -> list_contains({_sql_list(markers)}, x)))"
+
+
+def _langid_sql() -> str:
+    h = {lang: _sql_marker_hits(m) for lang, m in T.LANG_MARKERS.items()}
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang AS lang_true, {_SQL_TOKS.format(c="text")} AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang_true,
+             {h["de"]} AS h_de, {h["en"]} AS h_en,
+             {h["es"]} AS h_es, {h["fr"]} AS h_fr
+      FROM t
+    )
+    SELECT doc_id, lang_true,
+           CASE
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+             WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+             WHEN h_fr > 0 THEN 'fr'
+             ELSE 'und'
+           END AS lang_pred
+    FROM s
+    """
+
+
+@register(
+    "t_lang_id",
+    sql=_langid_sql(),
+    tags=("text-analysis", "langid"),
+    doc="heuristic n-gram/stopword language ID with deterministic "
+    "alphabetical-first tiebreak; swap in fasttext via operators/scoring.py "
+    "for production",
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "t_quality_score",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKS.format(c="text")} AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             length(text) AS q_n_chars,
+             len(toks) AS q_n_tokens,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / length(text) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({_sql_list(T.STOPWORDS_EN)}, x))) AS DOUBLE)
+               / len(toks) ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS mean_tok_len
+      FROM t
+    )
+    SELECT doc_id, q_n_chars, CAST(q_n_tokens AS INT) AS q_n_tokens,
+           round(punct_ratio, 4) AS q_punct_ratio,
+           round(stop_ratio, 4) AS q_stopword_ratio,
+           round(mean_tok_len, 4) AS q_mean_token_len,
+           round(CAST(
+             (CASE WHEN q_n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio > 0.01 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN mean_tok_len BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END)
+             AS DOUBLE), 2) AS q_score
+    FROM f
+    """,
+    tags=("text-analysis", "quality"),
+    doc="document quality features + composite score for corpus filtering "
+    "(length / punctuation / stopword / token-shape heuristics)",
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return T.quality_features(docs.select("doc_id", "text")).drop("text")

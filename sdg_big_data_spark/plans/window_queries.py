@@ -1,0 +1,317 @@
+"""Catalog queries — window operators W1-W8 (SURVEY.md §2.5) plus the
+scalar datetime family (§2.9), on the ``events`` per-user stream table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import windows
+from .catalog import register, table
+
+
+@register(
+    "w1_modal_value",
+    sql="""
+    SELECT user_id, event_type AS modal_event_type, n_events
+    FROM (
+      SELECT user_id, event_type, count(*) AS n_events,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+    tags=("W1",),
+    doc="per-user modal value / argmax (wbgps/analysis.py:164-182)",
+)
+def w1_modal_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return windows.modal_value(
+        counts, ["user_id"], "event_type", "n_events"
+    ).select("user_id", F.col("event_type").alias("modal_event_type"), "n_events")
+
+
+@register(
+    "w2_daily_dominant",
+    sql="""
+    SELECT user_id, day, event_type AS dominant_type, round(day_value, 2) AS day_value
+    FROM (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             sum(value) AS day_value,
+             row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                                ORDER BY sum(value) DESC, event_type ASC) AS rn
+      FROM events GROUP BY 1, 2, 3
+    ) WHERE rn = 1
+    """,
+    tags=("W2",),
+    doc="dominant location per (user, day) by total duration (analysis.py:378-388)",
+)
+def w2_daily_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("user_id", "day", "event_type")
+        .agg(F.sum("value").alias("day_value"))
+    )
+    return windows.modal_value(daily, ["user_id", "day"], "event_type", "day_value").select(
+        "user_id",
+        "day",
+        F.col("event_type").alias("dominant_type"),
+        F.round("day_value", 2).alias("day_value"),
+    )
+
+
+@register(
+    "w3_lag_prev",
+    sql="""
+    SELECT user_id, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_event_type,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS value_delta
+    FROM events
+    """,
+    tags=("W3",),
+    doc="previous-row per user ordered by time (migration lag, analysis.py:392-397)",
+)
+def w3_lag_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    out = windows.lag_prev(
+        events, ["user_id"], ["ts", "event_id"], ["event_type", "value"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("prev_event_type"),
+        F.round(F.col("value") - F.col("prev_value"), 4).alias("value_delta"),
+    )
+
+
+@register(
+    "w4_global_rank",
+    sql="""
+    SELECT rank, event_id, round(value, 2) AS value
+    FROM (
+      SELECT row_number() OVER (ORDER BY value DESC, event_id DESC) AS rank,
+             event_id, value
+      FROM events
+    ) WHERE rank <= 100
+    """,
+    tags=("W4", "O2"),
+    doc="global ranking: top-k + rank over the k survivors only "
+    "(the reference windows 100M rows through ONE partition; engine prunes first)",
+)
+def w4_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return windows.global_topk(
+        events, ["value", "event_id"], 100, rank_col="rank"
+    ).select("rank", "event_id", F.round("value", 2).alias("value"))
+
+
+@register(
+    "w5_rolling_days",
+    sql="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 2) AS roll_sum_7d,
+           count(*) OVER w AS roll_n_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W5",),
+    doc="trailing 7-day rolling window per user via rangeBetween on epoch "
+    "seconds — native replacement for pandas rolling('49D') (labeling.py:47-63)",
+)
+def w5_rolling_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    out = windows.rolling_days(
+        events,
+        ["user_id"],
+        "ts",
+        7,
+        {"roll_sum_7d": F.sum("value"), "roll_n_7d": F.count(F.lit(1))},
+    )
+    return out.select(
+        "user_id", "event_id", F.round("roll_sum_7d", 2).alias("roll_sum_7d"), "roll_n_7d"
+    )
+
+
+@register(
+    "w6_cumulative_share",
+    sql="""
+    SELECT s_suppkey,
+           round(sum(s_acctbal) OVER (ORDER BY s_acctbal, s_suppkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(s_acctbal) OVER (), 6) AS cum_share
+    FROM supplier
+    """,
+    tags=("W6",),
+    doc="cumulative share for percentile binning (wealth index, analysis.py:75-81)",
+)
+def w6_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = table(spark, sf_dir, "supplier")
+    # NOTE: single-partition by construction — supplier/admin tables are
+    # dimension-sized; engine callers pass `by=` for partitioned variants.
+    out = windows.cumulative_share(
+        supplier.withColumn("__ord", F.struct("s_acctbal", "s_suppkey")),
+        "__ord",
+        "s_acctbal",
+    )
+    return out.select("s_suppkey", F.round("cum_share", 6).alias("cum_share"))
+
+
+@register(
+    "w7_centered_ma",
+    sql="""
+    SELECT event_type, day, round(avg(day_value) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS ma7
+    FROM (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(value) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    """,
+    tags=("W7",),
+    doc="centered moving average smoothing (analysis.py:283-285)",
+)
+def w7_centered_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("value").alias("day_value"))
+    )
+    out = windows.centered_ma(daily, ["event_type"], ["day"], "day_value", 3, 3, "ma7")
+    return out.select("event_type", "day", F.round("ma7", 4).alias("ma7"))
+
+
+@register(
+    "w8_gap_fill",
+    sql="""
+    WITH spans AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM spans
+    ),
+    obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day,
+           coalesce(
+             last_value(o.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(o.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           ) AS day_value
+    FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+    """,
+    tags=("W8",),
+    doc="date-spine gap fill + ffill/bfill (labeling.py:132-142 reindex+interp)",
+)
+def w8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .withColumn("day", F.col("ts").cast("date"))
+        .groupBy("user_id", "day")
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+    )
+    return windows.gap_fill(daily, ["user_id"], "day", ["day_value"]).select(
+        "user_id", "day", "day_value"
+    )
+
+
+@register(
+    "f_datetime_family",
+    sql="""
+    SELECT event_id,
+           year(ts) AS year, month(ts) AS month,
+           dayofweek(ts) + 1 AS dow,
+           hour(ts) AS hour,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+    FROM events
+    """,
+    tags=("scalar-datetime",),
+    doc="datetime scalar family; dow normalized to Spark's 1=Sunday origin",
+)
+def f_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hour"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+@register(
+    "f1_day_split",
+    sql="""
+    WITH iv AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 1000) AS BIGINT)
+               AS t_end
+      FROM events
+    )
+    SELECT event_id, user_id,
+           DATE '1970-01-01' + CAST(dayidx AS INT) AS day,
+           greatest(t_start, dayidx * 86400) AS seg_start,
+           least(t_end, (dayidx + 1) * 86400) AS seg_end
+    FROM (
+      SELECT iv.*, unnest(generate_series(t_start // 86400, t_end // 86400, 1))
+               AS dayidx
+      FROM iv
+    )
+    """,
+    tags=("F1",),
+    doc="interval→per-day segment split at midnight boundaries, native "
+    "sequence+explode+clamp replacing the reference's make_list UDF "
+    "(stop_locations.py:39-57)",
+)
+def f1_day_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Integer day arithmetic end to end (no timezone-sensitive casts):
+    # dayidx = floor(epoch/86400); clamp segment bounds at day edges.
+    events = table(spark, sf_dir, "events")
+    iv = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("t_start"),
+        (F.col("ts").cast("long") + F.floor(F.col("value") * 1000).cast("long")).alias(
+            "t_end"
+        ),
+    )
+    days = iv.withColumn(
+        "dayidx",
+        F.explode(
+            F.sequence(F.floor(F.col("t_start") / 86400), F.floor(F.col("t_end") / 86400))
+        ),
+    )
+    return days.select(
+        "event_id",
+        "user_id",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("dayidx").cast("int")).alias(
+            "day"
+        ),
+        F.greatest("t_start", F.col("dayidx") * 86400).alias("seg_start"),
+        F.least("t_end", (F.col("dayidx") + 1) * 86400).alias("seg_end"),
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory with the engine's standard configuration.
+
+The reference hard-fails on non-UTC sessions
+(`gps-analytics/src/pipeline/geocode_stop_locations.scala:19`); we enforce
+UTC at construction. AQE is enabled so shuffle widths self-tune at scale
+(the reference hand-set ``spark.sql.shuffle.partitions = 1500`` on its
+cluster — `gps-analytics/src/analysis/migration_flows.ipynb` cell 1); on a
+real cluster AQE coalescing + skew-join handling replace that hand-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sdg-big-data-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the standard SparkSession.
+
+    Scale notes: every setting here is chosen for a multi-executor cluster,
+    not just local mode —
+
+    - ``spark.sql.adaptive.enabled`` + ``coalescePartitions`` +
+      ``skewJoin``: runtime re-planning; replaces hand-set shuffle widths
+      and manual salting for moderately skewed keys.
+    - ``spark.sql.session.timeZone=UTC``: epoch/timestamp discipline.
+    - Arrow on: every pandas-UDF boundary is Arrow-batched.
+    - ``spark.sql.files.maxPartitionBytes=128m``: bounded scan partitions so
+      a 100 TB read fans out to ~800k tasks instead of OOM-sized splits.
+    - ``parquet.aggregatePushdown``: MIN/MAX/COUNT served from footer stats.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

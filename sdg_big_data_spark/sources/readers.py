@@ -1,0 +1,114 @@
+"""Readers — SURVEY.md §2.1 S1-S5, S10, S12.
+
+All readers return lazy DataFrames; filters/projections applied by callers
+are pushed into the scan by Catalyst (verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+
+Reference parity: parquet scan (`wbgps/analysis.py:137`), ORC scan
+(`build_random_sets.py:31`), JSON scan (`build_2020_sets.py:27`), CSV with
+header/multiLine/FAILFAST (`geocode_stop_locations.scala:26`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's synthetic star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — columnar scan; schema from footer, predicate/column pushdown."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, normalizing physical-type quirks.
+
+    The driver's ``events`` table stores TIMESTAMP(NANOS) which Spark's
+    parquet reader rejects; we read nanos as long and convert to
+    microsecond timestamps (integer DIV — same floor DuckDB applies when
+    it narrows nanos to its µs TIMESTAMP).
+    """
+    import pyspark.sql.functions as F
+
+    # UTC discipline: the reference hard-fails on non-UTC sessions
+    # (`geocode_stop_locations.scala:19`); the engine enforces instead so
+    # epoch/calendar derivations are deterministic under any host session.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution so the fallback triggers here
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — ORC scan (`build_random_sets.py:31`)."""
+    return spark.read.orc(path)
+
+
+def read_json(spark: SparkSession, path: str, multi_line: bool = False) -> DataFrame:
+    """S3 — JSON scan (`build_2020_sets.py:27`).
+
+    Scale note: JSON is the slow path (no column pruning at the parser);
+    the engine's S13 format-conversion job rewrites to parquet first for
+    anything reread more than once.
+    """
+    return spark.read.option("multiLine", str(multi_line).lower()).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    multi_line: bool = True,
+    mode: str = "FAILFAST",
+    infer_schema: bool = True,
+) -> DataFrame:
+    """S4 — CSV with the reference's options (`geocode_stop_locations.scala:26`)."""
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("multiLine", str(multi_line).lower())
+        .option("mode", mode)
+        .option("inferSchema", str(infer_schema).lower())
+        .csv(path)
+    )
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables and register temp views (S12).
+
+    Views let every catalog query also be phrased as ``spark.sql``; the
+    DataFrame and SQL forms compile to the same Catalyst plan.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

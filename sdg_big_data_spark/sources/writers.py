@@ -1,0 +1,51 @@
+"""Writers — SURVEY.md §2.1 S6-S9, S13.
+
+Reference parity: partitioned overwrite (`tz_offset.scala:28`), parquet
+append (`select_tweets_containing_ngrams.py:136`), single-file CSV export
+(`compute_share_top_tweets_containing_ngram.py:107-108`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7 — plain parquet sink."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """S6 — partitioned write (the reference uses Delta `partitionBy("date")`;
+    parquet partitioning is the portable equivalent — partition pruning on
+    read works the same way).
+
+    Scale note: at 100 TB, date-partitioned layout is what makes the
+    incremental-append protocol (streaming/incremental.py) and every
+    date-range query prune to a handful of partitions instead of a full
+    scan.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """S9 — `coalesce(1)` CSV export for small result tables ONLY.
+
+    coalesce(1) funnels everything through one task; the engine restricts
+    it to post-aggregation outputs (the reference does the same — exports
+    are final indicator tables).
+    """
+    df.coalesce(1).write.option("header", str(header).lower()).mode("overwrite").csv(path)
+
+
+def convert_format(
+    spark: SparkSession, src: str, dst: str, src_fmt: str = "orc", dst_fmt: str = "parquet"
+) -> None:
+    """S13 — format conversion job (`convert_orc_to_parquet.py:27-29`)."""
+    spark.read.format(src_fmt).load(src).write.mode("overwrite").format(dst_fmt).save(dst)
