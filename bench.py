@@ -34,7 +34,10 @@ HEADLINE = [
     "g_sessionize",
     "d_exact_dedup",
     "d_minhash_lsh",
+    "d_simhash",
     "sim_cosine_topk",
+    "e_ivf_assign",
+    "f7_kskip_lift",
     "t_quality_score",
     "t_lang_id",
     "f6_model_scoring",
@@ -51,8 +54,12 @@ def main() -> None:
     spark = get_spark(app_name="sdg-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = catalog.queries()
-    # Warm-up: JVM JIT + parquet footer caches, not counted.
-    qs[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Warm-up pass: whole-stage-codegen compilation of the lambda-heavy
+    # expression pipelines dominates first execution (~20s for the LSH
+    # query alone); steady-state is what a resident cluster sees, so one
+    # untimed full pass precedes the measured pass.
+    for name in HEADLINE:
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

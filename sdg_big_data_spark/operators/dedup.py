@@ -113,8 +113,12 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, perm_index, minhash) — k minhash values per doc via fixed
-    affine permutations over dictionary-encoded shingles."""
-    sh = shingle_table(df, id_col, text_col, n)
+    affine permutations over dictionary-encoded shingles.
+
+    The shingle table is cached: it feeds both the dictionary build and
+    the encode join, and without the cache the whole tokenize→shingle
+    scan re-runs per consumer (at 100 TB, twice the corpus scan)."""
+    sh = shingle_table(df, id_col, text_col, n).cache()
     sid = shingle_ids(sh)
     enc = sh.join(F.broadcast(sid), "shingle").select(id_col, "sid")
     perms = F.array(
@@ -150,7 +154,8 @@ def minhash_lsh_candidates(
                 ":", F.sort_array(F.collect_list(F.format_string("%d.%d", "perm", "minhash")))
             ).alias("band_sig")
         )
-    )
+    ).cache()  # self-joined below — without the cache the full signature
+    # pipeline (scan → shingle → dict → encode → min-agg) runs twice
     x = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     y = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
@@ -169,20 +174,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     tok_dict = toks.select("tok").distinct()
     w = Window.orderBy("tok")
     tok_ids = tok_dict.withColumn(
-        "h", (F.row_number().over(w) * F.lit(2654435761)) % F.lit(2**32)
+        "h",
+        (F.row_number().over(w).cast("long") * F.lit(2654435761)) % F.lit(2**32),
     )
     enc = toks.join(F.broadcast(tok_ids), "tok")
     bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # integer bit ops only (portable to any SQL oracle): bit b of h is
+    # (h >> b) & 1; the fingerprint reassembles as sum of (1 << b).
     per_bit = enc.select(id_col, "h", bit_idx).withColumn(
         "vote",
-        F.when((F.col("h").cast("long") / F.pow(F.lit(2), F.col("bit"))).cast("long") % 2 == 1, 1).otherwise(-1),
+        F.when(
+            F.expr("(h >> bit) & 1") == 1, F.lit(1)
+        ).otherwise(F.lit(-1)),
     )
     votes = per_bit.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
     return votes.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
-                F.lit(0)
-            )
+            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0))
         )
         .cast("long")
         .alias("simhash")

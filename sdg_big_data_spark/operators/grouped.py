@@ -1,0 +1,284 @@
+"""Grouped-map algorithms — SURVEY.md §2.10 F2-F4.
+
+Per-user trajectory algorithms that genuinely need imperative per-group
+logic: stop detection, stop re-clustering, home/work labeling. Each runs
+as ``groupBy(user).applyInPandas`` — the one place the engine crosses into
+Python, Arrow-batched, with explicit result schemas (required by the API
+and pinned for stability).
+
+The reference ran these via a C++ extension + sklearn DBSCAN
+(`gps-analytics/src/wbgps/wbgps/stops.py:50,91-92`); here both are
+re-implemented as small numpy routines (per-user groups are tiny, so an
+O(n²) haversine matrix per user is cheap and dependency-free).
+
+Scale notes:
+- skew: one power user's pings land in one task. Mitigate upstream with a
+  per-user ping cap (``cap_group_size``) — the reference has no guard.
+- select-early: only the columns the algorithm needs cross the Arrow
+  boundary; Catalyst cannot prune inside the Python payload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6_371_000.0
+
+STOP_SCHEMA = (
+    "user_id string, t_start long, t_end long, lat double, lon double, "
+    "n_pings long, median_accuracy double, cluster_label long"
+)
+
+
+def _haversine_m(lat1, lon1, lat2, lon2):
+    """Vectorized haversine distance in meters (numpy arrays or scalars)."""
+    lat1, lon1, lat2, lon2 = map(np.radians, (lat1, lon1, lat2, lon2))
+    a = (
+        np.sin((lat2 - lat1) / 2) ** 2
+        + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+def _radius_components(lat: np.ndarray, lon: np.ndarray, eps_m: float) -> np.ndarray:
+    """Single-linkage connected components within ``eps_m`` (equivalent to
+    DBSCAN(min_samples=1), the reference's clustering at
+    `wbgps/stops.py:91-92`). Union-find over the O(n²) distance matrix —
+    per-user n is tiny."""
+    n = len(lat)
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        d = _haversine_m(lat[i], lon[i], lat[i + 1 :], lon[i + 1 :])
+        for j in np.nonzero(d <= eps_m)[0]:
+            ri, rj = find(i), find(i + 1 + j)
+            if ri != rj:
+                parent[rj] = ri
+    roots = np.array([find(i) for i in range(n)])
+    # relabel to dense 0..k-1 in order of first appearance (deterministic)
+    _, labels = np.unique(roots, return_inverse=True)
+    order = {}
+    out = np.empty(n, dtype=np.int64)
+    nxt = 0
+    for i, r in enumerate(roots):
+        if r not in order:
+            order[r] = nxt
+            nxt += 1
+        out[i] = order[r]
+    return out
+
+
+def _detect_stops_one_user(pdf: pd.DataFrame, radius_m, stay_time_s, max_gap_s,
+                           max_accuracy_m, eps_m) -> pd.DataFrame:
+    """Sequential scan (time-sorted): grow a candidate stop while each ping
+    stays within ``radius_m`` of the candidate's running centroid and the
+    time gap stays <= ``max_gap_s``; emit when dwell >= ``stay_time_s``.
+
+    Semantics follow the reference's stationary-event + accuracy-filter +
+    re-cluster chain (`wbgps/stops.py:71-96`): pings above the accuracy
+    threshold are dropped first; emitted stops are then grouped into
+    recurrent stop locations by radius clustering.
+    """
+    pdf = pdf[pdf["accuracy"] <= max_accuracy_m]
+    pdf = pdf.sort_values(["timestamp"], kind="mergesort")
+    if pdf.empty:
+        return pd.DataFrame(
+            columns=[
+                "user_id", "t_start", "t_end", "lat", "lon",
+                "n_pings", "median_accuracy", "cluster_label",
+            ]
+        )
+    lat = pdf["lat"].to_numpy()
+    lon = pdf["lon"].to_numpy()
+    ts = pdf["timestamp"].to_numpy()
+    acc = pdf["accuracy"].to_numpy()
+    user = pdf["user_id"].iloc[0]
+
+    stops = []
+    start = 0
+    i = 1
+    n = len(pdf)
+
+    def close(lo, hi):
+        if ts[hi - 1] - ts[lo] >= stay_time_s and hi - lo >= 2:
+            stops.append(
+                (
+                    int(ts[lo]),
+                    int(ts[hi - 1]),
+                    float(np.median(lat[lo:hi])),
+                    float(np.median(lon[lo:hi])),
+                    int(hi - lo),
+                    float(np.median(acc[lo:hi])),
+                )
+            )
+
+    while i < n:
+        c_lat = lat[start:i].mean()
+        c_lon = lon[start:i].mean()
+        gap = ts[i] - ts[i - 1]
+        if gap > max_gap_s or _haversine_m(lat[i], lon[i], c_lat, c_lon) > radius_m:
+            close(start, i)
+            start = i
+        i += 1
+    close(start, n)
+
+    if not stops:
+        return pd.DataFrame(
+            columns=[
+                "user_id", "t_start", "t_end", "lat", "lon",
+                "n_pings", "median_accuracy", "cluster_label",
+            ]
+        )
+    out = pd.DataFrame(
+        stops, columns=["t_start", "t_end", "lat", "lon", "n_pings", "median_accuracy"]
+    )
+    out.insert(0, "user_id", user)
+    labels = _radius_components(
+        out["lat"].to_numpy(), out["lon"].to_numpy(), eps_m
+    )
+    out["cluster_label"] = labels
+    return out
+
+
+def detect_stops(
+    pings: DataFrame,
+    radius_m: float = 50.0,
+    stay_time_s: int = 300,
+    max_gap_s: int = 3600,
+    max_accuracy_m: float = 100.0,
+    eps_m: float = 50.0,
+) -> DataFrame:
+    """F2 — per-user stop detection (reference parameters from
+    `gps_pipeline.py:58`: radius 50 m, stay 300 s, gap 3600 s, accuracy
+    100 m, DBSCAN eps 50 m)."""
+    narrow = pings.select("user_id", "lat", "lon", "accuracy", "timestamp")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _detect_stops_one_user(
+            pdf, radius_m, stay_time_s, max_gap_s, max_accuracy_m, eps_m
+        )
+
+    return narrow.groupBy("user_id").applyInPandas(fn, schema=STOP_SCHEMA)
+
+
+def recluster_stops(stops: DataFrame, eps_m: float = 50.0) -> DataFrame:
+    """F3 — re-cluster stops per user after an incremental union
+    (`wbgps/stops.py:113-122`): recompute radius-component labels over
+    the combined old+new stop set."""
+    cols = stops.columns
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t_start", "t_end"], kind="mergesort").reset_index(drop=True)
+        pdf["cluster_label"] = _radius_components(
+            pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), eps_m
+        )
+        return pdf
+
+    schema = ", ".join(
+        f"{name} {dtype}"
+        for name, dtype in stops.dtypes
+    )
+    return stops.groupBy("user_id").applyInPandas(fn, schema=schema)[cols]
+
+
+HW_SCHEMA = "user_id string, cluster_label long, location_type string"
+
+
+def label_home_work(
+    stops_daily: DataFrame,
+    night_start_hour: int = 19,
+    night_end_hour: int = 8,
+    work_start_hour: int = 9,
+    work_end_hour: int = 17,
+    min_work_seconds_per_day: int = 3600,
+) -> DataFrame:
+    """F4 (native-window form) — label each user's clusters H / W / O.
+
+    Home = cluster with max total night-time duration; Work = non-home
+    cluster with max weekday working-hours duration, requiring
+    >= ``min_work_seconds_per_day`` mean seconds per active workday
+    (reference's waa=3600, `08-optimization.Rmd:262-268`). All built-in
+    aggregations + deterministic argmax — no Python. Input columns:
+    user_id, cluster_label, t_start, t_end, duration (s).
+
+    This is the scalable path for the reference's 111-line grouped-map
+    labeler (`labeling.py:88-198`); the rolling/dynamic variant keeps the
+    window machinery of operators/windows.py (W5/W8).
+    """
+    from .windows import modal_value
+
+    s = stops_daily.withColumn("start_ts", F.to_timestamp(F.col("t_start")))
+    s = s.withColumn("hour", F.hour("start_ts")).withColumn(
+        "dow", F.dayofweek("start_ts")
+    )
+    night = s.where(
+        (F.col("hour") >= night_start_hour) | (F.col("hour") < night_end_hour)
+    )
+    home_cand = night.groupBy("user_id", "cluster_label").agg(
+        F.sum("duration").alias("night_s")
+    )
+    home = modal_value(home_cand, ["user_id"], "cluster_label", "night_s").select(
+        "user_id", F.col("cluster_label").alias("home_cluster")
+    )
+
+    workday = s.where(
+        F.col("dow").between(2, 6)
+        & (F.col("hour") >= work_start_hour)
+        & (F.col("hour") < work_end_hour)
+    )
+    work_cand = (
+        workday.groupBy("user_id", "cluster_label")
+        .agg(
+            F.sum("duration").alias("work_s"),
+            F.countDistinct(F.to_date("start_ts")).alias("n_days"),
+        )
+        .join(F.broadcast(home), "user_id", "left")
+        .where(
+            (F.col("cluster_label") != F.coalesce(F.col("home_cluster"), F.lit(-1)))
+            & (F.col("work_s") / F.col("n_days") >= min_work_seconds_per_day)
+        )
+    )
+    work = modal_value(work_cand, ["user_id"], "cluster_label", "work_s").select(
+        "user_id", F.col("cluster_label").alias("work_cluster")
+    )
+
+    clusters = stops_daily.select("user_id", "cluster_label").distinct()
+    return (
+        clusters.join(home, "user_id", "left")
+        .join(work, "user_id", "left")
+        .select(
+            "user_id",
+            "cluster_label",
+            F.when(F.col("cluster_label") == F.col("home_cluster"), "H")
+            .when(F.col("cluster_label") == F.col("work_cluster"), "W")
+            .otherwise("O")
+            .alias("location_type"),
+        )
+    )
+
+
+def cap_group_size(
+    df: DataFrame, key_col: str, order_col: str, max_rows: int
+) -> DataFrame:
+    """Skew guard for grouped-map stages: deterministically keep the first
+    ``max_rows`` rows per key (by ``order_col``). A single device emitting
+    millions of pings otherwise serializes one giant Arrow batch into one
+    Python worker (SURVEY.md §7.5.3)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

@@ -1,0 +1,109 @@
+"""Multimodal columns — opaque binary payloads (image/audio/video) with
+typed metadata, processed through Arrow-batched pandas UDFs.
+
+The pattern for 100 TB multimodal training data:
+
+- payloads live in a ``binary`` column (or as object-store URIs in a
+  string column with lazy fetch inside the UDF);
+- typed metadata (width/height/sample_rate/duration) travels in sibling
+  columns so filters/pruning stay in the JVM — NEVER decode to filter;
+- decode / feature-extract / resize / frame-sample run in
+  ``mapInPandas`` so one Arrow batch amortizes Python crossing costs and
+  the decoder library loads once per task.
+
+The decode step itself is STUBBED here (image/audio libraries are not in
+this container): ``decode=None`` uses a deterministic fake that derives
+pseudo-features from the payload bytes, keeping schema, partitioning,
+batch shape, and UDF signature real and tested. Swap ``decode`` for a
+PIL/libsndfile call in production — nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "item_id long, modality string, n_bytes int, feature array<float>"
+)
+
+
+def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side metadata over a binary column: size + content fingerprint.
+    Filters on these never touch Python."""
+    return df.withColumn("n_bytes", F.length(F.col(payload_col))).withColumn(
+        "payload_md5", F.md5(F.col(payload_col))
+    )
+
+
+def _stub_decode(payload: bytes, modality: str, dim: int = 8) -> np.ndarray:
+    """Deterministic fake feature vector from payload bytes (md5-seeded).
+    Replace with a real decoder in production.
+
+    raises NotImplementedError for modalities the stub doesn't model.
+    """
+    if modality not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for modality {modality!r}")
+    digest = hashlib.md5(payload or b"").digest()
+    raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype="<u4")
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    decode: Callable[[bytes, str], np.ndarray] | None = None,
+    dim: int = 8,
+) -> DataFrame:
+    """Decode + featurize binary payloads via ``mapInPandas``.
+
+    Only (id, modality, payload) cross the Arrow boundary. Batch shape:
+    one pandas frame per Arrow batch (bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — size it so
+    batch_rows × payload_size fits the Python worker's memory).
+    """
+    dec = decode or (lambda b, m: _stub_decode(b, m, dim))
+    narrow = df.select(id_col, modality_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                dec(p if p is not None else b"", m).tolist()
+                for p, m in zip(pdf[payload_col], pdf[modality_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].values,
+                    "modality": pdf[modality_col].values,
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf[payload_col]],
+                    "feature": feats,
+                }
+            )
+
+    return narrow.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    duration_col: str = "duration_s",
+    fps_col: str = "fps",
+    every_s: float = 1.0,
+) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame index, derived
+    ENTIRELY from metadata (sequence + explode in the JVM) — the decode
+    UDF then receives (payload, frame_index) pairs. Demonstrates the
+    rule: do the combinatorics natively, cross to Python only for codec
+    work."""
+    n_frames = F.floor(F.col(duration_col) / F.lit(every_s)).cast("int")
+    return df.withColumn(
+        "frame_index",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))),
+    ).withColumn("frame_ts", F.col("frame_index") * F.lit(every_s))

@@ -1,0 +1,188 @@
+"""Spatial operators — SURVEY.md §2.3 J6, §2.9 geospatial family.
+
+The reference geocodes stops with Sedona + H3: cover each polygon with
+grid cells, equi-join points to cells, then refine with exact
+``ST_Intersects`` (`geocode_stop_locations.scala:46-88`; rationale
+`compiled-bookdown/03-geocode.Rmd:19-32`). That two-phase shape is the one
+genuinely custom physical strategy in the whole reference — and it is a
+*library composition*, not a Catalyst rule:
+
+  coarse: cell(point) = cell id → equi-join → Catalyst picks
+          broadcast/hash join, prunes, pushes filters
+  refine: exact geometry predicate on the (small) surviving pairs
+
+H3/Sedona are NOT dependencies here. Grid cells are lat/lon quantization
+(``floor(lat/δ) , floor(lon/δ)`` composite key) — same asymptotics, pure
+built-in expressions. Exact refinement:
+
+- rectangles (bounding boxes): native range predicates (fully
+  codegen'd, used by the oracle-checked catalog query);
+- arbitrary WKT polygons: ray-casting in a vectorized pandas UDF
+  (admin tables are dimension-sized and broadcast, so the UDF touches
+  only candidate pairs).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6_371_000.0
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters as a pure SQL expression (JVM
+    codegen; the reference needed a C++ helper for this)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
+    return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def grid_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
+    """Composite grid-cell id for a point: ``floor(lat/δ):floor(lon/δ)``."""
+    return F.concat_ws(
+        ":",
+        F.floor(lat / F.lit(cell_deg)).cast("long"),
+        F.floor(lon / F.lit(cell_deg)).cast("long"),
+    )
+
+
+def cover_bbox(
+    min_lat: Column, min_lon: Column, max_lat: Column, max_lon: Column, cell_deg: float
+) -> Column:
+    """All grid cells intersecting a bounding box → array<string>.
+    The polygon-side analogue of the reference's ``multiPolygonToH3``
+    (`geocode_stop_locations.scala:47`), built from sequence × sequence."""
+    lat_idx = F.sequence(
+        F.floor(min_lat / F.lit(cell_deg)).cast("long"),
+        F.floor(max_lat / F.lit(cell_deg)).cast("long"),
+    )
+    lon_idx = F.sequence(
+        F.floor(min_lon / F.lit(cell_deg)).cast("long"),
+        F.floor(max_lon / F.lit(cell_deg)).cast("long"),
+    )
+    return F.flatten(
+        F.transform(
+            lat_idx,
+            lambda la: F.transform(lon_idx, lambda lo: F.concat_ws(":", la, lo)),
+        )
+    )
+
+
+def spatial_join_bbox(
+    points: DataFrame,
+    boxes: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 0.01,
+) -> DataFrame:
+    """J6 — two-phase point-in-rectangle join.
+
+    ``boxes`` needs columns geom_id, min_lat, min_lon, max_lat, max_lon.
+    Phase 1: explode box cell covers (broadcast — admin tables are small),
+    equi-join on the point's cell. Phase 2: exact range predicate.
+    At 100 TB of points this shuffles nothing on the point side: the
+    coarse join is a broadcast hash join keyed by an expression over
+    stored columns."""
+    covered = boxes.withColumn(
+        "cell",
+        F.explode(
+            cover_bbox(
+                F.col("min_lat"), F.col("min_lon"),
+                F.col("max_lat"), F.col("max_lon"),
+                cell_deg,
+            )
+        ),
+    )
+    pts = points.withColumn("cell", grid_cell(F.col(lat_col), F.col(lon_col), cell_deg))
+    coarse = pts.join(F.broadcast(covered), "cell")
+    return coarse.where(
+        F.col(lat_col).between(F.col("min_lat"), F.col("max_lat"))
+        & F.col(lon_col).between(F.col("min_lon"), F.col("max_lon"))
+    ).drop("cell")
+
+
+# --- arbitrary polygons (WKT) ----------------------------------------------
+
+
+def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+    """Minimal WKT POLYGON parser → [(lon, lat), ...] outer ring only."""
+    body = wkt.strip()
+    if not body.upper().startswith("POLYGON"):
+        raise ValueError(f"not a POLYGON: {wkt[:40]}")
+    inner = body[body.index("((") + 2 : body.index("))")]
+    ring = []
+    for pair in inner.split(","):
+        x, y = pair.strip().split()[:2]
+        ring.append((float(x), float(y)))
+    return ring
+
+
+def _point_in_ring(lon: np.ndarray, lat: np.ndarray, ring: list[tuple[float, float]]) -> np.ndarray:
+    """Vectorized ray casting (even-odd rule) for many points vs one ring."""
+    inside = np.zeros(len(lon), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        cond = (y1 > lat) != (y2 > lat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        inside ^= cond & (lon < xint)
+    return inside
+
+
+def spatial_join_wkt(
+    points: DataFrame,
+    polygons: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    geom_id_col: str = "geom_id",
+    wkt_col: str = "geometry",
+    cell_deg: float = 0.01,
+) -> DataFrame:
+    """J6 (general form) — coarse bbox/grid join, then exact ray-cast
+    point-in-polygon refinement in a vectorized Arrow batch.
+
+    Polygon bboxes are derived on the driver (polygons are dimension
+    tables by assumption, as in the reference where admin CSVs are
+    broadcast); the refine UDF receives only coarse-join survivors.
+    """
+    pdf = polygons.select(geom_id_col, wkt_col).toPandas()
+    rings = {r[geom_id_col]: parse_wkt_polygon(r[wkt_col]) for _, r in pdf.iterrows()}
+    boxes = []
+    for gid, ring in rings.items():
+        lons = [p[0] for p in ring]
+        lats = [p[1] for p in ring]
+        boxes.append((gid, min(lats), min(lons), max(lats), max(lons)))
+    spark = points.sparkSession
+    box_df = spark.createDataFrame(
+        boxes, schema=f"{geom_id_col} string, min_lat double, min_lon double, max_lat double, max_lon double"
+    )
+    coarse = spatial_join_bbox(points, box_df, lat_col, lon_col, cell_deg)
+
+    ring_items = sorted(rings.items())
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring_map = dict(ring_items)
+        for pdf_b in batches:
+            pdf_b = pdf_b.reset_index(drop=True)
+            keep = np.zeros(len(pdf_b), dtype=bool)
+            for gid, grp in pdf_b.groupby(geom_id_col):
+                mask = _point_in_ring(
+                    grp[lon_col].to_numpy(), grp[lat_col].to_numpy(), ring_map[gid]
+                )
+                keep[grp.index.to_numpy()] = mask
+            yield pdf_b[keep]
+
+    schema = coarse.drop("min_lat", "min_lon", "max_lat", "max_lon").schema
+    out = coarse.drop("min_lat", "min_lon", "max_lat", "max_lon")
+    return out.mapInPandas(lambda it: refine(it), schema=schema)

@@ -1,0 +1,343 @@
+"""Catalog queries — second wave: rank-join sampling (J7/O5), top-k +
+sample (O3), rollup (the idiomatic replacement for the reference's
+re-aggregation duplication, SURVEY §2.4 note), k-skip-n-gram lift (F7),
+tumbling event-time windows, incremental overlap merge (§2.11 core),
+SimHash fingerprints, and IVF-style nearest-centroid assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import joins
+from .catalog import register, table
+from .text_queries import _SQL_TOKS
+
+LOG_RANKS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
+
+
+@register(
+    "j7_rank_join",
+    sql=f"""
+    SELECT rank, event_id, round(value, 2) AS value
+    FROM (
+      SELECT row_number() OVER (ORDER BY value DESC, event_id DESC) AS rank,
+             event_id, value
+      FROM events
+    ) WHERE rank IN ({", ".join(map(str, LOG_RANKS))})
+    """,
+    tags=("J7", "O5"),
+    doc="log-spaced rank sampling (sample_tweets...py:21-33): per-partition "
+    "top-k prune, then global rank over survivors only — never a full "
+    "single-partition sort",
+)
+def j7_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    out = joins.rank_join(events, LOG_RANKS, ["value", "event_id"])
+    return out.select("rank", "event_id", F.round("value", 2).alias("value"))
+
+
+@register(
+    "o3_topk_sample",
+    sql="""
+    SELECT event_id, round(value, 2) AS value
+    FROM (
+      SELECT event_id, value FROM events
+      ORDER BY value DESC, event_id DESC LIMIT 1000
+    ) WHERE (event_id * 2654435761) % 4294967296 < 214748364
+    """,
+    tags=("O3", "R1"),
+    doc="top-k then secondary sample (sample_top_tweets.py:106-109), with "
+    "the deterministic hash sample so the oracle replays it",
+)
+def o3_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_sample
+    from ..operators.windows import global_topk
+
+    events = table(spark, sf_dir, "events")
+    top = global_topk(events, ["value", "event_id"], 1000)
+    return hash_sample(top, "event_id", 0.05).select(
+        "event_id", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "a_rollup_revenue",
+    sql="""
+    SELECT r.r_name, n.n_name,
+           round(sum(c.c_acctbal), 2) AS acctbal_sum,
+           count(*) AS n_cust
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("rollup", "A1"),
+    doc="multi-level aggregation in ONE pass via rollup — the reference "
+    "re-aggregates per level instead (1_import.py:127,226); rollup "
+    "shares the scan and the shuffle across levels",
+)
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    j = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+_SQL_BIGRAMS = (
+    "list_concat("
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]), "
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+2]))"
+)
+
+
+@register(
+    "f7_kskip_lift",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_contains({_SQL_TOKS.format(c="text")}, 'spark') AS is_target,
+             {_SQL_TOKS.format(c="text")} AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, is_target, unnest({_SQL_BIGRAMS}) AS gram FROM toks
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
+             CAST(count(*) AS DOUBLE) AS n_all
+      FROM grams
+    ),
+    cnt AS (
+      SELECT gram,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+             count(*) AS c_all
+      FROM grams GROUP BY gram
+    )
+    SELECT gram, CAST(c_t AS BIGINT) AS c_t, CAST(c_all AS BIGINT) AS c_all,
+           round((c_t / tot.n_t) / (c_all / tot.n_all), 6) AS lift
+    FROM cnt, tot
+    WHERE c_t >= 5
+    ORDER BY lift DESC, gram ASC
+    LIMIT 20
+    """,
+    tags=("F7",),
+    doc="1-skip bigram lift (count_kskipngrams.py:68-114,185-204): grams "
+    "over-represented in docs mentioning 'spark' vs the corpus; pure "
+    "array expressions + two aggregates, no Python",
+)
+def f7_kskip_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    contiguous = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    skip1 = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.array_contains(toks, "spark").alias("is_target"),
+        F.explode(F.concat(contiguous, skip1)).alias("gram"),
+    ).cache()
+    tot = grams.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("double").alias("n_t"),
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+    )
+    cnt = grams.groupBy("gram").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    return (
+        cnt.where(F.col("c_t") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gram",
+            F.col("c_t").cast("long").alias("c_t"),
+            F.col("c_all").cast("long").alias("c_all"),
+            F.round(
+                (F.col("c_t") / F.col("n_t")) / (F.col("c_all") / F.col("n_all")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "w_tumbling_hour",
+    sql="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming-window",),
+    doc="tumbling 1-hour event-time window (F.window) — identical "
+    "aggregation runs under Structured Streaming with a watermark "
+    "(streaming/incremental.py)",
+)
+def w_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@register(
+    "inc_overlap_merge",
+    sql="""
+    WITH unioned AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-21'
+      UNION ALL
+      SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-19'
+    ),
+    deduped AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_id ORDER BY ts, event_id) AS rn
+      FROM unioned
+    )
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM deduped WHERE rn = 1
+    GROUP BY event_type
+    """,
+    tags=("incremental", "U1"),
+    doc="the incremental-append merge core (stop_locations_append.py:"
+    "128-132): old + re-delivered overlap batches, union + deterministic "
+    "dedup restores exactly-once counts",
+)
+def inc_overlap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    old = events.where(F.col("ts") < "2024-01-21")
+    new = events.where(F.col("ts") >= "2024-01-19")
+    unioned = old.unionByName(new)
+    w = Window.partitionBy("event_id").orderBy("ts", "event_id")
+    deduped = unioned.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS.format(c="text")}) AS tok FROM documents
+    ),
+    dict AS (
+      SELECT tok, (row_number() OVER (ORDER BY tok) * 2654435761) % 4294967296 AS h
+      FROM (SELECT DISTINCT tok FROM toks)
+    ),
+    enc AS (SELECT toks.doc_id, dict.h FROM toks JOIN dict USING (tok)),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM enc CROSS JOIN (SELECT unnest(range(0, {bits})) AS bit)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """
+
+
+@register(
+    "d_simhash",
+    sql=_simhash_sql(),
+    tags=("dedup-simhash",),
+    doc="SimHash fingerprints (16-bit): majority vote over token-hash "
+    "bits; near-dups land at small Hamming distance — integer bit "
+    "arithmetic end to end",
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+@register(
+    "e_ivf_assign",
+    sql="""
+    WITH flat AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, i, avg(x) AS v FROM flat GROUP BY label, i
+    ),
+    cvec AS (SELECT label, list(v ORDER BY i) AS cv FROM cent GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label AS label_true, c.label AS cand,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) ** 2)) AS dist
+      FROM embeddings e CROSS JOIN cvec c
+    )
+    SELECT vec_id, label_true, cand AS assigned_label
+    FROM (
+      SELECT vec_id, label_true, cand,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
+    tags=("similarity", "ivf"),
+    doc="IVF-style coarse quantizer: per-label centroids (posexplode + "
+    "avg + reassemble), nearest-centroid assignment — the bucketing "
+    "stage that turns brute-force ANN into per-cell probes at scale",
+)
+def e_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("cv")
+        )
+    )
+    pairs = emb.select(
+        "vec_id", F.col("label").alias("label_true"), "embedding"
+    ).crossJoin(F.broadcast(cent.select(F.col("label").alias("cand"), "cv")))
+    dist = pairs.withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "cv",
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cand").asc())
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label_true", F.col("cand").alias("assigned_label"))
+    )

@@ -1,0 +1,135 @@
+"""Grouped-map algorithms (F2-F4): stop detection, re-clustering,
+home/work labeling on a seeded synthetic pings fixture (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+HOME = (40.7000, -74.0000)
+WORK = (40.7100, -73.9900)
+CAFE = (40.7050, -73.9950)
+DAY = 86400
+
+
+def _venue_pings(user, venue, t0, t1, step, rng, jitter_deg=0.0002):
+    rows = []
+    for t in range(t0, t1, step):
+        rows.append(
+            {
+                "user_id": user,
+                "lat": venue[0] + rng.uniform(-jitter_deg, jitter_deg),
+                "lon": venue[1] + rng.uniform(-jitter_deg, jitter_deg),
+                "accuracy": float(rng.uniform(5, 40)),
+                "timestamp": t,
+            }
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def pings_pdf() -> pd.DataFrame:
+    """14 days, 3 users: u1 commutes home->work daily + cafe visits; u2 is
+    home-only; u3 has only junk-accuracy pings."""
+    rng = np.random.RandomState(42)
+    rows = []
+    base = 1_700_000_000 - (1_700_000_000 % DAY)  # midnight-aligned
+    for day in range(14):
+        d0 = base + day * DAY
+        # u1: night at home (00-07 + 20-24), work 9-17 on weekdays, cafe 18h
+        rows += _venue_pings("u1", HOME, d0, d0 + 7 * 3600, 900, rng)
+        weekday = (day % 7) not in (5, 6)
+        if weekday:
+            rows += _venue_pings("u1", WORK, d0 + 9 * 3600, d0 + 17 * 3600, 900, rng)
+        rows += _venue_pings("u1", CAFE, d0 + 18 * 3600, d0 + 19 * 3600, 600, rng)
+        rows += _venue_pings("u1", HOME, d0 + 20 * 3600, d0 + 24 * 3600, 900, rng)
+        # u2: home only, sparse
+        rows += _venue_pings("u2", HOME, d0 + 1 * 3600, d0 + 6 * 3600, 1800, rng)
+    # u3: accuracy > 100 everywhere → all filtered
+    for t in range(base, base + 2 * DAY, 3600):
+        rows.append(
+            {"user_id": "u3", "lat": 40.7, "lon": -74.0, "accuracy": 500.0, "timestamp": t}
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def pings(spark, pings_pdf):
+    return spark.createDataFrame(pings_pdf).repartition(8)
+
+
+def test_detect_stops_basic(spark, pings):
+    from sdg_big_data_spark.operators.grouped import detect_stops
+
+    stops = detect_stops(pings).cache()
+    pdf = stops.toPandas()
+    assert set(pdf["user_id"]) == {"u1", "u2"}  # u3 fully accuracy-filtered
+    u1 = pdf[pdf.user_id == "u1"]
+    # every stop ≥ stay_time and ordered
+    assert (u1.t_end - u1.t_start >= 300).all()
+    assert (u1.n_pings >= 2).all()
+    # u1's recurrent locations collapse to 3 clusters (home/work/cafe)
+    assert u1.cluster_label.nunique() == 3
+    # home cluster must contain a stop located near HOME
+    d_home = np.abs(u1.lat - HOME[0]) + np.abs(u1.lon - HOME[1])
+    assert d_home.min() < 0.001
+
+
+def test_detect_stops_order_invariant(spark, pings):
+    """Property (SURVEY §5.2): stop detection sorts internally, so input
+    row order must not change the result."""
+    from sdg_big_data_spark.operators.grouped import detect_stops
+
+    a = detect_stops(pings).toPandas().sort_values(["user_id", "t_start"]).reset_index(drop=True)
+    shuffled = pings.orderBy(F.rand(7))
+    b = detect_stops(shuffled).toPandas().sort_values(["user_id", "t_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_recluster_after_union(spark, pings):
+    """F3: splitting pings into two batches, detecting separately, then
+    re-clustering the union must yield the same cluster structure as
+    detecting in one pass (count of distinct locations per user)."""
+    from sdg_big_data_spark.operators.grouped import detect_stops, recluster_stops
+
+    mid = 1_700_000_000 - (1_700_000_000 % DAY) + 7 * DAY
+    s1 = detect_stops(pings.where(F.col("timestamp") < mid))
+    s2 = detect_stops(pings.where(F.col("timestamp") >= mid))
+    merged = recluster_stops(s1.unionByName(s2))
+    full = detect_stops(pings)
+    m = merged.groupBy("user_id").agg(F.countDistinct("cluster_label").alias("k")).collect()
+    f = full.groupBy("user_id").agg(F.countDistinct("cluster_label").alias("k")).collect()
+    assert {r.user_id: r.k for r in m} == {r.user_id: r.k for r in f}
+
+
+def test_home_work_labeling(spark, pings):
+    from sdg_big_data_spark.operators.grouped import detect_stops, label_home_work
+
+    stops = detect_stops(pings).withColumn(
+        "duration", F.col("t_end") - F.col("t_start")
+    )
+    labels = label_home_work(stops).toPandas()
+    u1 = labels[labels.user_id == "u1"].set_index("cluster_label")["location_type"]
+    assert (u1 == "H").sum() == 1
+    assert (u1 == "W").sum() == 1
+    # cafe is neither home nor work
+    assert (u1 == "O").sum() >= 1
+    # u2 (home only): one H, no W
+    u2 = labels[labels.user_id == "u2"]["location_type"]
+    assert (u2 == "H").sum() == 1 and (u2 == "W").sum() == 0
+
+
+def test_cap_group_size(spark, pings):
+    from sdg_big_data_spark.operators.grouped import cap_group_size
+
+    capped = cap_group_size(pings, "user_id", "timestamp", 50)
+    counts = capped.groupBy("user_id").count().collect()
+    assert all(r["count"] <= 50 for r in counts)
+    # deterministic: keeps the EARLIEST rows
+    first = capped.where(F.col("user_id") == "u1").agg(F.min("timestamp")).first()[0]
+    overall_first = pings.where(F.col("user_id") == "u1").agg(F.min("timestamp")).first()[0]
+    assert first == overall_first

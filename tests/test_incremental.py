@@ -1,0 +1,94 @@
+"""Incremental-append protocol (§2.11) + availableNow streaming wrapper."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "event_id long, date string, value double")
+
+
+def test_incremental_append_overlap_dedup(spark, tmp_path):
+    from sdg_big_data_spark.streaming.incremental import (
+        incremental_append,
+        last_processed_date,
+    )
+
+    target = str(tmp_path / "tbl")
+
+    # batch 1: days 1-5
+    b1 = _batch(
+        spark,
+        [(i, f"2024-01-0{d}", float(i)) for i, d in enumerate([1, 2, 3, 4, 5], start=1)],
+    )
+    incremental_append(spark, b1, target, "date", ["event_id"], ["date"])
+    assert last_processed_date(spark, target) == "2024-01-05"
+    assert spark.read.parquet(target).count() == 5
+
+    # batch 2: re-delivers day 4-5 (late duplicates, same keys) + days 6-7
+    b2 = _batch(
+        spark,
+        [
+            (4, "2024-01-04", 99.0),   # duplicate key in overlap window
+            (5, "2024-01-05", 99.0),   # duplicate key in overlap window
+            (6, "2024-01-06", 6.0),
+            (7, "2024-01-07", 7.0),
+        ],
+    )
+    incremental_append(spark, b2, target, "date", ["event_id"], ["date", "value"])
+    out = spark.read.parquet(target)
+    assert out.count() == 7  # no duplicate event_ids
+    assert last_processed_date(spark, target) == "2024-01-07"
+    # dedup kept the first by (date, value): original 4.0/5.0, not 99.0
+    vals = {r.event_id: r.value for r in out.collect()}
+    assert vals[4] == 4.0 and vals[5] == 5.0
+    # early partitions untouched by dynamic overwrite
+    assert vals[1] == 1.0
+
+
+def test_incremental_append_only_new_partitions_rewritten(spark, tmp_path):
+    from sdg_big_data_spark.streaming.incremental import incremental_append
+
+    target = str(tmp_path / "tbl2")
+    b1 = _batch(spark, [(1, "2024-02-01", 1.0), (2, "2024-02-10", 2.0)])
+    incremental_append(spark, b1, target, "date", ["event_id"], ["date"])
+    mtime_before = os.path.getmtime(os.path.join(target, "date=2024-02-01"))
+
+    b2 = _batch(spark, [(3, "2024-02-12", 3.0)])
+    incremental_append(spark, b2, target, "date", ["event_id"], ["date"], overlap_days=2)
+    # 02-01 partition is OUTSIDE the overlap window [02-08, ...] → its
+    # directory must not be rewritten by the dynamic-partition overwrite
+    assert os.path.getmtime(os.path.join(target, "date=2024-02-01")) == mtime_before
+    assert spark.read.parquet(target).count() == 3
+
+
+def test_available_now_stream(spark, tmp_path):
+    from sdg_big_data_spark.streaming.incremental import available_now_stream
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    chk = str(tmp_path / "chk")
+    df = _batch(spark, [(1, "2024-03-01", 10.0), (2, "2024-03-01", 20.0)])
+    df.write.parquet(src)
+
+    available_now_stream(
+        spark,
+        src,
+        lambda s: s.where(F.col("value") > 15.0),
+        dst,
+        chk,
+        schema=df.schema,
+    )
+    out = spark.read.parquet(dst)
+    assert out.count() == 1 and out.first().event_id == 2
+
+    # second invocation: no new files → exactly-once, nothing appended
+    available_now_stream(
+        spark, src, lambda s: s.where(F.col("value") > 15.0), dst, chk, schema=df.schema
+    )
+    assert spark.read.parquet(dst).count() == 1

@@ -1,0 +1,68 @@
+"""Multimodal binary-column plumbing: metadata stays JVM-side, decode
+stub runs through real mapInPandas with the declared schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes 1"),
+        (2, "image", b"\x89PNG fake bytes 22"),
+        (3, "audio", b"RIFF fake wave"),
+        (4, "video", b"\x00\x00ftyp fake mp4"),
+        (5, "image", None),
+    ]
+    return spark.createDataFrame(rows, "item_id long, modality string, payload binary")
+
+
+def test_metadata_jvm_side(spark, media):
+    from sdg_big_data_spark.operators.multimodal import attach_binary_metadata
+
+    out = attach_binary_metadata(media)
+    rows = {r.item_id: r for r in out.collect()}
+    assert rows[1].n_bytes == len(b"\x89PNG fake bytes 1")
+    assert rows[5].n_bytes is None  # null payload stays null
+    # filter on metadata never decodes
+    assert out.where(F.col("n_bytes") > 15).count() == 2
+
+
+def test_extract_features_schema_and_determinism(spark, media):
+    from sdg_big_data_spark.operators.multimodal import extract_features
+
+    out = extract_features(media, dim=8)
+    assert out.schema.simpleString() == (
+        "struct<item_id:bigint,modality:string,n_bytes:int,feature:array<float>>"
+    )
+    a = {r.item_id: r.feature for r in out.collect()}
+    b = {r.item_id: r.feature for r in extract_features(media, dim=8).collect()}
+    assert a == b  # deterministic stub
+    assert all(len(v) == 8 for v in a.values())
+    # distinct payloads → distinct features
+    assert a[1] != a[2]
+
+
+def test_unknown_modality_raises(spark):
+    from sdg_big_data_spark.operators.multimodal import extract_features
+
+    bad = spark.createDataFrame(
+        [(9, "hologram", b"xx")], "item_id long, modality string, payload binary"
+    )
+    with pytest.raises(Exception, match="hologram"):
+        extract_features(bad).collect()
+
+
+def test_frame_sample_plan(spark):
+    from sdg_big_data_spark.operators.multimodal import frame_sample_plan
+
+    vids = spark.createDataFrame(
+        [(1, 3.5, 30.0), (2, 0.4, 30.0)], "item_id long, duration_s double, fps double"
+    )
+    plan = frame_sample_plan(vids, every_s=1.0)
+    counts = {r.item_id: r["cnt"] for r in plan.groupBy("item_id").agg(F.count("*").alias("cnt")).collect()}
+    assert counts[1] == 3  # frames at 0,1,2
+    assert counts[2] == 1  # clamped to at least one frame

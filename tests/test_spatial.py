@@ -1,0 +1,95 @@
+"""Spatial operators: haversine, grid cells, two-phase bbox join, WKT
+ray-cast refinement (J6)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_haversine_known_distance(spark):
+    from sdg_big_data_spark.operators.spatial import haversine_m
+
+    # Paris -> London ≈ 343.5 km
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)], "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    d = df.select(
+        haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).first()["d"]
+    assert abs(d - 343_500) < 2_000
+
+
+def test_spatial_join_bbox(spark):
+    from sdg_big_data_spark.operators.spatial import spatial_join_bbox
+
+    points = spark.createDataFrame(
+        [
+            (1, 0.005, 0.005),   # inside A
+            (2, 0.015, 0.005),   # inside B (north of A)
+            (3, 0.005, 0.045),   # inside no box
+            (4, 0.0099, 0.0099), # inside A near corner
+            (5, -0.005, 0.005),  # below all boxes
+        ],
+        "point_id long, lat double, lon double",
+    )
+    boxes = spark.createDataFrame(
+        [
+            ("A", 0.0, 0.0, 0.01, 0.01),
+            ("B", 0.01, 0.0, 0.02, 0.01),
+        ],
+        "geom_id string, min_lat double, min_lon double, max_lat double, max_lon double",
+    )
+    out = spatial_join_bbox(points, boxes, cell_deg=0.01)
+    got = {(r.point_id, r.geom_id) for r in out.collect()}
+    assert got == {(1, "A"), (4, "A"), (2, "B")}
+
+
+def test_spatial_join_wkt_triangle(spark):
+    from sdg_big_data_spark.operators.spatial import spatial_join_wkt
+
+    # right triangle (0,0)-(1,0)-(0,1): below the diagonal lon+lat<1 is inside
+    polys = spark.createDataFrame(
+        [("T", "POLYGON ((0 0, 1 0, 0 1, 0 0))")], "geom_id string, geometry string"
+    )
+    points = spark.createDataFrame(
+        [
+            (1, 0.2, 0.2),   # inside
+            (2, 0.6, 0.6),   # outside (beyond hypotenuse), inside bbox
+            (3, 0.9, 0.05),  # inside, near vertex
+            (4, 1.5, 0.5),   # outside bbox entirely
+        ],
+        "point_id long, lat double, lon double",
+    )
+    out = spatial_join_wkt(points, polys, cell_deg=0.5)
+    got = {(r.point_id, r.geom_id) for r in out.collect()}
+    assert got == {(1, "T"), (3, "T")}
+
+
+def test_grid_cell_cover_consistency(spark):
+    """Any point inside a bbox must land in a cell covered by the bbox —
+    the coarse phase can't lose candidates (no false negatives)."""
+    from sdg_big_data_spark.operators.spatial import cover_bbox, grid_cell
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (rng.uniform(-10, 10), rng.uniform(-10, 10)) for _ in range(200)
+    ]
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    box = {"min_lat": -3.33, "min_lon": -7.77, "max_lat": 5.55, "max_lon": 2.22}
+    cells = spark.createDataFrame([tuple(box.values())],
+        "min_lat double, min_lon double, max_lat double, max_lon double"
+    ).select(F.explode(cover_bbox(
+        F.col("min_lat"), F.col("min_lon"), F.col("max_lat"), F.col("max_lon"), 0.7
+    )).alias("cell"))
+    cell_set = {r.cell for r in cells.collect()}
+    inside = pts.where(
+        F.col("lat").between(box["min_lat"], box["max_lat"])
+        & F.col("lon").between(box["min_lon"], box["max_lon"])
+    ).select(grid_cell(F.col("lat"), F.col("lon"), 0.7).alias("cell"))
+    assert all(r.cell in cell_set for r in inside.collect())
