@@ -41,6 +41,12 @@ HEADLINE = [
     "t_quality_score",
     "t_lang_id",
     "f6_model_scoring",
+    "sp_bbox_join",
+    "sp_wkt_join",
+    "t_winnow_fingerprint",
+    "e_near_dups",
+    "f2_stop_detect",
+    "f4_home_work_label",
 ]
 
 

@@ -37,6 +37,23 @@ def normalize_text(col: Column) -> Column:
     return fold_accents(F.lower(strip_urls(col)))
 
 
+def let(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` ONCE, bind it to a
+    lambda variable, and build ``body`` over that variable.
+
+    Why this exists: higher-order functions (transform/filter/aggregate)
+    are interpreted (no whole-stage codegen, no common-subexpression
+    elimination), so an expensive expression inlined into a lambda body is
+    re-evaluated **per array element** — composing
+    ``ngrams(tokenize(text))`` naively makes the regex tokenizer run once
+    per gram, turning a 0.5 s pass into ~30 s at sf0.1. Wrapping the
+    expensive input as ``transform(array(x), v -> body(v))[0]`` pins it to
+    one evaluation per row regardless of how many times ``body``
+    references it.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def tokenize(col: Column) -> Column:
     """Whitespace/punct tokenization of normalized text → array<string>,
     with empty tokens removed."""
@@ -52,14 +69,20 @@ def token_count(col: Column) -> Column:
 
 def ngrams(tokens: Column, n: int) -> Column:
     """Contiguous n-grams from a token array, as space-joined strings.
-    Pure array expressions (transform over a slice), no UDF."""
-    k = F.size(tokens) - (n - 1)
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    Pure array expressions (transform over a slice), no UDF. The input is
+    let-bound so an expensive token expression evaluates once per row,
+    not once per gram."""
+
+    def body(t: Column) -> Column:
+        k = F.size(t) - (n - 1)
+        return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            )
         )
-    )
+
+    return let(tokens, body)
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -95,21 +118,25 @@ def lang_id(col: Column) -> Column:
     """Heuristic language ID: argmax of marker-word hits, 'und' when no
     marker fires. Deterministic tiebreak: alphabetically-first language
     wins (struct max compares (hits, pref) lexicographically, so the
-    preference rank is descending-alphabet)."""
-    toks = tokenize(col)
+    preference rank is descending-alphabet). Tokens are let-bound: one
+    tokenizer pass feeds all language profiles."""
     langs = sorted(LANG_MARKERS, reverse=True)  # pref i: higher = earlier alphabet
-    scored = F.array(
-        *[
-            F.struct(
-                _marker_hits(toks, LANG_MARKERS[lang]).alias("hits"),
-                F.lit(i).alias("pref"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(langs)
-        ]
-    )
-    best = F.array_max(scored)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    def body(toks: Column) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    _marker_hits(toks, LANG_MARKERS[lang]).alias("hits"),
+                    F.lit(i).alias("pref"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+        best = F.array_max(scored)
+        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return let(tokenize(col), body)
 
 
 # --- quality scoring ---------------------------------------------------------
@@ -122,29 +149,50 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean token length, punctuation ratio, stopword ratio, and a composite
     0-1 score. All codegen'd expressions — one narrow pass."""
     c = F.col(text_col)
-    toks = tokenize(c)
     n_chars = F.length(c)
-    n_tok = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    mean_tok_len = F.when(
-        n_tok > 0, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok
-    ).otherwise(F.lit(0.0))
-    score = (
-        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio > 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), F.lit(0.2)).otherwise(F.lit(0.0))
-    )
-    return df.select(
-        "*",
-        n_chars.alias("q_n_chars"),
-        n_tok.cast("int").alias("q_n_tokens"),
-        F.round(punct_ratio, 4).alias("q_punct_ratio"),
-        F.round(stop_ratio, 4).alias("q_stopword_ratio"),
-        F.round(mean_tok_len, 4).alias("q_mean_token_len"),
-        F.round(score, 2).alias("q_score"),
+
+    def feats(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+        stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+        mean_tok_len = F.when(
+            n_tok > 0,
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok,
+        ).otherwise(F.lit(0.0))
+        score = (
+            F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+            + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+            + F.when(stop_ratio > 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+            + F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), F.lit(0.2)).otherwise(
+                F.lit(0.0)
+            )
+        )
+        return F.struct(
+            n_tok.cast("int").alias("n_tokens"),
+            F.round(punct_ratio, 4).alias("punct_ratio"),
+            F.round(stop_ratio, 4).alias("stopword_ratio"),
+            F.round(mean_tok_len, 4).alias("mean_token_len"),
+            F.round(score, 2).alias("score"),
+        )
+
+    # Two projections on purpose: __q is an expensive interpreted
+    # expression referenced 5×; the alias boundary makes it evaluate once
+    # (CollapseProject declines to inline non-cheap multi-referenced
+    # aliases).
+    q = F.col("__q")
+    return (
+        df.withColumn("__q", let(tokenize(c), feats))
+        .select(
+            "*",
+            n_chars.alias("q_n_chars"),
+            q["n_tokens"].alias("q_n_tokens"),
+            q["punct_ratio"].alias("q_punct_ratio"),
+            q["stopword_ratio"].alias("q_stopword_ratio"),
+            q["mean_token_len"].alias("q_mean_token_len"),
+            q["score"].alias("q_score"),
+        )
+        .drop("__q")
     )

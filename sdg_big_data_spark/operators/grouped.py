@@ -161,6 +161,9 @@ def detect_stops(
     """F2 — per-user stop detection (reference parameters from
     `gps_pipeline.py:58`: radius 50 m, stay 300 s, gap 3600 s, accuracy
     100 m, DBSCAN eps 50 m)."""
+    from ..session import ship_package
+
+    ship_package(pings.sparkSession)
     narrow = pings.select("user_id", "lat", "lon", "accuracy", "timestamp")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -175,6 +178,9 @@ def recluster_stops(stops: DataFrame, eps_m: float = 50.0) -> DataFrame:
     """F3 — re-cluster stops per user after an incremental union
     (`wbgps/stops.py:113-122`): recompute radius-component labels over
     the combined old+new stop set."""
+    from ..session import ship_package
+
+    ship_package(stops.sparkSession)
     cols = stops.columns
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

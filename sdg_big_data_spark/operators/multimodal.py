@@ -70,6 +70,9 @@ def extract_features(
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` — size it so
     batch_rows × payload_size fits the Python worker's memory).
     """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
     dec = decode or (lambda b, m: _stub_decode(b, m, dim))
     narrow = df.select(id_col, modality_col, payload_col)
 

@@ -56,6 +56,9 @@ def score_documents(
     batch). Only (id, text) cross the Arrow boundary — select-early, the
     one pruning Catalyst cannot do for us inside the Python payload.
     """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
     fn = model_fn or deterministic_stub_scorer(classes)
     schema = f"{id_col} long, " + ", ".join(f"{c} double" for c in classes)
     narrow = df.select(id_col, text_col)

@@ -120,15 +120,27 @@ def lsh_topk(
     """
     cb = corpus.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes))
     qb = queries.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+    # Norms are per-row: compute BEFORE the pair join (1 dot per pair
+    # after, not 3 — same floats, cosine = dot/(na*nb) either way).
     q = qb.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__bkt"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
+        "__bkt",
     )
-    c = cb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bkt")
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+        "__bkt",
+    )
     scored = (
         c.join(F.broadcast(q), "__bkt")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
-        .drop("__qv", "__cv", "__bkt")
+        .withColumn(
+            "cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
+        .drop("__qv", "__cv", "__qn", "__cn", "__bkt")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -151,12 +163,24 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
     cosine verify (pairs a < b with cos >= threshold)."""
     b = df.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes))
-    x = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bkt")
-    y = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bkt")
+    x = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+        "__bkt",
+    )
+    y = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+        "__bkt",
+    )
     return (
         x.join(y, "__bkt")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cos", dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -156,6 +156,9 @@ def spatial_join_wkt(
     tables by assumption, as in the reference where admin CSVs are
     broadcast); the refine UDF receives only coarse-join survivors.
     """
+    from ..session import ship_package
+
+    ship_package(points.sparkSession)
     pdf = polygons.select(geom_id_col, wkt_col).toPandas()
     rings = {r[geom_id_col]: parse_wkt_polygon(r[wkt_col]) for _, r in pdf.iterrows()}
     boxes = []

@@ -1,0 +1,682 @@
+"""Catalog queries — coverage batch 2: spatial joins (J6 both forms),
+set operations (U2/U3), fixed-n sampling (R3), grouped counts (A4/P13),
+native home/work labeling (F4), token accounting, winnowing fingerprints,
+and the LSH similarity scale path (near-dups + approximate top-k) with
+exact SQL oracles that replicate the hyperplane bucketing bit-for-bit.
+
+Spatial points are derived deterministically from ``events`` (pure integer
+arithmetic → identical doubles in Spark and DuckDB), so the two-phase
+grid join can be oracle-checked against a plain range-predicate join —
+same semantics, different physical strategy.
+
+Rows-only entries (no SQL oracle — genuinely non-relational sequential
+algorithms): f2_stop_detect, f3_recluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..operators import grouped, sampling, similarity, spatial
+from ..operators.multimodal import extract_features
+from .catalog import register, table
+from .text_queries import _SQL_TOKS
+
+# --- deterministic point derivation (same arithmetic in both engines) -------
+
+_LAT_EXPR = "(event_id % 17000) / 100.0 - 85.0"
+_LON_EXPR = "((event_id * 7919) % 36000) / 100.0 - 180.0"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("event_id") % 17000 / 100.0 - 85.0).alias("lat"),
+        (F.col("event_id") * 7919 % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+
+
+_BOXES = [
+    ("box_a", -40.0, -90.0, 10.0, -30.0),
+    ("box_b", 0.0, 0.0, 45.0, 60.0),
+    ("box_c", -80.0, 100.0, -20.0, 170.0),
+    ("box_d", 40.0, -170.0, 80.0, -100.0),
+]
+
+
+@register(
+    "sp_bbox_join",
+    sql=f"""
+    WITH pts AS (
+      SELECT event_id, user_id, value,
+             {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon
+      FROM events
+    ),
+    boxes(geom_id, min_lat, min_lon, max_lat, max_lon) AS (VALUES
+      {", ".join(f"('{g}', {a}, {b}, {c}, {d})" for g, a, b, c, d in _BOXES)}
+    )
+    SELECT geom_id,
+           count(*) AS n_points,
+           count(DISTINCT user_id) AS n_users,
+           round(avg(value), 4) AS avg_value
+    FROM pts JOIN boxes
+      ON lat BETWEEN min_lat AND max_lat AND lon BETWEEN min_lon AND max_lon
+    GROUP BY geom_id
+    """,
+    tags=("J6", "spatial"),
+    doc="two-phase spatial point-in-rectangle join "
+    "(grid-cell cover + broadcast equi-join + exact range refine, "
+    "operators/spatial.py mirroring geocode_stop_locations.scala:46-88); "
+    "the oracle is a plain range join — same semantics, and the grid plan "
+    "replaces the O(points x boxes) theta join with a hash join at scale",
+)
+def sp_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    boxes = spark.createDataFrame(
+        _BOXES,
+        schema="geom_id string, min_lat double, min_lon double, "
+        "max_lat double, max_lon double",
+    )
+    joined = spatial.spatial_join_bbox(pts, boxes, cell_deg=1.0)
+    return joined.groupBy("geom_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+_STATIONS = [
+    ("st_1", -20.0037, -45.0041),
+    ("st_2", 30.0037, 10.0041),
+    ("st_3", 50.0037, 120.0041),
+    ("st_4", -60.0037, 150.0041),
+]
+
+
+@register(
+    "sp_nearest_station",
+    sql=f"""
+    WITH pts AS (
+      SELECT event_id, value, {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon
+      FROM events
+    ),
+    st(station_id, s_lat, s_lon) AS (VALUES
+      {", ".join(f"('{s}', {a}, {b})" for s, a, b in _STATIONS)}
+    ),
+    d AS (
+      SELECT event_id, value, station_id,
+             (lat - s_lat) * (lat - s_lat) + (lon - s_lon) * (lon - s_lon)
+               AS d2,
+             row_number() OVER (
+               PARTITION BY event_id
+               ORDER BY (lat - s_lat) * (lat - s_lat)
+                        + (lon - s_lon) * (lon - s_lon) ASC,
+                        station_id ASC) AS rn
+      FROM pts CROSS JOIN st
+    )
+    SELECT station_id, count(*) AS n_points, round(avg(value), 4) AS avg_value
+    FROM d WHERE rn = 1
+    GROUP BY station_id
+    """,
+    tags=("spatial", "nearest"),
+    doc="nearest-station assignment: broadcast cross join with the "
+    "dimension table, per-point argmin (squared-degree metric — exact "
+    "arithmetic, so the argmin is engine-portable; haversine_m is the "
+    "production metric for real distances)",
+)
+def sp_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pts = _points(spark, sf_dir)
+    st = spark.createDataFrame(
+        _STATIONS, schema="station_id string, s_lat double, s_lon double"
+    )
+    d2 = (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat")) + (
+        F.col("lon") - F.col("s_lon")
+    ) * (F.col("lon") - F.col("s_lon"))
+    w = Window.partitionBy("event_id").orderBy(d2.asc(), F.col("station_id").asc())
+    nearest = (
+        pts.join(F.broadcast(st))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return nearest.groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# Diamond polygons (|lat-c_lat| + |lon-c_lon| < r) written as generic WKT so
+# the Spark side exercises the ray-casting refine; the oracle uses the
+# closed-form predicate. Offsets .0037/.0041 guarantee no sample point (on
+# the 0.01 grid) lies exactly on an edge.
+_DIAMONDS = [
+    ("poly_a", 10.0037, 20.0041, 8.0),
+    ("poly_b", -30.0037, -60.0041, 12.0),
+]
+
+
+def _diamond_wkt(c_lat: float, c_lon: float, r: float) -> str:
+    pts = [
+        (c_lon, c_lat + r),
+        (c_lon + r, c_lat),
+        (c_lon, c_lat - r),
+        (c_lon - r, c_lat),
+        (c_lon, c_lat + r),
+    ]
+    body = ", ".join(f"{x} {y}" for x, y in pts)
+    return f"POLYGON (({body}))"
+
+
+@register(
+    "sp_wkt_join",
+    sql=f"""
+    WITH pts AS (
+      SELECT event_id, user_id, {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon
+      FROM events
+    ),
+    poly(geom_id, c_lat, c_lon, r) AS (VALUES
+      {", ".join(f"('{g}', {a}, {b}, {r})" for g, a, b, r in _DIAMONDS)}
+    )
+    SELECT geom_id, count(*) AS n_points,
+           round(avg(lat), 4) AS mean_lat, round(avg(lon), 4) AS mean_lon
+    FROM pts JOIN poly ON abs(lat - c_lat) + abs(lon - c_lon) < r
+    GROUP BY geom_id
+    """,
+    tags=("J6", "spatial", "wkt"),
+    doc="general point-in-polygon join: coarse grid equi-join + exact "
+    "ray-casting refine in a vectorized Arrow batch "
+    "(spatial.spatial_join_wkt); polygons here are diamonds so the oracle "
+    "can state the exact closed-form membership predicate",
+)
+def sp_wkt_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    polys = spark.createDataFrame(
+        [(g, _diamond_wkt(a, b, r)) for g, a, b, r in _DIAMONDS],
+        schema="geom_id string, geometry string",
+    )
+    joined = spatial.spatial_join_wkt(pts, polys, cell_deg=1.0)
+    return joined.groupBy("geom_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg("lat"), 4).alias("mean_lat"),
+        F.round(F.avg("lon"), 4).alias("mean_lon"),
+    )
+
+
+# --- set operations (U2/U3) --------------------------------------------------
+
+
+@register(
+    "u2_except",
+    sql="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderstatus = 'F'
+    """,
+    tags=("U2",),
+    doc="set difference (EXCEPT distinct): positive-balance customers "
+    "minus those with finished orders; Catalyst plans a left-anti "
+    "aggregate — same shape the reference builds by hand via "
+    "left_outer+isNull (split_random.py:36)",
+)
+def u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_acctbal") > 0).select("c_custkey")
+    b = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.exceptAll(b.distinct()).distinct()
+
+
+@register(
+    "u3_intersect",
+    sql="""
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE year(o_orderdate) = 1994
+    INTERSECT
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE year(o_orderdate) = 1995
+    """,
+    tags=("U3",),
+    doc="set intersection: customers active in both 1994 and 1995 "
+    "(reference spells this as an inner join on id, sample_top_tweets.py)",
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    y94 = orders.where(F.year("o_orderdate") == 1994).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    y95 = orders.where(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return y94.intersect(y95)
+
+
+# --- R3 fixed-n sample + A4/P13/O1 ------------------------------------------
+
+
+@register(
+    "r3_fixed_n",
+    sql=f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    ORDER BY (doc_id * {sampling._MIX}) % {sampling._MOD}, doc_id
+    LIMIT 100
+    """,
+    tags=("R3",),
+    doc="fixed-n deterministic sample (pandas sample(n=10**6), "
+    "count_kskipngrams.py:133): hash-order + limit — stable across "
+    "partitionings and engines, unlike seeded sample()",
+)
+def r3_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return sampling.fixed_n_sample(docs, 100, "doc_id").select("doc_id", "n_chars")
+
+
+@register(
+    "a4_grouped_count",
+    sql="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("A4", "P13", "O1"),
+    doc="grouped count shortcut + distinct-by-key + ordered output "
+    "(select_tweets_containing_ngrams.py:141)",
+)
+def a4_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- text: token accounting + winnowing fingerprints -------------------------
+
+
+@register(
+    "t_token_count",
+    sql=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len({_SQL_TOKS.format(c="text")})) AS total_tokens,
+           round(avg(len({_SQL_TOKS.format(c="text")})), 4) AS avg_tokens,
+           max(len({_SQL_TOKS.format(c="text")})) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+    tags=("text", "token-count"),
+    doc="per-source token accounting for training-data budgeting — "
+    "normalize+tokenize is one codegen'd expression pass, no Python",
+)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n = text.token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+@register(
+    "t_winnow_fingerprint",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             || ' ' || t[i+3] || ' ' || t[i+4]), 1, 8))::BIGINT
+               AS h
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT doc_id, count(DISTINCT fp) AS n_fingerprints,
+           min(fp) AS min_fp, max(fp) AS max_fp
+    FROM wins GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+    doc="document fingerprinting via winnowing (Schleimer et al. 2003): "
+    "rolling 5-gram hashes, min over a 4-window, distinct mins = the "
+    "fingerprint set; hash = first 8 md5 hex chars as int (engine-"
+    "portable rolling hash)",
+)
+def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    g5 = text.ngrams(toks, 5)
+    grams = docs.select(
+        "doc_id", F.posexplode(g5).alias("pos", "gram")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wins = grams.withColumn("fp", F.min("h").over(w))
+    return wins.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+# --- LSH similarity scale path (oracle replicates bucketing exactly) ---------
+
+
+def _plane_literals(dim: int, n_planes: int) -> list[list[float]]:
+    return [
+        [
+            (((p * 1_000_003 + j) * similarity._HP_MIX_A + similarity._HP_MIX_B)
+             % 2_000_001) / 1_000_000.0 - 1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _sql_bucket(vec_expr: str, dim: int, n_planes: int) -> str:
+    planes = _plane_literals(dim, n_planes)
+    terms = []
+    for p, comps in enumerate(planes):
+        lits = ", ".join(repr(c) for c in comps)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_VEC_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "e_near_dups",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, {_VEC_DBL} AS v,
+             {_sql_bucket(_VEC_DBL, 64, 4)} AS bkt
+      FROM embeddings
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))), 4) AS cos
+    FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+    WHERE list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v))
+             * sqrt(list_dot_product(y.v, y.v))) >= 0.35
+    """,
+    tags=("similarity", "near-dup", "lsh"),
+    doc="embedding-cosine near-duplicate pairs: random-hyperplane LSH "
+    "buckets (4 planes) prune the pair space to same-bucket candidates, "
+    "exact cosine verifies; the oracle replicates the hyperplane "
+    "arithmetic bit-for-bit so the *approximate* semantics are checked, "
+    "not just the verify step",
+)
+def e_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(
+        emb, dim=64, threshold=0.35, n_planes=4
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+@register(
+    "e_lsh_topk",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, {_VEC_DBL} AS v,
+             {_sql_bucket(_VEC_DBL, 64, 4)} AS bkt
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM b c JOIN q ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+    FROM (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC)
+                   AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "ann-lsh"),
+    doc="approximate cosine top-5 via LSH buckets — the scale path next "
+    "to sim_cosine_topk's exact baseline: bucket equi-join replaces the "
+    "corpus x queries product; recall tunable via plane count",
+)
+def e_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
+    )
+
+
+# --- F4 native home/work labeling (fully relational → oracle-checked) --------
+
+
+@register(
+    "f4_home_work_label",
+    sql="""
+    WITH s AS (
+      SELECT user_id, event_id % 7 AS cluster_label,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(floor(value * 10) AS BIGINT) + 600 AS duration
+      FROM events
+    ),
+    h AS (
+      SELECT *, (t % 86400) // 3600 AS hr,
+             ((t // 86400) + 4) % 7 AS dw
+      FROM s
+    ),
+    night AS (
+      SELECT user_id, cluster_label, sum(duration) AS night_s
+      FROM h WHERE hr >= 19 OR hr < 8 GROUP BY 1, 2
+    ),
+    home AS (
+      SELECT user_id, cluster_label AS home_cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY night_s DESC, cluster_label ASC) AS rn
+            FROM night) WHERE rn = 1
+    ),
+    workday AS (
+      SELECT h.user_id, h.cluster_label, sum(duration) AS work_s,
+             count(DISTINCT t // 86400) AS n_days
+      FROM h WHERE dw NOT IN (0, 6) AND hr >= 9 AND hr < 17
+      GROUP BY 1, 2
+    ),
+    workc AS (
+      SELECT w.* FROM workday w LEFT JOIN home hm USING (user_id)
+      WHERE w.cluster_label != coalesce(hm.home_cluster, -1)
+        AND CAST(w.work_s AS DOUBLE) / w.n_days >= 3600
+    ),
+    work AS (
+      SELECT user_id, cluster_label AS work_cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY work_s DESC, cluster_label ASC) AS rn
+            FROM workc) WHERE rn = 1
+    ),
+    clusters AS (SELECT DISTINCT user_id, cluster_label FROM s)
+    SELECT c.user_id, c.cluster_label,
+           CASE WHEN c.cluster_label = hm.home_cluster THEN 'H'
+                WHEN c.cluster_label = wk.work_cluster THEN 'W'
+                ELSE 'O' END AS location_type
+    FROM clusters c
+    LEFT JOIN home hm USING (user_id)
+    LEFT JOIN work wk USING (user_id)
+    """,
+    tags=("F4", "home-work"),
+    doc="native-window home/work labeling (grouped.label_home_work): "
+    "night-time argmax → H, weekday-hours argmax with waa=3600s/day "
+    "floor → W, else O — the scalable all-relational replacement for the "
+    "reference's 111-line per-user grouped-map labeler "
+    "(wbgps/labeling.py:88-198); stops synthesized from events",
+)
+def f4_home_work_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    stops = ev.select(
+        "user_id",
+        (F.col("event_id") % 7).alias("cluster_label"),
+        F.col("ts").cast("long").alias("t_start"),
+        (F.floor(F.col("value") * 10).cast("long") + 600).alias("duration"),
+    )
+    return grouped.label_home_work(stops)
+
+
+# --- multimodal plumbing (oracle replicates the deterministic stub) ----------
+
+
+def _sql_stub_features(dim: int = 8) -> str:
+    """DuckDB expressions replicating _stub_decode: md5 digest bytes
+    (doubled), little-endian u4 words, % 1000 / 1000."""
+    cols = []
+    for j in range(dim):
+        bs = [4 * j + i for i in range(4)]
+        hexpair = " || ".join(
+            f"substr(hh, {2 * (b % 16) + 1}, 2)" for b in reversed(bs)
+        )
+        cols.append(
+            f"round(CAST((('0x' || {hexpair})::BIGINT % 1000) AS DOUBLE)"
+            f" / 1000.0, 3) AS f{j}"
+        )
+    return ", ".join(cols)
+
+
+@register(
+    "m_multimodal_features",
+    sql=f"""
+    WITH p AS (
+      SELECT doc_id AS item_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS hh
+      FROM documents
+    )
+    SELECT item_id, modality, n_bytes, {_sql_stub_features(8)}
+    FROM p
+    """,
+    tags=("multimodal",),
+    doc="multimodal decode/featurize plumbing: binary payload column → "
+    "mapInPandas Arrow batches → fixed-dim feature vector; decode is a "
+    "deterministic md5-based stub (real image/audio libs absent here) so "
+    "schema, batching, and UDF signature are oracle-verified end-to-end",
+)
+def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    binary = docs.select(
+        F.col("doc_id").alias("item_id"),
+        (F.col("doc_id") % 3).alias("m3"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).withColumn(
+        "modality",
+        F.when(F.col("m3") == 0, "image")
+        .when(F.col("m3") == 1, "audio")
+        .otherwise("video"),
+    )
+    feats = extract_features(binary, id_col="item_id")
+    out = feats.select(
+        "item_id",
+        "modality",
+        "n_bytes",
+        *[
+            F.round(F.col("feature")[j].cast("double"), 3).alias(f"f{j}")
+            for j in range(8)
+        ],
+    )
+    return out
+
+
+# --- rows-only: genuinely sequential grouped-map algorithms ------------------
+
+
+def _pings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic per-user ping trajectories from events: each user's pings
+    cluster around a user-specific anchor with meter-scale jitter, at a
+    compressed time base so stop/gap semantics are exercised."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        (F.col("user_id") % 170 - 85 + (F.col("event_id") % 10) * 1e-5).alias("lat"),
+        (F.col("user_id") * 7 % 360 - 180 + (F.col("event_id") % 7) * 1e-5).alias(
+            "lon"
+        ),
+        (10.0 + F.col("event_id") % 90).alias("accuracy"),
+        (F.lit(1_700_000_000) + (F.col("event_id") % 100_000) * 30).alias(
+            "timestamp"
+        ),
+    )
+
+
+@register(
+    "f2_stop_detect",
+    sql=None,  # sequential per-user scan with running-centroid state — not SQL
+    tags=("F2", "grouped-map"),
+    doc="per-user stop detection (wbgps/stops.py:71-96 semantics: "
+    "radius 50m, stay 300s, gap 3600s, accuracy filter, radius-component "
+    "clustering) as applyInPandas over numpy — rows-only check; the "
+    "relational core (gap sessionization) is oracle-checked as "
+    "g_sessionize",
+)
+def f2_stop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pings = _pings(spark, sf_dir)
+    stops = grouped.detect_stops(pings)
+    return stops.select(
+        "user_id",
+        "t_start",
+        "t_end",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        "n_pings",
+        "cluster_label",
+    ).orderBy("user_id", "t_start")
+
+
+@register(
+    "f3_recluster",
+    sql=None,  # union-find over pairwise haversine radius graph — not SQL
+    tags=("F3", "grouped-map"),
+    doc="per-user stop re-clustering after incremental union "
+    "(wbgps/stops.py:113-122): recompute radius-connected components "
+    "over old+new stops — rows-only check",
+)
+def f3_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pings = _pings(spark, sf_dir)
+    stops = grouped.detect_stops(pings)
+    re = grouped.recluster_stops(stops)
+    return (
+        re.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_stops"),
+            F.countDistinct("cluster_label").alias("n_clusters"),
+        )
+        .orderBy("user_id")
+    )

@@ -17,6 +17,39 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``sdg_big_data_spark`` importable on executors via
+    ``sc.addPyFile`` — the standard Spark deployment path for Python
+    dependencies (same mechanism whether executors are local threads or
+    1000 remote JVMs).
+
+    Needed because pandas-UDF closures reference module-level helpers,
+    which cloudpickle serializes *by name*: the worker must import the
+    package, and the driver's ``sys.path`` does not propagate. Idempotent
+    per SparkContext; called lazily by every UDF-backed operator and by
+    ``read_table``.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_sdg_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo_root, "sdg_big_data_spark")
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sdg_big_data_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo_root))
+    sc.addPyFile(zpath)
+    sc._sdg_pkg_shipped = True
+
+
 def get_spark(
     app_name: str = "sdg-big-data-spark",
     master: str | None = None,

@@ -45,6 +45,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     import pyspark.sql.functions as F
 
+    from ..session import ship_package
+
+    ship_package(spark)  # executors must import this package for UDF ops
+
     # UTC discipline: the reference hard-fails on non-UTC sessions
     # (`geocode_stop_locations.scala:19`); the engine enforces instead so
     # epoch/calendar derivations are deterministic under any host session.
