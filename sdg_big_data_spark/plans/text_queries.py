@@ -137,19 +137,26 @@ def a15_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f8_dictionary_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = T.tokenize(F.col("text"))
     pos_arr = F.array(*[F.lit(w) for w in POSITIVE_WORDS])
     neg_arr = F.array(*[F.lit(w) for w in NEGATIVE_WORDS])
-    n_pos = F.size(F.filter(toks, lambda x: F.array_contains(pos_arr, x)))
-    n_neg = F.size(F.filter(toks, lambda x: F.array_contains(neg_arr, x)))
-    n_tok = F.size(toks)
+    # let-bound: one tokenizer pass feeds all three counters (HOFs are
+    # interpreted — an inlined tokenize would run 3x per row).
+    counts = T.let(
+        T.tokenize(F.col("text")),
+        lambda toks: F.struct(
+            F.size(F.filter(toks, lambda x: F.array_contains(pos_arr, x))).alias("p"),
+            F.size(F.filter(toks, lambda x: F.array_contains(neg_arr, x))).alias("n"),
+            F.size(toks).alias("t"),
+        ),
+    )
     return (
-        docs.select(
+        docs.withColumn("__c", counts)
+        .select(
             "doc_id",
             "lang",
-            n_pos.alias("n_pos"),
-            n_neg.alias("n_neg"),
-            n_tok.alias("__n"),
+            F.col("__c")["p"].alias("n_pos"),
+            F.col("__c")["n"].alias("n_neg"),
+            F.col("__c")["t"].alias("__n"),
         )
         .where(F.col("__n") > 0)
         .select(

@@ -89,15 +89,20 @@ def read_csv(
     multi_line: bool = True,
     mode: str = "FAILFAST",
     infer_schema: bool = True,
+    schema: str | None = None,
 ) -> DataFrame:
-    """S4 — CSV with the reference's options (`geocode_stop_locations.scala:26`)."""
-    return (
+    """S4 — CSV with the reference's options (`geocode_stop_locations.scala:26`).
+    An explicit ``schema`` (DDL string) skips the inference scan."""
+    reader = (
         spark.read.option("header", str(header).lower())
         .option("multiLine", str(multi_line).lower())
         .option("mode", mode)
-        .option("inferSchema", str(infer_schema).lower())
-        .csv(path)
     )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", str(infer_schema).lower())
+    return reader.csv(path)
 
 
 def load_tables(
@@ -112,7 +117,7 @@ def load_tables(
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = read_table(spark, sf_dir, name)  # nanos/UTC normalization
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
