@@ -615,6 +615,40 @@ def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- S5: SQL-text entry point over registered views --------------------------
+
+
+@register(
+    "s5_sql_scan",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+      AND o_totalprice > 1000
+    GROUP BY o_orderpriority
+    """,
+    tags=("S5", "S12"),
+    doc="SQL-text surface (stop_locations.py:60-70 embeds WHERE clauses in "
+    "spark.sql strings): same Catalyst plan as the DataFrame form — "
+    "predicates pushed to the scan, partition pruning free",
+)
+def s5_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+          AND o_totalprice > 1000
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 # --- rows-only: genuinely sequential grouped-map algorithms ------------------
 
 
