@@ -691,7 +691,9 @@ def f2_stop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lon", 6).alias("lon"),
         "n_pings",
         "cluster_label",
-    ).orderBy("user_id", "t_start")
+        # sortWithinPartitions, NOT orderBy: a global sort range-samples
+        # its input, which would execute the applyInPandas stage twice.
+    ).sortWithinPartitions("user_id", "t_start")
 
 
 @register(
@@ -712,5 +714,5 @@ def f3_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_stops"),
             F.countDistinct("cluster_label").alias("n_clusters"),
         )
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     )

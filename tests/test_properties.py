@@ -1,0 +1,156 @@
+"""Differential / property tests for the tricky semantics (SURVEY.md §5.2):
+
+- W5 rolling day-range windows ≡ pandas ``rolling('Nd')`` (the hard
+  equivalence the reference relies on inside its grouped-map labeler);
+- W8 gap-fill ≡ pandas reindex+ffill+bfill;
+- deterministic hash sampling: fraction within binomial bounds AND
+  invariant under repartitioning (the property seeded ``sample()`` lacks);
+- winsorize clips exactly to the group quantiles.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def panel_pdf():
+    rng = random.Random(7)
+    rows = []
+    d0 = dt.date(2020, 1, 1)
+    for u in ["a", "b", "c"]:
+        day = 0
+        for _ in range(60):
+            day += rng.randint(1, 4)  # irregular gaps
+            rows.append((u, d0 + dt.timedelta(days=day), rng.uniform(0, 10)))
+    return pd.DataFrame(rows, columns=["user_id", "date", "v"])
+
+
+def test_rolling_days_matches_pandas(spark, panel_pdf):
+    from sdg_big_data_spark.operators.windows import rolling_days
+
+    days = 7
+    sdf = spark.createDataFrame(panel_pdf)
+    out = rolling_days(
+        sdf,
+        ["user_id"],
+        "date",
+        days,
+        {"roll_sum": F.sum("v"), "roll_n": F.count(F.lit(1))},
+        min_periods=2,
+    ).toPandas()
+
+    exp = []
+    for u, grp in panel_pdf.groupby("user_id"):
+        g = grp.set_index(pd.to_datetime(grp["date"])).sort_index()
+        r = g["v"].rolling(f"{days}D", min_periods=2)
+        exp.append(
+            pd.DataFrame(
+                {
+                    "user_id": u,
+                    "date": g["date"].values,
+                    "exp_sum": r.sum().values,
+                    "exp_n": r.count().values,  # same min_periods guard
+                }
+            )
+        )
+    expected = pd.concat(exp)
+    m = out.merge(expected, on=["user_id", "date"], how="inner")
+    assert len(m) == len(panel_pdf)
+    # min_periods nulls line up
+    assert (m["roll_sum"].isna() == m["exp_sum"].isna()).all()
+    ok = m["roll_sum"].notna()
+    assert np.allclose(m.loc[ok, "roll_sum"], m.loc[ok, "exp_sum"])
+    assert (
+        (m["roll_n"] == m["exp_n"]) | (m["roll_n"].isna() & m["exp_n"].isna())
+    ).all()
+
+
+def test_gap_fill_matches_pandas(spark):
+    from sdg_big_data_spark.operators.windows import gap_fill
+
+    rows = [
+        ("u", dt.date(2020, 1, 1), 1.0),
+        ("u", dt.date(2020, 1, 4), None),
+        ("u", dt.date(2020, 1, 7), 7.0),
+        ("v", dt.date(2020, 2, 1), None),
+        ("v", dt.date(2020, 2, 3), 3.0),
+    ]
+    sdf = spark.createDataFrame(rows, schema="user_id string, date date, v double")
+    out = (
+        gap_fill(sdf, ["user_id"], "date", ["v"])
+        .toPandas()
+        .sort_values(["user_id", "date"])
+        .reset_index(drop=True)
+    )
+    exp_frames = []
+    pdf = pd.DataFrame(rows, columns=["user_id", "date", "v"])
+    for u, grp in pdf.groupby("user_id"):
+        g = grp.set_index(pd.to_datetime(grp["date"]))["v"]
+        idx = pd.date_range(g.index.min(), g.index.max(), freq="D")
+        filled = g.reindex(idx).ffill().bfill()
+        exp_frames.append(
+            pd.DataFrame({"user_id": u, "date": idx.date, "v_exp": filled.values})
+        )
+    expected = pd.concat(exp_frames).reset_index(drop=True)
+    m = out.merge(expected, on=["user_id", "date"])
+    assert len(m) == len(expected)
+    assert np.allclose(m["v"], m["v_exp"])
+
+
+def test_hash_sample_binomial_bounds_and_partition_invariance(spark):
+    from sdg_big_data_spark.operators.sampling import hash_sample
+
+    n, frac = 20_000, 0.1
+    df = spark.range(n).withColumnRenamed("id", "k")
+    s1 = hash_sample(df, "k", frac)
+    got = s1.count()
+    # binomial: mean 2000, sd ~42; allow 5 sd
+    assert abs(got - n * frac) < 5 * (n * frac * (1 - frac)) ** 0.5
+
+    ids1 = {r["k"] for r in s1.collect()}
+    ids2 = {r["k"] for r in hash_sample(df.repartition(13), "k", frac).collect()}
+    assert ids1 == ids2  # membership is a row property, not a partition one
+
+
+def test_stratified_hash_sample_caps(spark):
+    from sdg_big_data_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(9_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = stratified_hash_sample(df, "s", "k", 500)
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"0", "1", "2"}
+    for v in counts.values():
+        # target 500 of 3000 per stratum; hash sampling is binomial around it
+        assert 350 <= v <= 650
+
+
+def test_winsorize_clips_to_quantiles(spark):
+    from sdg_big_data_spark.operators.relational import winsorize
+
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], schema="x double")
+    out = winsorize(df, "x", 0.05, 0.95).toPandas()["x"]
+    lo, hi = np.percentile(vals, 5), np.percentile(vals, 95)
+    assert out.min() == pytest.approx(lo)
+    assert out.max() == pytest.approx(hi)
+    assert ((out >= lo - 1e-9) & (out <= hi + 1e-9)).all()
+
+
+def test_exact_dedup_idempotent(spark):
+    from sdg_big_data_spark.operators.dedup import exact_dedup
+
+    rows = [(i, "same text here" if i % 2 else f"unique {i}") for i in range(100)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    d1 = exact_dedup(df, "doc_id", "text")
+    # one fingerprint for all duplicates; canonical = min id
+    dup = [r for r in d1.collect() if r["n_copies"] > 1]
+    assert len(dup) == 1 and dup[0]["canonical_id"] == 1 and dup[0]["n_copies"] == 50
