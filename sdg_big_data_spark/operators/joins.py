@@ -88,6 +88,35 @@ def rank_join(
     return ranked.where(F.array_contains(wanted, F.col(rank_col)))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the big side's key with a random
+    shard in [0, salt), replicate the small side ``salt`` times, join on
+    (key, shard).
+
+    AQE's skew-join handles moderate skew automatically
+    (``spark.sql.adaptive.skewJoin``); explicit salting is for the
+    pathological case — one key holding a double-digit percentage of a
+    100 TB table — where even a split post-shuffle partition overwhelms
+    its tasks. Salting spreads that key across ``salt`` shuffle
+    partitions at the cost of replicating the (dimension-sized) small
+    side. Result equivalence: every (key, shard) pair sees the full small
+    row set for that key, so the join output is identical to the unsalted
+    join.
+    """
+    shard = F.floor(F.rand(seed=0) * salt).cast("int")
+    b = big.withColumn("__shard", shard)
+    s = small.withColumn(
+        "__shard", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return b.join(s, [on, "__shard"], how).drop("__shard")
+
+
 def multiway_join(base: DataFrame, joins: Sequence[tuple[DataFrame, str | list[str], str]]) -> DataFrame:
     """J8 — chained join (`wbgps/analysis.py:184-188,241-251`). Catalyst
     reorders/plans each hop; callers wrap small sides in F.broadcast."""

@@ -7,6 +7,8 @@ append (`select_tweets_containing_ngrams.py:136`), single-file CSV export
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -42,6 +44,34 @@ def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
     are final indicator tables).
     """
     df.coalesce(1).write.option("header", str(header).lower()).mode("overwrite").csv(path)
+
+
+def optimize_table(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> None:
+    """S14 — compaction (`tz_offset.scala:32` runs Delta ``OPTIMIZE``).
+
+    On plain parquet: rewrite each partition directory coalesced toward
+    ``target_file_mb`` files. Small-file proliferation is the #1 silent
+    killer of 100 TB scans (listing + task-per-file overhead); the
+    incremental-append protocol calls this on rewritten partitions. On
+    Delta/Iceberg deployments, swap for the native OPTIMIZE/rewrite
+    action — same contract.
+    """
+    import glob
+
+    df = spark.read.parquet(path)
+    size_b = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, size_b // (target_file_mb * 1024 * 1024))
+    tmp = path.rstrip("/") + "__compacted"
+    df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def convert_format(
