@@ -37,6 +37,7 @@ HEADLINE = [
     "d_simhash",
     "sim_cosine_topk",
     "e_ivf_assign",
+    "e_ivf_topk",
     "f7_kskip_lift",
     "t_quality_score",
     "t_lang_id",

@@ -341,3 +341,76 @@ def e_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "label_true", F.col("cand").alias("assigned_label"))
     )
+
+
+_IVF_CTE = """
+    flat AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label, i, avg(x) AS v FROM flat GROUP BY label, i),
+    cvec AS (SELECT label AS cell, list(v ORDER BY i) AS cv FROM cent GROUP BY label),
+    vecd AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dists AS (
+      SELECT e.vec_id, e.v, c.cell,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) ** 2)) AS dist
+      FROM vecd e CROSS JOIN cvec c
+    ),
+    assign AS (
+      SELECT vec_id AS neighbor_id, v, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS rn
+        FROM dists WHERE vec_id < 5) WHERE rn <= 2
+    )
+"""
+
+
+@register(
+    "e_ivf_topk",
+    sql=f"""
+    WITH {_IVF_CTE},
+    scored AS (
+      SELECT q.query_id, a.neighbor_id,
+             list_dot_product(q.qv, a.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(a.v, a.v))) AS cos
+      FROM qprobe q JOIN assign a ON a.cell = q.cell
+      WHERE a.neighbor_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+    FROM (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "ann-ivf"),
+    doc="full IVF approximate top-k: codebook -> one-cell assignment "
+    "(index build) -> queries probe nprobe=2 nearest cells and score "
+    "only those cells' vectors (hash join on cell id). The scale path "
+    "where LSH buckets are too coarse; recall tunes via nprobe; exact "
+    "baseline sim_cosine_topk",
+)
+def e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, queries, k=5, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
+    )
