@@ -273,6 +273,126 @@ def label_home_work(
     )
 
 
+def label_home_work_dynamic(
+    stops_daily: DataFrame,
+    hw_days: int = 49,
+    ww_days: int = 49,
+    min_obs_share: float = 0.2,
+    min_work_seconds_per_day: int = 3600,
+    night_start_hour: int = 19,
+    night_end_hour: int = 8,
+    work_start_hour: int = 9,
+    work_end_hour: int = 17,
+) -> DataFrame:
+    """F4 (dynamic form) — per-DAY home/work labels from trailing rolling
+    windows, the reference's selected configuration hw=49, ww=49,
+    mpow=mpoww=0.2, waa=3600 s (`08-optimization.Rmd:262-268`,
+    `labeling.py:88-198`).
+
+    For each (user, day): home = cluster with the largest trailing
+    ``hw_days`` night-time duration, valid only when the cluster was
+    observed on >= ``min_obs_share * hw_days`` distinct nights in the
+    window (the min_periods rule); work = non-home argmax of trailing
+    weekday working-hours duration with a mean-seconds-per-active-day
+    floor. All native windows (rangeBetween on epoch days) — the
+    reference's 111-line per-user pandas labeler with NO Python crossing,
+    so it scales with the shuffle, not with Python throughput.
+
+    Input columns: user_id, cluster_label, t_start (epoch s), duration.
+    Output: (user_id, day, home_cluster, work_cluster) — nullable when no
+    qualifying cluster exists yet (cold start inside the first window).
+    """
+    from pyspark.sql.window import Window
+
+    from .windows import modal_value
+
+    s = stops_daily.select(
+        "user_id",
+        "cluster_label",
+        "duration",
+        F.floor(F.col("t_start") / 86400).cast("long").alias("dayidx"),
+        ((F.col("t_start") % 86400) / 3600).cast("int").alias("hr"),
+        ((F.floor(F.col("t_start") / 86400) + 4) % 7).alias("dw"),  # 0=Sun
+    )
+
+    def rolling_argmax(
+        filtered: DataFrame, days: int, min_obs: int, value_name: str
+    ) -> DataFrame:
+        # daily per-cluster totals → trailing day-range window per
+        # (user, cluster) → per-(user, day) argmax with observation floor
+        daily = filtered.groupBy("user_id", "cluster_label", "dayidx").agg(
+            F.sum("duration").alias("d_s")
+        )
+        w = (
+            Window.partitionBy("user_id", "cluster_label")
+            .orderBy("dayidx")
+            .rangeBetween(-(days - 1), 0)
+        )
+        rolled = daily.select(
+            "user_id",
+            "cluster_label",
+            "dayidx",
+            F.sum("d_s").over(w).alias("roll_s"),
+            F.count(F.lit(1)).over(w).alias("roll_obs"),
+        ).where(F.col("roll_obs") >= min_obs)
+        return modal_value(
+            rolled, ["user_id", "dayidx"], "cluster_label", "roll_s"
+        ).select(
+            "user_id", "dayidx", F.col("cluster_label").alias(value_name),
+            F.col("roll_s").alias(f"{value_name}_s"),
+            F.col("roll_obs").alias(f"{value_name}_obs"),
+        )
+
+    night = s.where(
+        (F.col("hr") >= night_start_hour) | (F.col("hr") < night_end_hour)
+    )
+    home = rolling_argmax(
+        night, hw_days, max(1, int(min_obs_share * hw_days)), "home_cluster"
+    )
+
+    workday = s.where(
+        (~F.col("dw").isin(0, 6))
+        & (F.col("hr") >= work_start_hour)
+        & (F.col("hr") < work_end_hour)
+    )
+    work_all = rolling_argmax(
+        workday, ww_days, max(1, int(min_obs_share * ww_days)), "work_cluster"
+    ).where(
+        F.col("work_cluster_s") / F.col("work_cluster_obs")
+        >= min_work_seconds_per_day
+    )
+
+    days = s.select("user_id", "dayidx").distinct()
+    out = days.join(home, ["user_id", "dayidx"], "left").join(
+        work_all, ["user_id", "dayidx"], "left"
+    )
+    # Calendar fill (the reference's reindex→interpolate('nearest')→ffill→
+    # bfill, labeling.py:132-142): a day where the dominant cluster was
+    # not observed inherits the nearest label; bfill covers the cold-start
+    # window. Work≠home enforced after filling.
+    from .windows import bfill, ffill
+
+    out = bfill(
+        ffill(out, ["user_id"], "dayidx", ["home_cluster", "work_cluster"]),
+        ["user_id"],
+        "dayidx",
+        ["home_cluster", "work_cluster"],
+    ).withColumn(
+        "work_cluster",
+        F.when(
+            F.col("work_cluster") == F.col("home_cluster"), F.lit(None)
+        ).otherwise(F.col("work_cluster")),
+    )
+    return out.select(
+        "user_id",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("dayidx").cast("int")).alias(
+            "day"
+        ),
+        "home_cluster",
+        "work_cluster",
+    )
+
+
 def cap_group_size(
     df: DataFrame, key_col: str, order_col: str, max_rows: int
 ) -> DataFrame:

@@ -615,6 +615,35 @@ def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- JSON extraction ---------------------------------------------------------
+
+
+@register(
+    "f_json_extract",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "S3"),
+    doc="JSON field extraction from a string column "
+    "(`get_json_object`) + aggregate; the reference only reads whole "
+    "JSON files (build_2020_sets.py:27) — per-field extraction is the "
+    "natural extension for semi-structured event props",
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+    )
+
+
 # --- S5: SQL-text entry point over registered views --------------------------
 
 

@@ -133,3 +133,41 @@ def test_cap_group_size(spark, pings):
     first = capped.where(F.col("user_id") == "u1").agg(F.min("timestamp")).first()[0]
     overall_first = pings.where(F.col("user_id") == "u1").agg(F.min("timestamp")).first()[0]
     assert first == overall_first
+
+
+def test_label_home_work_dynamic_switch(spark):
+    """A user whose nightly location moves at day 40 gets a switched
+    home label once the new cluster dominates the trailing window."""
+    from sdg_big_data_spark.operators.grouped import label_home_work_dynamic
+
+    rows = []
+    day0 = 19000  # epoch day index
+    for d in range(80):
+        t_night = (day0 + d) * 86400 + 21 * 3600
+        cluster = 1 if d < 40 else 2
+        rows.append(("u", cluster, t_night, 4 * 3600))
+        # stable daytime work cluster on weekdays
+        dw = (day0 + d + 4) % 7
+        if dw not in (0, 6):
+            rows.append(("u", 9, (day0 + d) * 86400 + 10 * 3600, 5 * 3600))
+    df = spark.createDataFrame(
+        rows, schema="user_id string, cluster_label long, t_start long, duration long"
+    )
+    out = label_home_work_dynamic(df, hw_days=21, ww_days=21).collect()
+    # date(1970,1,1).toordinal() == 719163
+    by_day = {r["day"].toordinal() - 719163 - day0: r for r in out}
+    # cold-start days are bfilled from the first qualifying window
+    assert by_day[0]["home_cluster"] == 1
+    # established period before the move: home = 1
+    assert by_day[30]["home_cluster"] == 1
+    # well after the move (window fully flipped): home = 2
+    assert by_day[70]["home_cluster"] == 2
+    # work cluster is the weekday cluster, present every day via fill,
+    # and never equals home
+    assert by_day[30]["work_cluster"] == 9
+    assert by_day[70]["work_cluster"] == 9
+    assert all(
+        r["work_cluster"] != r["home_cluster"]
+        for r in out
+        if r["work_cluster"] is not None
+    )
