@@ -414,3 +414,46 @@ def e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
     )
+
+
+@register(
+    "w_sliding_window",
+    sql="""
+    WITH g AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value,
+             (t // 1800 - i) * 1800 AS win_start
+      FROM g, unnest([0, 1]) AS u(i)
+      WHERE (t // 1800 - i) * 1800 + 3600 > t
+    )
+    SELECT win_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY win_start, event_type
+    """,
+    tags=("streaming-batch", "sliding-window"),
+    doc="sliding event-time window (1h length, 30min slide) via F.window "
+    "— each event lands in length/slide windows; the oracle enumerates "
+    "the two containing window starts arithmetically",
+)
+def w_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -257,3 +257,85 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return T.quality_features(docs.select("doc_id", "text")).drop("text")
+
+
+@register(
+    "t_tfidf",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS toks FROM documents
+    ),
+    n_docs AS (SELECT count(*) AS n FROM t),
+    terms AS (SELECT unnest({_sql_list(POSITIVE_WORDS + NEGATIVE_WORDS)}) AS term),
+    dfreq AS (
+      SELECT term,
+             (SELECT count(*) FROM t WHERE list_contains(toks, term)) AS df
+      FROM terms
+    ),
+    idf AS (
+      SELECT term, ln(CAST((SELECT n FROM n_docs) AS DOUBLE) / (1 + df)) AS idf
+      FROM dfreq
+    ),
+    hits AS (
+      SELECT t.doc_id, u.tok AS term, count(*) AS tf, any_value(len(t.toks)) AS n_toks
+      FROM t, unnest(t.toks) AS u(tok)
+      WHERE list_contains({_sql_list(POSITIVE_WORDS + NEGATIVE_WORDS)}, u.tok)
+      GROUP BY t.doc_id, u.tok
+    )
+    SELECT h.doc_id,
+           round(sum(h.tf * i.idf) / any_value(h.n_toks), 6) AS tfidf
+    FROM hits h JOIN idf i USING (term)
+    GROUP BY h.doc_id
+    """,
+    tags=("F8", "tfidf"),
+    doc="dictionary TF-IDF scoring (news notebook cell 15: "
+    "tfidf=dot(counts,idfs)/T): corpus document frequencies -> idf "
+    "weights (tiny, broadcast) -> per-doc weighted hit sum / total "
+    "tokens. Two scans total (df pass + scoring pass), lexicon join "
+    "broadcast",
+)
+def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = table(spark, sf_dir, "documents")
+    lex = POSITIVE_WORDS + NEGATIVE_WORDS
+    lex_arr = F.array(*[F.lit(w) for w in lex])
+    toks_df = docs.select(
+        "doc_id", T.tokenize(F.col("text")).alias("toks")
+    )
+    n_docs = toks_df.count()
+    # document frequency per term (one pass over exploded lexicon hits)
+    dfreq = (
+        toks_df.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.col("toks"), lambda x: F.array_contains(lex_arr, x))
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = dfreq.select(
+        "term", F.log(F.lit(float(n_docs)) / (1 + F.col("df"))).alias("idf")
+    )
+    hits = (
+        toks_df.select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.explode(
+                F.filter(F.col("toks"), lambda x: F.array_contains(lex_arr, x))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("n_toks").alias("n_toks"))
+    )
+    return (
+        hits.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.col("idf")) / F.first("n_toks"), 6
+            ).alias("tfidf")
+        )
+    )
