@@ -24,6 +24,33 @@ from ..operators.panel import baseline_change, modal_value
 from ..operators.relational import pivot_agg
 
 
+def apply_tz_offset(
+    pings: DataFrame,
+    tz_lookup: DataFrame,
+    cell_deg: float = 1.0,
+    default_offset_s: int = 0,
+) -> DataFrame:
+    """The reference's tzOffset stage (`tz_offset.scala:25-28`): grid-index
+    every ping (H3 res 6 there; lat/lon quantization here), broadcast-join
+    a (cell → utc_offset_s) lookup, add the local-time epoch column.
+
+    ``tz_lookup`` needs (cell string, utc_offset_s long); build it once
+    from a tz-boundary dataset at the same cell resolution. Pings in
+    cells absent from the lookup fall back to ``default_offset_s``."""
+    cell = spatial.grid_cell(F.col("lat"), F.col("lon"), cell_deg)
+    joined = pings.withColumn("cell", cell).join(
+        F.broadcast(tz_lookup), "cell", "left"
+    )
+    return (
+        joined.withColumn(
+            "utc_offset_s",
+            F.coalesce(F.col("utc_offset_s"), F.lit(default_offset_s)),
+        )
+        .withColumn("local_timestamp", F.col("timestamp") + F.col("utc_offset_s"))
+        .drop("cell")
+    )
+
+
 def clean_pings(
     pings: DataFrame,
     max_accuracy_m: float = 200.0,

@@ -745,3 +745,75 @@ def f3_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .sortWithinPartitions("user_id")
     )
+
+
+# --- evaluation metrics (the reference's model-eval harness, §5.1.3) ---------
+
+
+@register(
+    "ev_auc",
+    sql="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             round(value, 6) AS sc
+      FROM events
+    ),
+    r AS (
+      SELECT y, sc, row_number() OVER (ORDER BY sc ASC) AS rk FROM s
+    ),
+    a AS (
+      SELECT y, avg(rk) OVER (PARTITION BY sc) AS ar FROM r
+    )
+    SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(1 - y) AS BIGINT) AS n_neg,
+           round((sum(ar * y) - sum(y) * (sum(y) + 1) / 2.0)
+                 / (sum(y) * sum(1 - y)), 6) AS auc
+    FROM a
+    """,
+    tags=("evaluation", "auc"),
+    doc="AUROC via Mann-Whitney ranks with average-rank ties (the exact "
+    "sklearn value) — one sort, no sklearn; the reference's model "
+    "evaluation metric (12-model_training_eval.Rmd:19-35)",
+)
+def ev_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import evaluation
+
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").alias("y"),
+        F.round("value", 6).alias("sc"),
+    )
+    out = evaluation.auc(ev, "y", "sc")
+    return out.select(
+        "n_pos", "n_neg", F.round("auc", 6).alias("auc")
+    )
+
+
+@register(
+    "ev_precision_at_k",
+    sql="""
+    SELECT 100 AS k,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(y) AS DOUBLE) / 100, 4) AS precision
+    FROM (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      ORDER BY value DESC, event_id ASC
+      LIMIT 100
+    )
+    """,
+    tags=("evaluation", "precision-at-k"),
+    doc="precision@100 by score with deterministic id tiebreak — "
+    "per-partition prune then global top-k, never a full global sort "
+    "(the reference ranks 100M rows in one partition, "
+    "sample_tweets...py:65)",
+)
+def ev_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import evaluation
+
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").alias("y"), "value", "event_id"
+    )
+    out = evaluation.precision_at_k(ev, "y", "value", 100, "event_id")
+    return out.select(
+        "k", "n_pos", F.round("precision", 4).alias("precision")
+    )

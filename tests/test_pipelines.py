@@ -228,3 +228,19 @@ def test_news_pipeline(articles):
     gf = out["global_factor"]
     assert len(gf) == 30  # one row per day
     assert gf["factor"].notna().all()
+
+
+def test_mobility_tz_offset(spark):
+    from sdg_big_data_spark.pipelines.mobility import apply_tz_offset
+
+    pings = spark.createDataFrame(
+        [("u", 10.5, 20.5, 5.0, 1_600_000_000), ("u", -3.2, 150.8, 5.0, 1_600_000_000)],
+        schema="user_id string, lat double, lon double, accuracy double, timestamp long",
+    )
+    tz = spark.createDataFrame(
+        [("10:20", 3600), ("-4:150", 36000)], schema="cell string, utc_offset_s long"
+    )
+    out = {(r["lat"], r["utc_offset_s"], r["local_timestamp"])
+           for r in apply_tz_offset(pings, tz).collect()}
+    assert (10.5, 3600, 1_600_003_600) in out
+    assert (-3.2, 36000, 1_600_036_000) in out
