@@ -140,6 +140,28 @@ def _point_in_ring(lon: np.ndarray, lat: np.ndarray, ring: list[tuple[float, flo
     return inside
 
 
+def _dist_to_ring_deg(
+    lon: np.ndarray, lat: np.ndarray, ring: list[tuple[float, float]]
+) -> np.ndarray:
+    """Vectorized min point-to-segment distance (degrees) over a ring's
+    edges — the exact-refine half of the reference's border buffer
+    (`ST_Buffer(poly, 0.005)`, geocode_stop_locations.scala:40)."""
+    best = np.full(len(lon), np.inf)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0:
+            d2 = (lon - x1) ** 2 + (lat - y1) ** 2
+        else:
+            t = np.clip(((lon - x1) * dx + (lat - y1) * dy) / seg2, 0.0, 1.0)
+            d2 = (lon - (x1 + t * dx)) ** 2 + (lat - (y1 + t * dy)) ** 2
+        best = np.minimum(best, d2)
+    return np.sqrt(best)
+
+
 def spatial_join_wkt(
     points: DataFrame,
     polygons: DataFrame,
@@ -148,6 +170,7 @@ def spatial_join_wkt(
     geom_id_col: str = "geom_id",
     wkt_col: str = "geometry",
     cell_deg: float = 0.01,
+    buffer_deg: float = 0.0,
 ) -> DataFrame:
     """J6 (general form) — coarse bbox/grid join, then exact ray-cast
     point-in-polygon refinement in a vectorized Arrow batch.
@@ -165,7 +188,16 @@ def spatial_join_wkt(
     for gid, ring in rings.items():
         lons = [p[0] for p in ring]
         lats = [p[1] for p in ring]
-        boxes.append((gid, min(lats), min(lons), max(lats), max(lons)))
+        # coarse bboxes expanded by the border buffer
+        boxes.append(
+            (
+                gid,
+                min(lats) - buffer_deg,
+                min(lons) - buffer_deg,
+                max(lats) + buffer_deg,
+                max(lons) + buffer_deg,
+            )
+        )
     spark = points.sparkSession
     box_df = spark.createDataFrame(
         boxes, schema=f"{geom_id_col} string, min_lat double, min_lon double, max_lat double, max_lon double"
@@ -173,6 +205,7 @@ def spatial_join_wkt(
     coarse = spatial_join_bbox(points, box_df, lat_col, lon_col, cell_deg)
 
     ring_items = sorted(rings.items())
+    buf = float(buffer_deg)
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ring_map = dict(ring_items)
@@ -180,9 +213,11 @@ def spatial_join_wkt(
             pdf_b = pdf_b.reset_index(drop=True)
             keep = np.zeros(len(pdf_b), dtype=bool)
             for gid, grp in pdf_b.groupby(geom_id_col):
-                mask = _point_in_ring(
-                    grp[lon_col].to_numpy(), grp[lat_col].to_numpy(), ring_map[gid]
-                )
+                lon = grp[lon_col].to_numpy()
+                lat = grp[lat_col].to_numpy()
+                mask = _point_in_ring(lon, lat, ring_map[gid])
+                if buf > 0:
+                    mask |= _dist_to_ring_deg(lon, lat, ring_map[gid]) <= buf
                 keep[grp.index.to_numpy()] = mask
             yield pdf_b[keep]
 

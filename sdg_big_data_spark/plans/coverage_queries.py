@@ -311,23 +311,43 @@ def a4_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len({_SQL_TOKS.format(c="text")})) AS total_tokens,
+           CAST(sum(len({_SQL_TOKS.format(c="text")})) AS BIGINT) AS total_tokens,
            round(avg(len({_SQL_TOKS.format(c="text")})), 4) AS avg_tokens,
-           max(len({_SQL_TOKS.format(c="text")})) AS max_tokens
+           max(len({_SQL_TOKS.format(c="text")})) AS max_tokens,
+           CAST(sum(list_sum(list_transform({_SQL_TOKS.format(c="text")},
+                 t -> (length(t) + 3) // 4))) AS BIGINT) AS est_subtokens
     FROM documents GROUP BY source
     """,
     tags=("text", "token-count"),
     doc="per-source token accounting for training-data budgeting — "
-    "normalize+tokenize is one codegen'd expression pass, no Python",
+    "whitespace tokens plus a BPE-ish subword estimate "
+    "(ceil(len/4) pieces per word, the ~4-chars-per-BPE-token rule); "
+    "one codegen'd expression pass, no Python",
 )
 def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    n = text.token_count(F.col("text"))
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n).alias("total_tokens"),
-        F.round(F.avg(n), 4).alias("avg_tokens"),
-        F.max(n).alias("max_tokens"),
+    counts = text.let(
+        text.tokenize(F.col("text")),
+        lambda toks: F.struct(
+            F.size(toks).alias("n"),
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda a, t: a + ((F.length(t) + 3) / 4).cast("long"),
+            ).alias("sub"),
+        ),
+    )
+    c = F.col("__c")
+    return (
+        docs.withColumn("__c", counts)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(c["n"]).alias("total_tokens"),
+            F.round(F.avg(c["n"]), 4).alias("avg_tokens"),
+            F.max(c["n"]).alias("max_tokens"),
+            F.sum(c["sub"]).alias("est_subtokens"),
+        )
     )
 
 
@@ -623,7 +643,7 @@ def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events
     GROUP BY event_type
@@ -816,4 +836,38 @@ def ev_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = evaluation.precision_at_k(ev, "y", "value", 100, "event_id")
     return out.select(
         "k", "n_pos", F.round("precision", 4).alias("precision")
+    )
+
+
+@register(
+    "m_frame_sample_plan",
+    sql="""
+    WITH meta AS (
+      SELECT event_id AS item_id,
+             CAST(1.0 + (event_id % 20) AS DOUBLE) AS duration_s
+      FROM events WHERE event_id % 50 = 0
+    )
+    SELECT item_id, duration_s,
+           unnest(range(0, CAST(greatest(floor(duration_s / 2.0), 1) AS BIGINT)))
+             AS frame_index,
+           CAST(unnest(range(0, CAST(greatest(floor(duration_s / 2.0), 1) AS BIGINT)))
+                * 2.0 AS DOUBLE) AS frame_ts
+    FROM meta
+    """,
+    tags=("multimodal", "frame-sampling"),
+    doc="video frame-sampling plan from metadata only (sequence+explode "
+    "in the JVM): one row per sampled frame BEFORE any decode — the "
+    "decode UDF then receives (payload, frame_index) pairs; combinatorics "
+    "native, Python only for codec work",
+)
+def m_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_plan
+
+    ev = table(spark, sf_dir, "events")
+    meta = ev.where(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("item_id"),
+        (1.0 + F.col("event_id") % 20).alias("duration_s"),
+    )
+    return frame_sample_plan(meta, every_s=2.0).select(
+        "item_id", "duration_s", "frame_index", "frame_ts"
     )

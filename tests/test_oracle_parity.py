@@ -23,6 +23,11 @@ def _normalize(rows: list[dict]) -> list[tuple]:
                     v = "NaN"
                 else:
                     v = round(v, 9)
+            else:
+                # type-sensitive: a DuckDB Decimal vs a Spark double must
+                # FAIL here (a stringifying driver harness would see
+                # different value hashes even when numerically equal)
+                v = (type(v).__name__, str(v))
             vals.append((k, v))
         out.append(tuple(vals))
     out.sort(key=repr)

@@ -93,3 +93,26 @@ def test_grid_cell_cover_consistency(spark):
         & F.col("lon").between(box["min_lon"], box["max_lon"])
     ).select(grid_cell(F.col("lat"), F.col("lon"), 0.7).alias("cell"))
     assert all(r.cell in cell_set for r in inside.collect())
+
+
+def test_spatial_join_wkt_border_buffer(spark):
+    """ST_Buffer(poly, 0.005) analogue (geocode_stop_locations.scala:40):
+    a point just outside the polygon joins when within the buffer."""
+    from sdg_big_data_spark.operators.spatial import spatial_join_wkt
+
+    square = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    polys = spark.createDataFrame(
+        [("sq", square)], schema="geom_id string, geometry string"
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 0.5, 0.5),     # inside
+            (2, 0.5, 1.003),   # 0.003 beyond the top edge (lat > 1)
+            (3, 0.5, 1.02),    # beyond the buffer
+        ],
+        schema="pid long, lon double, lat double",
+    )
+    plain = spatial_join_wkt(pts, polys, cell_deg=0.5)
+    assert {r["pid"] for r in plain.collect()} == {1}
+    buffered = spatial_join_wkt(pts, polys, cell_deg=0.5, buffer_deg=0.005)
+    assert {r["pid"] for r in buffered.collect()} == {1, 2}
