@@ -1,0 +1,99 @@
+"""Distributed k-means (Lloyd) over embedding columns — the codebook
+trainer for the IVF similarity path (operators/similarity.ivf_topk) and
+the engine's representative iterative algorithm.
+
+Spark-first shape: the driver controls the (short, fixed) iteration loop;
+each iteration is ONE distributed pass —
+
+  assign:    broadcast the k×dim codebook, per-row argmin (codegen'd
+             fold over the array column, no Python);
+  recompute: posexplode → groupBy (cluster, pos) avg → k×dim rows
+             collected to the driver (tiny by definition of k).
+
+At 100 TB the corpus is never shuffled: assignment is a map-side pass,
+and the only shuffle carries (cluster, pos, partial-sum) combiner output.
+Initialization is deterministic (hash-ordered sample), so runs are
+reproducible; exact float centroids still depend on partition-summation
+order, as in every distributed k-means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+
+def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
+    lits = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(
+            F.transform(vec_col, lambda x: x.cast("double")),
+            lits,
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid id (0..k-1) per row, as a single projection:
+    least-of-k distance expressions, deterministic lowest-id tiebreak."""
+    v = F.col(vec_col)
+    dists = [_sq_dist_to(v, c) for c in centroids]
+    best_id, best_d = F.lit(0), dists[0]
+    for i in range(1, len(centroids)):
+        closer = dists[i] < best_d
+        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
+        best_d = F.when(closer, dists[i]).otherwise(best_d)
+    return df.withColumn("cluster_id", best_id)
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means. Returns (assignments frame with ``cluster_id``,
+    final centroids). Deterministic init: the k rows with the smallest
+    key hash (stable across partitionings/reruns — SURVEY §7.5.5)."""
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(hash_bucket(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+
+    for _ in range(max_iter):
+        assigned = assign_clusters(df, centroids, vec_col)
+        new_rows = (
+            assigned.select(
+                "cluster_id", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("v"))
+            .collect()
+        )
+        new_cents = [list(c) for c in centroids]
+        acc: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            acc.setdefault(r["cluster_id"], {})[r["pos"]] = r["v"]
+        for cid, comps in acc.items():
+            new_cents[cid] = [comps[p] for p in sorted(comps)]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new)) ** 0.5
+            for old, new in zip(centroids, new_cents)
+        )
+        centroids = new_cents
+        if shift < tol:
+            break
+
+    return assign_clusters(df, centroids, vec_col), centroids

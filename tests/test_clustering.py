@@ -1,0 +1,52 @@
+"""k-means: planted clusters recovered, deterministic across reruns."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.default_rng(11)
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4])
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.3, 8)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, true_c int"
+    )
+
+
+def test_kmeans_recovers_planted_clusters(planted):
+    from sdg_big_data_spark.operators.clustering import kmeans
+
+    assigned, cents = kmeans(planted, k=3, max_iter=15)
+    rows = assigned.select("true_c", "cluster_id").collect()
+    # purity: every true cluster maps to exactly one kmeans cluster
+    mapping = {}
+    impure = 0
+    for r in rows:
+        got = mapping.setdefault(r["true_c"], r["cluster_id"])
+        if got != r["cluster_id"]:
+            impure += 1
+    assert impure == 0
+    assert len(set(mapping.values())) == 3
+    # centroids land near the planted centers
+    import numpy as np
+
+    centers = {tuple(np.sign(c).astype(int)) for c in cents}
+    assert (1,) * 8 in centers and (-1,) * 8 in centers
+
+
+def test_kmeans_deterministic(planted):
+    from sdg_big_data_spark.operators.clustering import kmeans
+
+    _, c1 = kmeans(planted, k=3, max_iter=5)
+    _, c2 = kmeans(planted.repartition(7), k=3, max_iter=5)
+    # same init rows regardless of partitioning; centroids agree to float
+    # tolerance (summation order may differ)
+    for a, b in zip(c1, c2):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
