@@ -195,3 +195,46 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         .cast("long")
         .alias("simhash")
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pair generation at scale: band the
+    fingerprint into ``bits/band_bits`` chunks, equi-join on (band,
+    chunk value) — pigeonhole guarantees any pair within
+    ``bits/band_bits - 1`` Hamming distance shares at least one band —
+    then verify ``bit_count(xor) <= max_hamming`` on the candidates.
+
+    Same shape as MinHash-LSH: candidate generation is a hash join, the
+    quadratic step never materializes."""
+    fp = simhash(df, id_col, text_col, bits)
+    n_bands = bits // band_bits
+    banded = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "chunk",
+        F.expr(f"(simhash >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("int")
+    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -457,3 +457,34 @@ def w_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "d_simhash_pairs",
+    sql=f"""
+    WITH fp AS ({_simhash_sql()}),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 4)) & 15 AS chunk
+      FROM fp, unnest(range(0, 4)) AS u(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS fp_a, b.simhash AS fp_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """,
+    tags=("dedup-simhash", "dedup-lsh"),
+    doc="SimHash near-dup pairs: 4-bit band equi-join (pigeonhole: any "
+    "pair within Hamming 3 of a 16-bit fingerprint shares a band) + "
+    "bit_count(xor) verify — hash-join candidate generation, the "
+    "quadratic step never materializes",
+)
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text")

@@ -1,0 +1,54 @@
+"""Runtime data-assertion operators (reference's data_assertions parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sdg_big_data_spark.operators import assertions as A
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [("u", 1, 10.0), ("u", 2, 95.0), ("v", 1, -5.0), ("v", 1, 20.0)],
+        schema="k string, t int, lat double",
+    )
+
+
+def test_in_range_raises_with_count(frame):
+    with pytest.raises(A.DataAssertionError) as e:
+        A.expect_in_range(frame, "lat", -90, 90)
+    assert e.value.n_bad == 1
+    ok = frame.where("lat between -90 and 90")
+    assert A.expect_in_range(ok, "lat", -90, 90) is ok
+
+
+def test_in_range_quarantine_mode(frame):
+    viol = A.expect_in_range(frame, "lat", 0, 90, raise_on_fail=False)
+    assert {r["lat"] for r in viol.collect()} == {-5.0, 95.0}
+
+
+def test_unique(frame):
+    with pytest.raises(A.DataAssertionError):
+        A.expect_unique(frame, ["k", "t"])
+    assert A.expect_unique(frame.dropDuplicates(["k", "t"]), ["k", "t"]) is not None
+
+
+def test_ordered(spark):
+    df = spark.createDataFrame(
+        [("u", 1), ("u", 3), ("u", 2), ("v", 1)], schema="k string, t int"
+    )
+    viol = A.expect_ordered(df, ["k"], "t", raise_on_fail=False)
+    # ordering check sorts within key: 1,2,3 is fine once sorted — the
+    # violation notion is decreases in the SORTED sequence, i.e. none
+    assert viol.count() == 0
+    dup = spark.createDataFrame([("u", 1), ("u", 1)], schema="k string, t int")
+    assert A.expect_ordered(dup, ["k"], "t", raise_on_fail=False).count() == 0
+    with pytest.raises(A.DataAssertionError):
+        A.expect_ordered(dup, ["k"], "t", strictly=True)
+
+
+def test_not_null(spark):
+    df = spark.createDataFrame([("a", None), ("b", 1)], schema="k string, v int")
+    with pytest.raises(A.DataAssertionError):
+        A.expect_not_null(df, ["v"])
