@@ -48,6 +48,11 @@ HEADLINE = [
     "e_near_dups",
     "f2_stop_detect",
     "f4_home_work_label",
+    "t_tfidf",
+    "d_simhash_pairs",
+    "ev_auc",
+    "w_sliding_window",
+    "m_multimodal_features",
 ]
 
 

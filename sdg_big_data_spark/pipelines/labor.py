@@ -99,6 +99,44 @@ def top_tweets(scores: DataFrame, cls: str, k: int = 100) -> DataFrame:
     return global_topk(scores, [cls], k, ascending=False)
 
 
+def peel_retrieval(
+    scores: DataFrame,
+    labeled: DataFrame,
+    cls: str,
+    k: int = 100,
+    id_col: str = "tweet_id",
+) -> DataFrame:
+    """Exploitation retrieval with peeling
+    (`retrieve_top_tweets_peel.py:46-56`): anti-join out already-labeled
+    ids (broadcast — label sets are small), then top-k by score. Each
+    active-learning round peels the previous rounds' labels away."""
+    fresh = scores.join(
+        F.broadcast(labeled.select(id_col)), id_col, "left_anti"
+    )
+    return global_topk(fresh, [cls, id_col], k, ascending=False)
+
+
+def uncertainty_sample(
+    scores: DataFrame,
+    cls: str,
+    k_per_side: int = 25,
+    pivot: float = 0.5,
+    id_col: str = "tweet_id",
+) -> DataFrame:
+    """O4 — uncertainty sampling around the decision boundary
+    (`retrieve_tweets_around_threshold.py:46-53`): k nearest scores on
+    each side of ``pivot``."""
+    d = (F.col(cls) - pivot).alias("__d")
+    scored = scores.withColumn("__d", d)
+    lo = global_topk(
+        scored.where(F.col("__d") < 0), ["__d", id_col], k_per_side, ascending=False
+    )
+    hi = global_topk(
+        scored.where(F.col("__d") >= 0), ["__d", id_col], k_per_side, ascending=True
+    )
+    return lo.unionByName(hi).drop("__d")
+
+
 def rank_eval_sample(
     scores: DataFrame,
     cls: str,

@@ -244,3 +244,23 @@ def test_mobility_tz_offset(spark):
            for r in apply_tz_offset(pings, tz).collect()}
     assert (10.5, 3600, 1_600_003_600) in out
     assert (-3.2, 36000, 1_600_036_000) in out
+
+
+def test_labor_active_learning_helpers(spark):
+    from sdg_big_data_spark.pipelines import labor
+
+    scored = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)],
+        schema="tweet_id long, is_hired_1mo double",
+    )
+    labeled = spark.createDataFrame(
+        [(99,), (98,), (97,)], schema="tweet_id long"
+    )
+    top = labor.peel_retrieval(scored, labeled, "is_hired_1mo", k=5)
+    got_ids = {r["tweet_id"] for r in top.collect()}
+    # top-5 after peeling the already-labeled top-3
+    assert got_ids == {96, 95, 94, 93, 92}
+
+    unc = labor.uncertainty_sample(scored, "is_hired_1mo", k_per_side=3)
+    # 3 nearest below 0.5 (47,48,49) and 3 at/above (50,51,52)
+    assert {r["tweet_id"] for r in unc.collect()} == {47, 48, 49, 50, 51, 52}
