@@ -731,7 +731,7 @@ def _pings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f2_stop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     pings = _pings(spark, sf_dir)
-    stops = grouped.detect_stops(pings)
+    stops = grouped.detect_stops_batched(pings)
     return stops.select(
         "user_id",
         "t_start",
@@ -755,8 +755,8 @@ def f2_stop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f3_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pings = _pings(spark, sf_dir)
-    stops = grouped.detect_stops(pings)
-    re = grouped.recluster_stops(stops)
+    stops = grouped.detect_stops_batched(pings)
+    re = grouped.recluster_stops_batched(stops)
     return (
         re.groupBy("user_id")
         .agg(

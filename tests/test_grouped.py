@@ -171,3 +171,36 @@ def test_label_home_work_dynamic_switch(spark):
         for r in out
         if r["work_cluster"] is not None
     )
+
+
+def test_detect_stops_batched_equals_grouped(spark, pings):
+    """The partition-batched mapInPandas form returns exactly the rows of
+    the per-group applyInPandas form."""
+    from sdg_big_data_spark.operators.grouped import (
+        detect_stops,
+        detect_stops_batched,
+    )
+
+    a = sorted(map(tuple, detect_stops(pings).collect()))
+    b = sorted(map(tuple, detect_stops_batched(pings).collect()))
+    # also under an adversarially tiny Arrow batch size (forces user
+    # stitching across batches)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        c = sorted(map(tuple, detect_stops_batched(pings, partitions=3).collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    assert a == b == c
+
+
+def test_recluster_batched_equals_grouped(spark, pings):
+    from sdg_big_data_spark.operators.grouped import (
+        detect_stops,
+        recluster_stops,
+        recluster_stops_batched,
+    )
+
+    stops = detect_stops(pings)
+    a = sorted(map(tuple, recluster_stops(stops).collect()))
+    b = sorted(map(tuple, recluster_stops_batched(stops).collect()))
+    assert a == b
