@@ -75,7 +75,7 @@ def detect_stops(
     p = pings
     if max_pings_per_user:
         p = grouped.cap_group_size(p, "user_id", "timestamp", max_pings_per_user)
-    return grouped.detect_stops(p, **params)
+    return grouped.detect_stops_batched(p, **params)
 
 
 def day_split_stops(stops: DataFrame) -> DataFrame:
