@@ -9,4 +9,4 @@
   z-scores → global factor (news-analytics).
 """
 
-from . import labor, mobility, news  # noqa: F401
+from . import dataprep, labor, mobility, news  # noqa: F401

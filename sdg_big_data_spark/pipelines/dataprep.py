@@ -1,0 +1,139 @@
+"""LLM training-data preparation pipeline — the composed workload the
+engine's dedup/similarity/text-analysis operator families exist for
+(beyond the reference's own three pipelines).
+
+Stages (each a pure DataFrame → DataFrame function, one scan each):
+
+  1. quality gate     — codegen'd quality features + threshold
+  2. language gate    — heuristic lang-id filter
+  3. exact dedup      — md5-of-normalized-text, keep min id
+  4. near-dup removal — MinHash/LSH candidates → Jaccard verify →
+                        connected keep-one-per-pair (greedy by id)
+  5. budget report    — per-source docs/tokens/subtokens surviving
+
+Scale shape: stages 1-3 are narrow passes + one (16-byte key) shuffle;
+stage 4 is the banded equi-join (never all-pairs); nothing collects to
+the driver. At 100 TB each stage checkpoints to partitioned parquet and
+resumes independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..operators import dedup
+
+
+def quality_gate(
+    docs: DataFrame, text_col: str = "text", min_score: float = 0.6
+) -> DataFrame:
+    """Keep documents with composite quality score >= ``min_score``
+    (length / punctuation / stopword / token-shape heuristics)."""
+    feats = text.quality_features(docs, text_col)
+    return feats.where(F.col("q_score") >= min_score)
+
+
+def language_gate(
+    docs: DataFrame, text_col: str = "text", keep_langs: tuple[str, ...] = ("en",)
+) -> DataFrame:
+    """Keep documents whose heuristic language ID is in ``keep_langs``."""
+    out = docs.withColumn("lang_pred", text.lang_id(F.col(text_col)))
+    return out.where(F.col("lang_pred").isin(*keep_langs))
+
+
+def exact_dedup_keep_min(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Drop exact duplicates (normalized-text md5), keeping the minimum
+    id per fingerprint — deterministic, one shuffle of (16B, id)."""
+    keep = dedup.exact_dedup(docs, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def near_dup_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Remove near-duplicates: MinHash+LSH candidate pairs → exact
+    shingle-Jaccard verify → drop the larger id of each surviving pair.
+
+    Greedy keep-lowest-id resolution (one aggregation over pair edges) —
+    transitive chains collapse toward the smallest id; the full
+    connected-components alternative is an iterative large-star/small-star
+    loop, overkill for near-dup thresholds this high."""
+    cand = dedup.minhash_lsh_candidates(docs, id_col, text_col)
+    sh = dedup.shingle_table(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+    drop = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(drop, id_col, "left_anti")
+
+
+def budget_report(
+    docs: DataFrame, text_col: str = "text", by: str = "source"
+) -> DataFrame:
+    """Surviving-corpus token accounting per ``by`` group."""
+    counts = text.let(
+        text.tokenize(F.col(text_col)),
+        lambda toks: F.struct(
+            F.size(toks).alias("n"),
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda a, t: a + ((F.length(t) + 3) / 4).cast("long"),
+            ).alias("sub"),
+        ),
+    )
+    c = F.col("__c")
+    return (
+        docs.withColumn("__c", counts)
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(c["n"]).alias("total_tokens"),
+            F.sum(c["sub"]).alias("est_subtokens"),
+        )
+    )
+
+
+def run(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.6,
+    keep_langs: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.8,
+) -> dict[str, DataFrame]:
+    """Full prep chain; returns each stage's surviving frame + report."""
+    q = quality_gate(docs, text_col, min_quality)
+    lg = language_gate(q, text_col, keep_langs)
+    ex = exact_dedup_keep_min(lg, id_col, text_col)
+    nd = near_dup_removal(ex, id_col, text_col, jaccard_threshold)
+    return {
+        "quality": q,
+        "language": lg,
+        "exact_dedup": ex,
+        "near_dedup": nd,
+        "budget": budget_report(nd, text_col),
+    }

@@ -46,6 +46,34 @@ def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.coalesce(1).write.option("header", str(header).lower()).mode("overwrite").csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join layout.
+
+    Two tables bucketed by the same key with the same bucket count join
+    WITHOUT a shuffle: each bucket file pair joins independently, so the
+    Exchange disappears from the plan (see
+    test_plans.test_bucketed_join_has_no_shuffle). At 100 TB this is the
+    difference between re-shuffling both fact tables on every join and
+    paying the clustering cost once at write time. ``sort_cols`` adds
+    within-bucket ordering (sort-merge joins skip the sort too).
+    ``path`` makes it an external table (no warehouse dependency).
+    """
+    w = df.write.bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.mode(mode).format("parquet").saveAsTable(table_name)
+
+
 def optimize_table(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> None:

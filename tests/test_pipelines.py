@@ -264,3 +264,35 @@ def test_labor_active_learning_helpers(spark):
     unc = labor.uncertainty_sample(scored, "is_hired_1mo", k_per_side=3)
     # 3 nearest below 0.5 (47,48,49) and 3 at/above (50,51,52)
     assert {r["tweet_id"] for r in unc.collect()} == {47, 48, 49, 50, 51, 52}
+
+
+def test_dataprep_pipeline(spark):
+    """Planted corpus: junk docs fail the quality gate, Spanish docs fail
+    the language gate, exact copies and near-copies get deduped, and the
+    budget reflects only survivors."""
+    from sdg_big_data_spark.pipelines import dataprep
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to find some food for the long cold winter that is coming soon"
+    )
+    near = base.replace("cold winter", "cold dark winter")
+    rows = [
+        (1, base, "web"),
+        (2, base + " http://x.co/z", "web"),       # exact dup after normalize
+        (3, near, "web"),                           # near dup (high jaccard)
+        (4, "el gato y el perro con la casa de los padres para que es una "
+            "historia larga con muchas palabras y frases que continuan", "web"),
+        (5, "!!!! ???? ....", "junk"),              # fails quality
+        (6, "the sun is bright and the sky is blue with many white clouds "
+            "floating slowly over the hills and the green fields below", "web"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    out = dataprep.run(docs, min_quality=0.6, jaccard_threshold=0.5)
+
+    assert {r["doc_id"] for r in out["quality"].select("doc_id").collect()} == {1, 2, 3, 4, 6}
+    assert {r["doc_id"] for r in out["language"].select("doc_id").collect()} == {1, 2, 3, 6}
+    assert {r["doc_id"] for r in out["exact_dedup"].select("doc_id").collect()} == {1, 3, 6}
+    assert {r["doc_id"] for r in out["near_dedup"].select("doc_id").collect()} == {1, 6}
+    budget = out["budget"].collect()
+    assert len(budget) == 1 and budget[0]["n_docs"] == 2

@@ -96,3 +96,36 @@ def test_optimize_table_compacts(spark, tmp_path):
     n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
     assert n_before == 20 and n_after == 1
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """S6+/J1 at scale: two tables bucketed on the join key by the same
+    bucket count sort-merge-join with NO Exchange — the co-location is
+    paid once at write time."""
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.sources.writers import write_bucketed
+
+    a = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", 4, ["k"], sort_cols=["k"], path=str(tmp_path / "a"))
+    write_bucketed(b, "bkt_b", 4, ["k"], sort_cols=["k"], path=str(tmp_path / "b"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle
+        assert j.count() == 10_000
+        # same join WITHOUT bucketing does shuffle both sides
+        pa = spark.read.parquet(str(tmp_path / "a"))
+        pb = spark.read.parquet(str(tmp_path / "b"))
+        plain = pa.join(pb, "k")
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
