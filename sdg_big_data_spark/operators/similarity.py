@@ -82,6 +82,77 @@ def brute_force_topk(
     )
 
 
+def pandas_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k with the math in numpy (Arrow batches) — the
+    fast path for wide vectors / big query batches where per-pair SQL
+    expressions lose to BLAS.
+
+    The query matrix is closed over (driver-side collect — query batches
+    are small by contract); each corpus Arrow batch computes a
+    (batch × queries) similarity matrix in one ``A @ Q.T``, keeps its
+    local top-k per query, and the tiny per-batch candidate sets reduce
+    to the global top-k with a window. Float caveat: BLAS summation order
+    differs from the sequential fold, so ranks can differ from
+    :func:`brute_force_topk` only on near-exact ties.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..session import ship_package
+
+    ship_package(corpus.sparkSession)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1)
+            sims = (cm @ qm.T) / np.outer(cn, qn)
+            out = []
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": ids[top],
+                            "cos": col[top],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of ``n_planes`` fixed
     pseudo-random hyperplanes. Hyperplane p's j-th component is a
