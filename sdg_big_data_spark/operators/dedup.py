@@ -70,7 +70,9 @@ def jaccard_pairs(
     Scale note: quadratic in docs sharing a shingle — this is the VERIFY
     stage; candidate generation at scale is :func:`minhash_lsh_candidates`.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # cached: feeds both sides of the self-join plus the size aggregate —
+    # uncached, the tokenize→shingle chain runs 3x
+    sh = shingle_table(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -213,7 +215,9 @@ def simhash_near_dup_pairs(
 
     Same shape as MinHash-LSH: candidate generation is a hash join, the
     quadratic step never materializes."""
-    fp = simhash(df, id_col, text_col, bits)
+    # cached: the fingerprint DAG (tokenize → dictionary → votes) feeds
+    # both sides of the band self-join
+    fp = simhash(df, id_col, text_col, bits).cache()
     n_bands = bits // band_bits
     banded = fp.select(
         F.col(id_col),
