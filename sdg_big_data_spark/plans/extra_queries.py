@@ -488,3 +488,23 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "a_cube_status",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube", "A4"),
+    doc="all grouping combinations in one pass via cube (rollup's "
+    "sibling; both replace the reference's per-level re-aggregation)",
+)
+def a_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
