@@ -329,20 +329,72 @@ def embedding_near_dups(
     dim: int = 64,
     threshold: float = 0.95,
     n_planes: int = 6,
+    arrow_verify: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
-    cosine verify (pairs a < b with cos >= threshold)."""
-    b = df.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+    cosine verify (pairs a < b with cos >= threshold).
+
+    Two verify strategies, same bucketing, same doubles:
+
+    - ``arrow_verify=True`` (default, the scale path): group by bucket,
+      ``applyInPandas`` computes the bucket's pairwise cosines in numpy.
+      Each vector crosses Arrow once (not once per candidate pair, as a
+      pair self-join materializes), and the per-pair dot is vectorized.
+      Summation runs via ``cumsum`` along the vector axis — the same
+      left-to-right order as the SQL fold, so results are bit-identical
+      to the declarative form (not just close).
+    - ``arrow_verify=False``: pure DataFrame self-join on bucket id +
+      per-pair fold. Zero Python dependency; the per-pair higher-order
+      fold is interpreted, so it loses at high pair counts.
+
+    At 100 TB, ``n_planes`` scales up to bound bucket sizes (pairs grow
+    quadratically per bucket); skewed buckets can additionally be salted
+    into sub-buckets with cross-salt pair joins.
+    """
+    b = df.withColumn(
+        "__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__bkt")
+    if arrow_verify:
+        import numpy as np
+        import pandas as pd
+
+        from ..session import ship_package
+
+        ship_package(df.sparkSession)
+
+        def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+                )
+            pdf = pdf.sort_values("__id")
+            ids = pdf["__id"].to_numpy()
+            V = np.array(list(pdf["__v"]), dtype=np.float64)
+            # Sequential-order sums (cumsum's last column == the left fold)
+            # keep bit-parity with the SQL/DuckDB form.
+            nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            ia, ib = np.triu_indices(n, k=1)
+            dots = np.cumsum(V[ia] * V[ib], axis=1)[:, -1]
+            cos = dots / (nrm[ia] * nrm[ib])
+            keep = cos >= threshold
+            return pd.DataFrame(
+                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": cos[keep]}
+            )
+
+        return b.groupBy("__bkt").applyInPandas(
+            verify, schema="id_a long, id_b long, cos double"
+        )
     x = b.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        norm(F.col(vec_col)).alias("__na"),
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        norm(F.col("__v")).alias("__na"),
         "__bkt",
     )
     y = b.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        norm(F.col(vec_col)).alias("__nb"),
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        norm(F.col("__v")).alias("__nb"),
         "__bkt",
     )
     return (

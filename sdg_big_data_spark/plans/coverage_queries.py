@@ -382,22 +382,39 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "portable rolling hash)",
 )
 def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    # Winnowing is per-document, so the whole computation stays
+    # array-side in one narrow projection: hash the 5-grams, sliding
+    # 4-window min via slice, distinct mins = the fingerprint set.
+    # No explode, no window shuffle, no countDistinct expand — at 100 TB
+    # this is a map-only stage (the exploded-window form shuffles ~100
+    # gram rows per document through an exchange + sort for nothing).
     docs = table(spark, sf_dir, "documents")
     toks = text.tokenize(F.col("text"))
     g5 = text.ngrams(toks, 5)
-    grams = docs.select(
-        "doc_id", F.posexplode(g5).alias("pos", "gram")
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    hs = F.transform(
+        g5, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    wins = grams.withColumn("fp", F.min("h").over(w))
-    return wins.groupBy("doc_id").agg(
-        F.countDistinct("fp").alias("n_fingerprints"),
-        F.min("fp").alias("min_fp"),
-        F.max("fp").alias("max_fp"),
+    wins = text.let(
+        hs,
+        lambda h: F.transform(
+            F.sequence(F.lit(1), F.size(h)), lambda i: F.array_min(F.slice(h, i, 4))
+        ),
+    )
+    # let-bind the fingerprint array so the md5 pipeline evaluates once
+    # per row, not once per output column (projection collapse would
+    # otherwise inline it three times).
+    stats = text.let(
+        wins,
+        lambda w: F.struct(
+            F.size(F.array_distinct(w)).alias("n_fingerprints"),
+            F.array_min(w).alias("min_fp"),
+            F.array_max(w).alias("max_fp"),
+        ),
+    )
+    return (
+        docs.where(F.size(g5) > 0)
+        .select("doc_id", stats.alias("__s"))
+        .select("doc_id", "__s.n_fingerprints", "__s.min_fp", "__s.max_fp")
     )
 
 
