@@ -124,3 +124,56 @@ def multiway_join(base: DataFrame, joins: Sequence[tuple[DataFrame, str | list[s
     for other, on, how in joins:
         out = out.join(other, on, how)
     return out
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the payload of the
+    latest right row with the same keys and ``right.ts <= left.ts``
+    (left rows with no prior right row keep nulls).
+
+    The reference expresses nearest-in-time semantics with ``lag`` windows
+    over a pre-unioned frame (SURVEY §2.3 note, `wbgps/analysis.py:
+    392-397`); this operator is the general form. Implementation is the
+    scalable union+window strategy, NOT a range join:
+
+    1. tag both sides and union them (schema-aligned, payload nulled on
+       the left);
+    2. one window per key ordered by (ts, side) — right rows sort before
+       left rows at equal timestamps, so "at or before" is inclusive;
+    3. ``last(payload, ignorenulls=True)`` carries the latest right
+       payload forward; keep only left rows.
+
+    Cost: exactly ONE shuffle (the window partitioning), linear state —
+    a range join materializes |left| x |right-in-range| pairs and then
+    discards all but one per left row, which dies at 100 TB. Right rows
+    must be unique per (keys, ts) for determinism; callers aggregate
+    duplicates first (e.g. ``groupBy(keys, ts).agg(max(...))``).
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    lt = left.withColumn("__side", F.lit(1))
+    for c in payload_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        *keys, ts_col, F.lit(0).alias("__side"), *payload_cols
+    )
+    extra = [c for c in lt.columns if c not in rt.columns]
+    for c in extra:
+        rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(c) if c in payload_cols else c
+        for c in u.columns
+    ]
+    return u.select(*carried).where(F.col("__side") == 1).drop("__side")

@@ -491,6 +491,52 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_asof_join",
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, c.click_id AS asof_click,
+           date_diff('microsecond', c.ts, p.ts) AS lag_us
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("asof", "join", "time-series"),
+    doc="backward as-of join: each purchase picks up the latest click at "
+    "or before it per user (joins.as_of_join). Implemented as tag-union "
+    "+ one window with last(ignorenulls) — a single shuffle and linear "
+    "state, vs a range join's |left|x|right-in-range| pair blow-up; the "
+    "reference approximates this with lag over pre-unioned frames "
+    "(wbgps/analysis.py:392-397)",
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = joins.as_of_join(
+        purchases, clicks, keys=["user_id"], ts_col="ts",
+        payload_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_id").alias("asof_click"),
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+@register(
     "a_cube_status",
     sql="""
     SELECT o_orderstatus, o_orderpriority,
