@@ -9,9 +9,10 @@
 - recall proxy on seeded positives (`estimate_recall.py:64-77`): share
   of known-positive ids the scorer recovers above a cutoff.
 
-Scale: AUC is one global sort (the same W4 top-k prune applies when
-only top ranks matter); precision@k prunes per-partition before the
-global rank.
+Scale: AUC ranks every row through ``windows.global_rank`` (one range
+shuffle, no single-partition stage); precision@k prunes per-partition
+(shuffle-free ``partition_local_rank``) before a global rank that sees
+at most k × n_partitions rows.
 """
 
 from __future__ import annotations
@@ -19,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from . import windows
 
 
 def auc(df: DataFrame, label_col: str | Column, score_col: str) -> DataFrame:
@@ -28,9 +31,12 @@ def auc(df: DataFrame, label_col: str | Column, score_col: str) -> DataFrame:
     sklearn's roc_auc_score returns). Returns a 1-row frame
     (n_pos, n_neg, auc)."""
     label = F.col(label_col) if isinstance(label_col, str) else label_col
-    ranked = df.select(
-        label.cast("int").alias("__y"), F.col(score_col).alias("__s")
-    ).withColumn("__r", F.row_number().over(Window.orderBy(F.col("__s").asc())))
+    ranked = windows.global_rank(
+        df.select(label.cast("int").alias("__y"), F.col(score_col).alias("__s")),
+        ["__s"],
+        ascending=True,
+        rank_col="__r",
+    )
     # average rank within tied scores
     avg_r = ranked.withColumn("__ar", F.avg("__r").over(Window.partitionBy("__s")))
     return avg_r.agg(
@@ -55,11 +61,9 @@ def precision_at_k(
     sort)."""
     label = F.col(label_col) if isinstance(label_col, str) else label_col
     base = df.select(label.cast("int").alias("__y"), score_col, id_col)
-    part_w = Window.partitionBy(F.spark_partition_id()).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
-    )
+    ordering = [F.col(score_col).desc(), F.col(id_col).asc()]
     pruned = (
-        base.withColumn("__pr", F.row_number().over(part_w))
+        windows.partition_local_rank(base, ordering, rank_col="__pr")
         .where(F.col("__pr") <= k)
         .drop("__pr")
     )

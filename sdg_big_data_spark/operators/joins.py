@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import windows
+
 
 def broadcast_join(
     fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner"
@@ -67,17 +69,19 @@ def rank_join(
 
     The reference ranks 100M rows through a single-partition Window
     (`:65`). Here: filter-first via a top-k bound — only rows that can
-    hold rank <= max(ranks) are shuffled to the final single-partition
-    ranking, so the narrow stage does the heavy lifting. Deterministic:
-    ties broken by the full ``order_by`` list (callers append a unique id).
+    hold rank <= max(ranks) reach the final single-partition ranking, so
+    the narrow stage does the heavy lifting. The prune itself is
+    genuinely shuffle-free (`windows.partition_local_rank`; a window over
+    ``spark_partition_id()`` would plan a full hash Exchange first).
+    Deterministic: ties broken by the full ``order_by`` list (callers
+    append a unique id).
     """
     kmax = max(ranks)
     cols = [F.col(c) for c in order_by]
     ordering = [c.desc() for c in cols] if not ascending else [c.asc() for c in cols]
     # Stage 1: per-partition top-kmax (narrow, no shuffle).
-    part_w = Window.partitionBy(F.spark_partition_id()).orderBy(*ordering)
     pruned = (
-        df.withColumn("__pr", F.row_number().over(part_w))
+        windows.partition_local_rank(df, ordering, rank_col="__pr")
         .where(F.col("__pr") <= kmax)
         .drop("__pr")
     )

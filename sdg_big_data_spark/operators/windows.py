@@ -81,6 +81,90 @@ def global_topk(
     return top
 
 
+def partition_local_rank(
+    df: DataFrame,
+    ordering: Sequence[Column],
+    rank_col: str = "__lr",
+    pid_col: str | None = None,
+) -> DataFrame:
+    """Row number by ``ordering`` within each PHYSICAL partition —
+    completely shuffle-free (the building block for scalable ranking).
+
+    ``Window.partitionBy(spark_partition_id())`` looks narrow but plans a
+    full ``hashpartitioning`` Exchange of the whole table (verified via
+    ``explain``). Instead: ``sortWithinPartitions`` (narrow), then
+    ``monotonically_increasing_id`` — Spark defines it as
+    ``(partition_id << 33) + row_index_within_partition`` assigned in row
+    order — so the low 33 bits ARE the 0-based local rank and the high
+    bits the partition id. Valid while a partition holds < 2^33 rows
+    (Spark's own guarantee for the id layout).
+    """
+    mid = F.monotonically_increasing_id()
+    out = df.sortWithinPartitions(*ordering).withColumn("__mid", mid)
+    out = out.withColumn(
+        rank_col, (F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast("long")
+    )
+    if pid_col:
+        out = out.withColumn(pid_col, F.expr("shiftright(__mid, 33)").cast("int"))
+    return out.drop("__mid")
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    ascending: bool = False,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W4 scalable variant — EXACT global row_number over the FULL table
+    with one range shuffle and no single-partition big stage.
+    ``global_topk`` covers the top-k case; this covers rank-every-row
+    consumers (AUROC ranks, percentile assignment, log-spaced sampling
+    over unbounded rank lists).
+
+    1. ``repartitionByRange`` on the ordering — partition *i* holds
+       strictly earlier ranks than partition *i+1*; rows with equal keys
+       land in ONE partition, so with a unique tiebreaker in ``order_by``
+       the result is deterministic. AQE coalescing merges only ADJACENT
+       range partitions, which preserves both invariants.
+    2. Narrow in-partition rank (``partition_local_rank`` — no second
+       shuffle, unlike a window over ``spark_partition_id()``).
+    3. Per-partition row counts — a #partitions-row aggregate (map-side
+       partial count, shuffles one row per partition) — turned into
+       exclusive cumulative offsets with a window over that tiny frame.
+    4. Broadcast the offsets back: ``rank = local_rank + offset``. The
+       range exchange is planned once and reused (ReuseExchange) by the
+       count branch and the output branch.
+
+    Null ordering follows Spark defaults (asc → NULLS FIRST); pass
+    non-null order keys when oracle-comparing against engines that
+    default to NULLS LAST.
+    """
+    cols = [F.col(c) for c in order_by]
+    ordering = [c.asc() for c in cols] if ascending else [c.desc() for c in cols]
+    rp = (
+        df.repartitionByRange(num_partitions, *ordering)
+        if num_partitions
+        else df.repartitionByRange(*ordering)
+    )
+    ranked = partition_local_rank(rp, ordering, rank_col="__lr", pid_col="__pid")
+    # Counts come from the UNSORTED side of the reused range exchange:
+    # spark_partition_id() here equals the sorted branch's __pid (both are
+    # the reducer partition index of the same shuffle), and skipping
+    # partition_local_rank spares the count branch a full re-sort.
+    counts = rp.groupBy(F.spark_partition_id().alias("__pid")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    out = ranked.join(F.broadcast(offsets), "__pid")
+    return out.withColumn(rank_col, F.col("__lr") + F.col("__off")).drop(
+        "__pid", "__lr", "__off"
+    )
+
+
 def rolling_days(
     df: DataFrame,
     key_cols: Sequence[str],

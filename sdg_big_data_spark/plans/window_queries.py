@@ -115,6 +115,31 @@ def w4_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w4_full_rank",
+    sql="""
+    SELECT rank, event_id, round(value, 2) AS value
+    FROM (
+      SELECT row_number() OVER (ORDER BY value DESC, event_id DESC) AS rank,
+             event_id, value
+      FROM events
+    ) WHERE rank % 997 = 0
+    """,
+    tags=("W4",),
+    doc="EXACT rank of EVERY row, no single-partition stage: one range "
+    "shuffle, narrow in-partition rank, tiny broadcast offset join "
+    "(windows.global_rank — the scalable alternative the reference's "
+    "100M-row one-partition window needs, sample_tweets...py:65); "
+    "probed at every 997th rank so the oracle checks the full ranking",
+)
+def w4_full_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    ranked = windows.global_rank(events, ["value", "event_id"], rank_col="rank")
+    return ranked.where(F.col("rank") % 997 == 0).select(
+        "rank", "event_id", F.round("value", 2).alias("value")
+    )
+
+
+@register(
     "w5_rolling_days",
     sql="""
     SELECT user_id, event_id,

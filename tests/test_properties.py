@@ -154,3 +154,36 @@ def test_exact_dedup_idempotent(spark):
     # one fingerprint for all duplicates; canonical = min id
     dup = [r for r in d1.collect() if r["n_copies"] > 1]
     assert len(dup) == 1 and dup[0]["canonical_id"] == 1 and dup[0]["n_copies"] == 50
+
+
+def test_global_rank_exact_and_partition_invariant(spark):
+    from pyspark.sql.window import Window
+
+    from sdg_big_data_spark.operators.windows import global_rank, partition_local_rank
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 251).cast("double").alias("s")
+    )
+    expected = {
+        (r["k"], r["rank"])
+        for r in df.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("s").desc(), F.col("k").desc())),
+        ).collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r["k"], r["rank"])
+            for r in global_rank(df.repartition(parts), ["s", "k"]).collect()
+        }
+        assert got == expected
+
+    # the narrow building block: local ranks are a 1..n_i sequence per
+    # physical partition and never collide with a full shuffle's numbering
+    lr = partition_local_rank(
+        df.repartition(7), [F.col("s").desc(), F.col("k").desc()], rank_col="lr"
+    )
+    assert lr.count() == n
+    assert lr.agg(F.max("lr")).collect()[0][0] <= n
+    assert lr.where(F.col("lr") < 1).count() == 0
