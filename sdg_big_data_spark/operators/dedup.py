@@ -23,9 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from ..functions import text as T
+from . import windows
 
 # Fixed affine-permutation constants for minhash (public-domain technique:
 # Broder 1997, "On the resemblance and containment of documents").
@@ -101,14 +100,14 @@ def jaccard_pairs(
 def shingle_ids(sh: DataFrame) -> DataFrame:
     """Dictionary-encode shingles to dense ids.
 
-    Deterministic (row_number over sorted shingles) so the oracle can
-    replay it. Scale note: the global sort is the small-data/testing
-    path; at 100 TB swap ``sid`` for a 64-bit arithmetic hash of the
-    shingle bytes — the minhash algebra is unchanged.
+    Deterministic (global rank over sorted shingles) so the oracle can
+    replay it — via ``windows.global_rank``, so even a 100 TB vocabulary
+    never funnels through one partition. (A 64-bit arithmetic hash of
+    the shingle bytes would also work and skip the rank entirely; the
+    dense-id form keeps the DuckDB oracle replayable.)
     """
     dict_df = sh.select("shingle").distinct()
-    w = Window.orderBy("shingle")
-    return dict_df.withColumn("sid", F.row_number().over(w))
+    return windows.global_rank(dict_df, ["shingle"], ascending=True, rank_col="sid")
 
 
 def minhash_signatures(
@@ -174,11 +173,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     Hamming distance. Pure integer arithmetic (portable)."""
     toks = df.select(F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("tok"))
     tok_dict = toks.select("tok").distinct()
-    w = Window.orderBy("tok")
-    tok_ids = tok_dict.withColumn(
-        "h",
-        (F.row_number().over(w).cast("long") * F.lit(2654435761)) % F.lit(2**32),
-    )
+    tok_ids = windows.global_rank(
+        tok_dict, ["tok"], ascending=True, rank_col="__r"
+    ).withColumn("h", (F.col("__r") * F.lit(2654435761)) % F.lit(2**32)).drop("__r")
     enc = toks.join(F.broadcast(tok_ids), "tok")
     bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     # integer bit ops only (portable to any SQL oracle): bit b of h is
