@@ -110,3 +110,66 @@ def frame_sample_plan(
         "frame_index",
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))),
     ).withColumn("frame_ts", F.col("frame_index") * F.lit(every_s))
+
+
+RESIZE_SCHEMA = (
+    "item_id long, modality string, payload binary, width int, height int"
+)
+
+
+def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: stretch/truncate the byte stream to the
+    target pixel count (md5-keyed stream cipher style, so output bytes
+    depend on the full input). Replace with a PIL ``Image.resize`` in
+    production — the Spark-side contract (bytes in, bytes out, new dims)
+    is identical."""
+    target = max(width * height, 1)
+    digest = hashlib.md5(payload or b"").digest()
+    reps = target // len(digest) + 1
+    return bytes((digest * reps)[:target])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Batch image resize via ``mapInPandas`` — payload in, payload out,
+    with the new dimensions as JVM-filterable metadata columns.
+
+    Non-image modalities raise ``NotImplementedError`` (fail loudly, not
+    silently pass-through): route by modality BEFORE this operator with a
+    JVM-side filter. Same Arrow batch-sizing rule as
+    :func:`extract_features` — payload bytes dominate batch memory, so
+    cap ``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly.
+    """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    rs = resize or _stub_resize
+    narrow = df.select(id_col, modality_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, m in zip(pdf[payload_col], pdf[modality_col]):
+                if m != "image":
+                    raise NotImplementedError(
+                        f"resize_images got modality {m!r}; filter to images first"
+                    )
+                out.append(rs(p if p is not None else b"", width, height))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].values,
+                    "modality": pdf[modality_col].values,
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return narrow.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -66,3 +66,29 @@ def test_frame_sample_plan(spark):
     counts = {r.item_id: r["cnt"] for r in plan.groupBy("item_id").agg(F.count("*").alias("cnt")).collect()}
     assert counts[1] == 3  # frames at 0,1,2
     assert counts[2] == 1  # clamped to at least one frame
+
+
+def test_resize_images_plumbing(spark, media):
+    from sdg_big_data_spark.operators.multimodal import resize_images
+
+    imgs = media.where(F.col("modality") == "image")
+    out = resize_images(imgs, 4, 3)
+    assert out.schema.simpleString() == (
+        "struct<item_id:bigint,modality:string,payload:binary,width:int,height:int>"
+    )
+    rows = {r.item_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 5}
+    for r in rows.values():
+        assert len(r.payload) == 12 and r.width == 4 and r.height == 3
+    # deterministic: same input -> same bytes
+    again = {r.item_id: r.payload for r in resize_images(imgs, 4, 3).collect()}
+    assert all(again[i] == rows[i].payload for i in rows)
+    # content-sensitive: different payloads resize to different bytes
+    assert rows[1].payload != rows[2].payload
+
+
+def test_resize_rejects_non_image(spark, media):
+    from sdg_big_data_spark.operators.multimodal import resize_images
+
+    with pytest.raises(Exception, match="NotImplementedError|modality"):
+        resize_images(media, 4, 3).collect()
