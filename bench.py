@@ -53,6 +53,8 @@ HEADLINE = [
     "ev_auc",
     "w_sliding_window",
     "m_multimodal_features",
+    "w4_full_rank",
+    "j_asof_join",
 ]
 
 
