@@ -339,3 +339,47 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf")
         )
     )
+
+
+@register(
+    "t_unigram_ppl",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS.format(c="text")}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(exp(avg(-ln(cnt / total))), 4) AS ppl
+    FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+    doc="unigram language-model perplexity per document — the CCNet-style "
+    "perplexity quality gate for training-data curation. Vocabulary counts "
+    "train in ONE shuffle over the corpus, the token->probability table is "
+    "dimension-sized and broadcast-joins back, score = exp(mean -ln p(tok)); "
+    "all built-in expressions, no Python. At 100 TB the vocab stays "
+    "broadcastable (natural-language vocabularies grow ~sublinearly, Heaps' "
+    "law); a too-big vocab degrades to a plain shuffle join, same algebra",
+)
+def t_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # cached: feeds vocabulary training AND per-doc scoring — uncached the
+    # scan→normalize→tokenize→explode chain runs twice
+    toks = docs.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("tok")
+    ).cache()
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    vt = vocab.crossJoin(F.broadcast(total))
+    return (
+        toks.join(F.broadcast(vt), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.exp(F.avg(-F.log(F.col("cnt") / F.col("total")))), 4
+            ).alias("ppl"),
+        )
+    )
