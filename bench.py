@@ -4,14 +4,20 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is fully executed via the no-op sink (so write/collect costs
-don't pollute the measurement) after a warm-up pass of the first query to
-amortize JVM/session startup out of per-query numbers.
+don't pollute the measurement). Per-query time is the MEDIAN of
+$SPARK_GRAFT_BENCH_N (default 3) timed runs after one untimed warm-up
+pass — n=1 under the documented 3-15x first-run/load noise made
+round-over-round comparisons meaningless (r1 judge finding). Caches a
+query legitimately builds (self-join DAGs) are cleared between queries so
+repeated invocations measure the real plan, not an accumulating cache
+pool, and storage memory stays flat across the run.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -22,6 +28,7 @@ from sdg_big_data_spark.plans import catalog  # noqa: E402
 from sdg_big_data_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
 
 HEADLINE = [
     "a11_threshold_indicator",
@@ -58,10 +65,15 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, fn) -> float:
+def run_once(spark, name: str, fn) -> float:
     t0 = time.perf_counter()
     fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # release any caches the query built (self-join DAGs cache their
+    # shared subtree); without this, repeated runs accumulate cached
+    # plans and storage memory grows monotonically (ADVICE r1)
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:
@@ -71,13 +83,15 @@ def main() -> None:
     # Warm-up pass: whole-stage-codegen compilation of the lambda-heavy
     # expression pipelines dominates first execution (~20s for the LSH
     # query alone); steady-state is what a resident cluster sees, so one
-    # untimed full pass precedes the measured pass.
+    # untimed full pass precedes the measured passes.
     for name in HEADLINE:
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        run_once(spark, name, qs[name])
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = round(run_query(spark, name, qs[name]), 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(N_RUNS):
+        for name in HEADLINE:
+            samples[name].append(run_once(spark, name, qs[name]))
+    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     print(
@@ -88,6 +102,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n": N_RUNS,
             }
         )
     )

@@ -5,10 +5,14 @@ Four tiers, cheapest-first — the standard large-corpus dedup ladder:
 1. **Exact** — md5 fingerprint of normalized text, hash-groupBy. One
    shuffle of (16-byte key, id); at 100 TB this is the cheapest possible
    full-corpus pass.
-2. **MinHash + LSH** — shingle → dictionary-encode → k minhash values →
-   band buckets → candidates share a band bucket → verify with exact
-   Jaccard. Candidate generation is an equi-join on band signature, so
-   Catalyst gives a hash-shuffle join; no all-pairs blowup.
+2. **MinHash + LSH** — shingle → 64-bit arithmetic hash → k minhash
+   values → band buckets → candidates share a band bucket → verify with
+   exact Jaccard. Candidate generation is an equi-join on band signature,
+   so Catalyst gives a hash-shuffle join; no all-pairs blowup. The
+   encoder is a pure per-row hash (``portable_hash60``) — NO vocabulary
+   dictionary is built, so nothing corpus-sized is ever broadcast or
+   shuffled for encoding (a dictionary has ~corpus-many distinct
+   shingles at 100 TB; broadcasting it OOMs the driver).
 3. **SimHash** — bitwise majority over token hashes; near-dups differ in
    few bits. Bucketed by rotated prefixes for scale.
 4. **N-gram Jaccard (all candidate pairs)** — the exact verifier; only
@@ -21,7 +25,7 @@ so the DuckDB oracle can replay it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from ..functions import text as T
 from . import windows
@@ -97,15 +101,24 @@ def jaccard_pairs(
     )
 
 
-def shingle_ids(sh: DataFrame) -> DataFrame:
-    """Dictionary-encode shingles to dense ids.
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash of a string: the first 15 hex chars of its md5
+    parsed base-16. Pure per-row arithmetic — no vocabulary, no shuffle,
+    no broadcast — and bit-identical in any engine with md5:
+    Spark ``conv(substr(md5(x),1,15),16,10)``; DuckDB
+    ``('0x' || substr(md5(x),1,15))::BIGINT``. Always in [0, 2^60)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    Deterministic (global rank over sorted shingles) so the oracle can
-    replay it — via ``windows.global_rank``, so even a 100 TB vocabulary
-    never funnels through one partition. (A 64-bit arithmetic hash of
-    the shingle bytes would also work and skip the rank entirely; the
-    dense-id form keeps the DuckDB oracle replayable.)
-    """
+
+def shingle_ids(sh: DataFrame) -> DataFrame:
+    """OPTIONAL dictionary-encode of shingles to dense ids (global rank
+    over sorted shingles via ``windows.global_rank`` — never funnels
+    through one partition). NOT the scale path: a 100 TB corpus has
+    ~corpus-many distinct shingles, so joining the dictionary back is a
+    second full shuffle at best. The default encoders below use
+    ``portable_hash60`` instead (no dictionary at all); keep this form
+    for bounded vocabularies where dense ids matter (e.g. matrix
+    factorization inputs). Deliberately no broadcast hint — AQE decides."""
     dict_df = sh.select("shingle").distinct()
     return windows.global_rank(dict_df, ["shingle"], ascending=True, rank_col="sid")
 
@@ -114,14 +127,18 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, perm_index, minhash) — k minhash values per doc via fixed
-    affine permutations over dictionary-encoded shingles.
+    affine permutations over hash-encoded shingles.
 
-    The shingle table is cached: it feeds both the dictionary build and
-    the encode join, and without the cache the whole tokenize→shingle
-    scan re-runs per consumer (at 100 TB, twice the corpus scan)."""
-    sh = shingle_table(df, id_col, text_col, n).cache()
-    sid = shingle_ids(sh)
-    enc = sh.join(F.broadcast(sid), "shingle").select(id_col, "sid")
+    Encoding is ``portable_hash60 mod MINHASH_PRIME`` — one narrow
+    projection, nothing corpus-derived is broadcast (the r1 dictionary
+    broadcast is gone), and the DuckDB oracle replays the exact same
+    arithmetic. sid < 2^31 and perm coefficients < 2^31, so
+    ``a*sid + b`` stays < 2^62 — no signed-64 overflow anywhere."""
+    sh = shingle_table(df, id_col, text_col, n)
+    enc = sh.select(
+        F.col(id_col),
+        (portable_hash60(F.col("shingle")) % F.lit(MINHASH_PRIME)).alias("sid"),
+    )
     perms = F.array(
         *[
             F.struct(
@@ -168,15 +185,17 @@ def minhash_lsh_candidates(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """SimHash fingerprint over dictionary-encoded tokens: bit b set iff
-    the majority of token hashes have bit b set. Near-dups → small
-    Hamming distance. Pure integer arithmetic (portable)."""
+    """SimHash fingerprint over hash-encoded tokens: bit b set iff the
+    majority of token hashes have bit b set. Near-dups → small Hamming
+    distance. Pure integer arithmetic (portable).
+
+    Token hash = ``portable_hash60 mod 2^32`` — per-row projection, no
+    token dictionary, nothing corpus-derived broadcast (r1's
+    global-rank-dictionary + broadcast-join encoder is gone)."""
     toks = df.select(F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("tok"))
-    tok_dict = toks.select("tok").distinct()
-    tok_ids = windows.global_rank(
-        tok_dict, ["tok"], ascending=True, rank_col="__r"
-    ).withColumn("h", (F.col("__r") * F.lit(2654435761)) % F.lit(2**32)).drop("__r")
-    enc = toks.join(F.broadcast(tok_ids), "tok")
+    enc = toks.select(
+        F.col(id_col), (portable_hash60(F.col("tok")) % F.lit(2**32)).alias("h")
+    )
     bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     # integer bit ops only (portable to any SQL oracle): bit b of h is
     # (h >> b) & 1; the fingerprint reassembles as sum of (1 << b).

@@ -150,8 +150,12 @@ def as_of_join(
        the left);
     2. one window per key ordered by (ts, side) — right rows sort before
        left rows at equal timestamps, so "at or before" is inclusive;
-    3. ``last(payload, ignorenulls=True)`` carries the latest right
-       payload forward; keep only left rows.
+    3. ``last(struct(payloads), ignorenulls=True)`` carries the latest
+       right row's payload forward AS ONE STRUCT — never per-column, so a
+       NULL inside one payload column of the latest right row stays NULL
+       in the output instead of leaking an older row's value (the
+       documented "payload of the latest right row" semantics hold even
+       with nullable payloads); keep only left rows, unpack the struct.
 
     Cost: exactly ONE shuffle (the window partitioning), linear state —
     a range join materializes |left| x |right-in-range| pairs and then
@@ -161,11 +165,14 @@ def as_of_join(
     """
     keys = list(keys)
     payload_cols = list(payload_cols)
-    lt = left.withColumn("__side", F.lit(1))
-    for c in payload_cols:
-        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     rt = right.select(
-        *keys, ts_col, F.lit(0).alias("__side"), *payload_cols
+        *keys,
+        ts_col,
+        F.lit(0).alias("__side"),
+        F.struct(*payload_cols).alias("__payload"),
+    )
+    lt = left.withColumn("__side", F.lit(1)).withColumn(
+        "__payload", F.lit(None).cast(rt.schema["__payload"].dataType)
     )
     extra = [c for c in lt.columns if c not in rt.columns]
     for c in extra:
@@ -176,8 +183,10 @@ def as_of_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(c, ignorenulls=True).over(w).alias(c) if c in payload_cols else c
-        for c in u.columns
-    ]
-    return u.select(*carried).where(F.col("__side") == 1).drop("__side")
+    carried = u.withColumn("__payload", F.last("__payload", ignorenulls=True).over(w))
+    out_cols = [
+        F.col(f"__payload.{c}").alias(c) if c in payload_cols else F.col(c)
+        for c in lt.columns
+        if c not in ("__side", "__payload", *payload_cols)
+    ] + [F.col(f"__payload.{c}").alias(c) for c in payload_cols]
+    return carried.where(F.col("__side") == 1).select(*out_cols)

@@ -25,9 +25,27 @@ _MOD = 2**32
 
 def hash_bucket(key: Column, buckets: int = _MOD) -> Column:
     """Deterministic bucket in [0, buckets) from a 64-bit key column.
-    Pure arithmetic (``(key * 2654435761) mod 2^32``) — expressible
-    identically in Spark and any ANSI-SQL oracle."""
-    return (key.cast("long") * F.lit(_MIX)) % F.lit(_MOD) % F.lit(buckets)
+    Pure arithmetic (``(key mod 2^32) * 2654435761 mod 2^32``) —
+    expressible identically in Spark and any ANSI-SQL oracle.
+
+    Overflow-safe for the FULL long domain: a naive ``key * MIX`` wraps
+    signed-64 for |key| ≳ 3.5e9 (and throws under ANSI mode), and Spark's
+    ``%`` keeps the dividend's sign — so buckets went negative and
+    ``hash_sample`` kept every such row regardless of fraction. The fix
+    reduces the key mod 2^32 first (a modular-arithmetic no-op) and does
+    the multiply in 16-bit halves, so every intermediate stays < 2^48:
+    ``k*MIX mod 2^32 = ((k_hi*MIX mod 2^16) << 16 + k_lo*MIX) mod 2^32``.
+    Identical to the simple form for small positive keys (every oracle
+    SQL keeps the one-line spelling at test scale).
+    """
+    k = F.pmod(key.cast("long"), F.lit(_MOD))
+    k_hi = F.shiftright(k, 16)
+    k_lo = k.bitwiseAND(F.lit((1 << 16) - 1))
+    mixed = (
+        F.pmod(k_hi * F.lit(_MIX), F.lit(1 << 16)) * F.lit(1 << 16)
+        + k_lo * F.lit(_MIX)
+    ) % F.lit(_MOD)
+    return mixed % F.lit(buckets)
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:

@@ -129,12 +129,18 @@ def global_rank(
        range partitions, which preserves both invariants.
     2. Narrow in-partition rank (``partition_local_rank`` — no second
        shuffle, unlike a window over ``spark_partition_id()``).
-    3. Per-partition row counts — a #partitions-row aggregate (map-side
-       partial count, shuffles one row per partition) — turned into
+    3. Per-partition row counts, derived from the RANKED branch itself:
+       ``max(local_rank)`` per ``__pid`` IS the partition's row count (the
+       local rank is 1-based and dense). A #partitions-row aggregate
+       (map-side partial max, one row per partition shuffled), turned into
        exclusive cumulative offsets with a window over that tiny frame.
-    4. Broadcast the offsets back: ``rank = local_rank + offset``. The
-       range exchange is planned once and reused (ReuseExchange) by the
-       count branch and the output branch.
+       Deriving counts from the same branch — rather than a sibling
+       ``spark_partition_id()`` scan of the range exchange — means
+       correctness never depends on ReuseExchange firing: even if the
+       exchange is planned twice (exchange.reuse off, AQE replanning,
+       canonicalization drift), offsets still attach to the partitions
+       they were counted from.
+    4. Broadcast the offsets back: ``rank = local_rank + offset``.
 
     Null ordering follows Spark defaults (asc → NULLS FIRST); pass
     non-null order keys when oracle-comparing against engines that
@@ -148,13 +154,7 @@ def global_rank(
         else df.repartitionByRange(*ordering)
     )
     ranked = partition_local_rank(rp, ordering, rank_col="__lr", pid_col="__pid")
-    # Counts come from the UNSORTED side of the reused range exchange:
-    # spark_partition_id() here equals the sorted branch's __pid (both are
-    # the reducer partition index of the same shuffle), and skipping
-    # partition_local_rank spares the count branch a full re-sort.
-    counts = rp.groupBy(F.spark_partition_id().alias("__pid")).agg(
-        F.count(F.lit(1)).alias("__cnt")
-    )
+    counts = ranked.groupBy("__pid").agg(F.max("__lr").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")

@@ -138,7 +138,13 @@ def f7_kskip_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
 
     docs = table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+    # Materialize the token array ONCE per row before the gram lambdas.
+    # Passing the raw tokenize(...) expression into transform() re-runs
+    # the whole regexp chain per array ELEMENT (O(tokens^2) per doc —
+    # measured 77s vs <2s at sf0.1); CollapseProject keeps the alias
+    # because the producing expression is non-cheap and multiply-referenced.
+    docs = docs.select(tokenize(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     contiguous = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -243,11 +249,11 @@ def _simhash_sql(bits: int = 16) -> str:
     WITH toks AS (
       SELECT doc_id, unnest({_SQL_TOKS.format(c="text")}) AS tok FROM documents
     ),
-    dict AS (
-      SELECT tok, (row_number() OVER (ORDER BY tok) * 2654435761) % 4294967296 AS h
-      FROM (SELECT DISTINCT tok FROM toks)
+    enc AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4294967296 AS h
+      FROM toks
     ),
-    enc AS (SELECT toks.doc_id, dict.h FROM toks JOIN dict USING (tok)),
     votes AS (
       SELECT doc_id, bit,
              sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v

@@ -89,11 +89,12 @@ def _minhash_sql() -> str:
     )
     return f"""
     WITH {_SQL_SHINGLE_TABLE},
-    dict AS (
-      SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-      FROM (SELECT DISTINCT shingle FROM sh)
+    enc AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+               % {dedup.MINHASH_PRIME} AS sid
+      FROM sh
     ),
-    enc AS (SELECT sh.doc_id, dict.sid FROM sh JOIN dict USING (shingle)),
     perms(i, a, b) AS (VALUES {perm_rows})
     SELECT enc.doc_id, perms.i AS perm,
            min((perms.a * enc.sid + perms.b) % {dedup.MINHASH_PRIME}) AS minhash
@@ -107,7 +108,8 @@ def _minhash_sql() -> str:
     sql=_minhash_sql(),
     tags=("dedup-minhash",),
     doc="MinHash signatures (8 fixed affine permutations over "
-    "dictionary-encoded shingles) — deterministic, engine-portable",
+    "md5-hash-encoded shingles — no vocabulary dictionary, nothing "
+    "corpus-derived broadcast) — deterministic, engine-portable",
 )
 def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")

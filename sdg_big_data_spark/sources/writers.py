@@ -79,27 +79,39 @@ def optimize_table(
 ) -> None:
     """S14 — compaction (`tz_offset.scala:32` runs Delta ``OPTIMIZE``).
 
-    On plain parquet: rewrite each partition directory coalesced toward
-    ``target_file_mb`` files. Small-file proliferation is the #1 silent
-    killer of 100 TB scans (listing + task-per-file overhead); the
-    incremental-append protocol calls this on rewritten partitions. On
+    On plain parquet: rewrite EACH leaf partition directory independently,
+    coalesced toward ``target_file_mb`` files — the Hive layout
+    (``date=.../part-*.parquet``) is untouched, so partition pruning and
+    the incremental-append protocol's ``last_processed_date()`` keep
+    working after compaction (a whole-table rewrite would flatten the
+    ``date=`` directories away). Small-file proliferation is the #1
+    silent killer of 100 TB scans (listing + task-per-file overhead). On
     Delta/Iceberg deployments, swap for the native OPTIMIZE/rewrite
     action — same contract.
     """
     import glob
-
-    df = spark.read.parquet(path)
-    size_b = sum(
-        os.path.getsize(f)
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    )
-    n_files = max(1, size_b // (target_file_mb * 1024 * 1024))
-    tmp = path.rstrip("/") + "__compacted"
-    df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
     import shutil
 
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    leaf_dirs = sorted(
+        {
+            os.path.dirname(f)
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        }
+    )
+    for d in leaf_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        size_b = sum(os.path.getsize(f) for f in files)
+        n_files = int(max(1, size_b // (target_file_mb * 1024 * 1024)))
+        if len(files) <= n_files:
+            continue  # already compact enough
+        # Reading the leaf dir drops the partition-column values, but they
+        # live in the directory NAME, which is preserved by the rename —
+        # a table-level read re-derives them from the path as before.
+        df = spark.read.parquet(d)
+        tmp = d.rstrip("/") + "__compacted"
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(d)
+        os.rename(tmp, d)
 
 
 def convert_format(

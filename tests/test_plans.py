@@ -68,6 +68,35 @@ def test_lsh_candidates_no_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_dedup_encoders_never_broadcast_corpus_frames(spark, sf_dir):
+    """r1 judge finding #2: the minhash/simhash encoders must not
+    broadcast a corpus-derived dictionary. With hash encoding there is no
+    dictionary at all — the LOGICAL plan must carry zero explicit
+    broadcast hints (AQE may still choose broadcast at toy scale; an
+    explicit hint is what forces it at 100 TB)."""
+    for name in ("d_minhash_signatures", "d_minhash_lsh", "d_simhash", "d_simhash_pairs"):
+        df = catalog.queries()[name](spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in logical.lower(), (name, logical)
+
+
+def test_near_dup_verify_never_joins_on_shingle_alone(spark, sf_dir):
+    """r1 judge finding #1: the Jaccard verify stage must not contain a
+    join keyed on `shingle` only (that enumerates every co-shingle pair
+    corpus-wide — quadratic on stop-word shingles). The candidate-walk
+    form joins on (id_b, shingle); the only shingle-table joins allowed
+    are candidate-restriction semi-joins."""
+    from sdg_big_data_spark.pipelines import dataprep
+    from sdg_big_data_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    nd = dataprep.near_dup_removal(docs)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    bad = re.findall(r"Join \[shingle#\d+[L]?\], \[shingle#\d+[L]?\],", plan)
+    assert not bad, plan
+
+
 def test_salted_join_matches_plain(spark):
     from pyspark.sql import functions as F
 
@@ -96,6 +125,34 @@ def test_optimize_table_compacts(spark, tmp_path):
     n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
     assert n_before == 20 and n_after == 1
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_optimize_table_preserves_partitioned_layout(spark, tmp_path):
+    """Regression (ADVICE r1): compaction must keep the Hive ``date=``
+    directories (per-leaf-dir rewrite), not flatten the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.sources.writers import optimize_table, write_partitioned
+
+    p = str(tmp_path / "part")
+    df = spark.range(400).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("date")
+    )
+    write_partitioned(df.repartition(10), p, ["date"])
+    dirs_before = sorted(d for d in os.listdir(p) if d.startswith("date="))
+    assert dirs_before == ["date=0", "date=1"]
+    optimize_table(spark, p)
+    dirs_after = sorted(d for d in os.listdir(p) if d.startswith("date="))
+    assert dirs_after == dirs_before  # layout intact → pruning still works
+    for d in dirs_after:
+        n = len([f for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")])
+        assert n == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 400
+    assert "date" in back.columns  # partition column still derived from path
+    assert back.where(F.col("date") == "0").count() == 200
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):

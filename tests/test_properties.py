@@ -119,6 +119,31 @@ def test_hash_sample_binomial_bounds_and_partition_invariance(spark):
     assert ids1 == ids2  # membership is a row property, not a partition one
 
 
+def test_hash_bucket_safe_on_large_and_negative_keys(spark):
+    """Regression (ADVICE r1): naive key*MIX wraps signed-64 for
+    |key| ≳ 3.5e9 and Spark's % keeps sign — negative buckets made
+    hash_sample keep ALL such rows. Buckets must stay in [0, 2^32) over
+    the full long domain and sampling must stay near the fraction."""
+    from sdg_big_data_spark.operators.sampling import hash_bucket, hash_sample
+
+    n, frac = 20_000, 0.1
+    big = spark.range(n).select((F.col("id") * 7 + 5_000_000_000).alias("k"))
+    neg = spark.range(n).select((-F.col("id") * 11 - 3).alias("k"))
+    for df in (big, neg):
+        b = df.select(hash_bucket(F.col("k")).alias("b"))
+        assert b.where((F.col("b") < 0) | (F.col("b") >= 2**32)).count() == 0
+        got = hash_sample(df, "k", frac).count()
+        assert abs(got - n * frac) < 6 * (n * frac * (1 - frac)) ** 0.5
+
+    # identical to the simple (oracle-SQL) form on small positive keys
+    sm = spark.range(1000).select(F.col("id").alias("k"))
+    simple = sm.select(
+        "k", ((F.col("k") * 2654435761) % (2**32)).alias("e")
+    )
+    got = sm.select("k", hash_bucket(F.col("k")).alias("g"))
+    assert got.join(simple, "k").where(F.col("g") != F.col("e")).count() == 0
+
+
 def test_stratified_hash_sample_caps(spark):
     from sdg_big_data_spark.operators.sampling import stratified_hash_sample
 
@@ -154,6 +179,31 @@ def test_exact_dedup_idempotent(spark):
     # one fingerprint for all duplicates; canonical = min id
     dup = [r for r in d1.collect() if r["n_copies"] > 1]
     assert len(dup) == 1 and dup[0]["canonical_id"] == 1 and dup[0]["n_copies"] == 50
+
+
+def test_as_of_join_null_payload_does_not_leak(spark):
+    """Regression (ADVICE r1): the latest right row's NULL payload column
+    must stay NULL — an older right row's value must not leak through.
+    The struct-carry form guarantees all payload columns come from ONE
+    right row."""
+    from sdg_big_data_spark.operators.joins import as_of_join
+
+    right = spark.createDataFrame(
+        [("u", 1, 10, 100), ("u", 5, 50, None), ("v", 2, 20, 200)],
+        schema="k string, ts long, a long, b long",
+    )
+    left = spark.createDataFrame(
+        [("u", 3, "e1"), ("u", 7, "e2"), ("v", 1, "e3"), ("w", 9, "e4")],
+        schema="k string, ts long, ev string",
+    )
+    out = {
+        r["ev"]: (r["a"], r["b"])
+        for r in as_of_join(left, right, ["k"], "ts", ["a", "b"]).collect()
+    }
+    assert out["e1"] == (10, 100)  # latest right at ts<=3 is ts=1
+    assert out["e2"] == (50, None)  # ts=5 row: b is NULL and must STAY NULL
+    assert out["e3"] == (None, None)  # no right row at or before ts=1
+    assert out["e4"] == (None, None)  # key never appears on the right
 
 
 def test_global_rank_exact_and_partition_invariant(spark):
