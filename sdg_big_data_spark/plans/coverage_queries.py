@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text
+from ..functions.timeutil import epoch_seconds
 from ..operators import grouped, sampling, similarity, spatial
 from ..operators.multimodal import extract_features
 from .catalog import register, table
@@ -582,7 +583,7 @@ def f4_home_work_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops = ev.select(
         "user_id",
         (F.col("event_id") % 7).alias("cluster_label"),
-        F.col("ts").cast("long").alias("t_start"),
+        epoch_seconds("ts").alias("t_start"),
         (F.floor(F.col("value") * 10).cast("long") + 600).alias("duration"),
     )
     return grouped.label_home_work(stops)

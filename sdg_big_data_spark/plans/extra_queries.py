@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_micros, epoch_seconds
 from ..operators import joins
 from .catalog import register, table
 from .text_queries import _SQL_TOKS
@@ -457,7 +458,7 @@ def w_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.col("win.start").cast("long").alias("win_start"),
+            epoch_seconds(F.col("win.start")).alias("win_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -538,7 +539,7 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("click_id").alias("asof_click"),
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("lag_us"),
+        (epoch_micros("ts") - epoch_micros("click_ts")).alias("lag_us"),
     )
 
 

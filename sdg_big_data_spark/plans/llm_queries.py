@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
 from ..operators import dedup, scoring, similarity
 from .catalog import register, table
 from .text_queries import _SQL_TOKS
@@ -244,10 +245,10 @@ def g_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.col("ts").cast("long").alias("t"),
+        epoch_seconds("ts").alias("t"),
         "value",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 3600, 1
+            epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w) > 3600, 1
         )
         .otherwise(0)
         .alias("new_session"),

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_seconds
 from ..operators import windows
 from .catalog import register, table
 
@@ -320,8 +321,8 @@ def f1_day_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = events.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("long").alias("t_start"),
-        (F.col("ts").cast("long") + F.floor(F.col("value") * 1000).cast("long")).alias(
+        epoch_seconds("ts").alias("t_start"),
+        (epoch_seconds("ts") + F.floor(F.col("value") * 1000).cast("long")).alias(
             "t_end"
         ),
     )

@@ -64,6 +64,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Spark 4 infers parquet timestamp[us] without isAdjustedToUTC as
+    # TIMESTAMP_NTZ; CAST(ntz AS BIGINT)/unix_micros(ntz) then fail analysis.
+    # Under the enforced-UTC session the NTZ wall clock IS the instant DuckDB
+    # computes epoch() from, so re-typing to TIMESTAMP is value-preserving.
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.timeutil import epoch_seconds
+
 SESSION_SCHEMA = (
     "user_id long, t_start long, t_end long, duration long, "
     "n_events long, total_value double"
@@ -109,7 +111,7 @@ def streaming_sessionize(
 
     src = events.select(
         "user_id",
-        F.col("ts").cast("long").alias("t"),
+        epoch_seconds("ts").alias("t"),
         "event_id",
         "value",
     )
