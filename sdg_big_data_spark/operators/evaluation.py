@@ -76,6 +76,234 @@ def precision_at_k(
     )
 
 
+def classification_metrics(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+    labels: tuple[str, ...] = ("H", "W"),
+    other: str = "O",
+) -> DataFrame:
+    """Accuracy + per-label P/R/F1 + macro-F1 over ``labels`` — the
+    reference's home/work quality gate (`08-optimization.Rmd:74-101`:
+    ``skm.f1_score(..., labels=['H','W'], average='macro')`` after
+    ``filter_o``). Matches sklearn semantics exactly: rows where BOTH
+    columns equal ``other`` are dropped (filter_o); remaining ``other``
+    values still count as fp/fn against each label; zero-denominator
+    precision/recall collapse to 0 (sklearn ``zero_division=0``).
+
+    One pass of conditional aggregation — no confusion-matrix collect,
+    no sklearn; scales to any validation-set size.
+    """
+    t, p = F.col(truth_col), F.col(pred_col)
+    kept = df.where((t != other) | (p != other))
+
+    def _n(cond) -> Column:
+        return F.sum(cond.cast("long"))
+
+    aggs = [_n(t == p).alias("__hits"), F.count(F.lit(1)).alias("n")]
+    for lbl in labels:
+        aggs += [
+            _n((t == lbl) & (p == lbl)).alias(f"__tp_{lbl}"),
+            _n((t != lbl) & (p == lbl)).alias(f"__fp_{lbl}"),
+            _n((t == lbl) & (p != lbl)).alias(f"__fn_{lbl}"),
+        ]
+    g = kept.agg(*aggs)
+
+    def _safe_div(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    out_cols = [F.col("n"), _safe_div(F.col("__hits"), F.col("n")).alias("accuracy")]
+    f1s = []
+    for lbl in labels:
+        tp = F.col(f"__tp_{lbl}")
+        prec = _safe_div(tp, tp + F.col(f"__fp_{lbl}"))
+        rec = _safe_div(tp, tp + F.col(f"__fn_{lbl}"))
+        f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(
+            F.lit(0.0)
+        )
+        f1s.append(f1)
+        out_cols.append(f1.alias(f"f1_{lbl}"))
+    macro = sum(f1s[1:], f1s[0]) / float(len(labels))
+    out_cols.append(macro.alias("macro_f1"))
+    return g.select(*out_cols)
+
+
+def cohen_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    labels: tuple[str, ...] = ("H", "W"),
+) -> DataFrame:
+    """Cohen's κ between two raters restricted to ``labels`` — the
+    reference's validator-vs-algorithm agreement statistic
+    (`08-optimization.Rmd:85-88`: ``skm.cohen_kappa_score(...,
+    labels=['H','W'])``). sklearn's label restriction drops rows where
+    either rater's value is outside ``labels``; κ = (p_o − p_e)/(1 − p_e)
+    with p_e from the marginals. Returns (n, p_o, p_e, kappa) in one
+    conditional-aggregation pass."""
+    a, b = F.col(col_a), F.col(col_b)
+    kept = df.where(a.isin(*labels) & b.isin(*labels))
+
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum((a == b).cast("long")).alias("__agree")]
+    for lbl in labels:
+        aggs += [
+            F.sum((a == lbl).cast("long")).alias(f"__ma_{lbl}"),
+            F.sum((b == lbl).cast("long")).alias(f"__mb_{lbl}"),
+        ]
+    g = kept.agg(*aggs)
+    p_o = F.col("__agree") / F.col("n")
+    p_e_terms = [
+        (F.col(f"__ma_{lbl}") / F.col("n")) * (F.col(f"__mb_{lbl}") / F.col("n"))
+        for lbl in labels
+    ]
+    p_e = sum(p_e_terms[1:], p_e_terms[0])
+    kappa = F.when(p_e < 1.0, (p_o - p_e) / (1.0 - p_e)).otherwise(F.lit(1.0))
+    return g.select(
+        "n", p_o.alias("p_o"), p_e.alias("p_e"), kappa.alias("kappa")
+    )
+
+
+# LCG-style mixing constants for the deterministic bootstrap draws —
+# chosen so both engines compute identical BIGINT arithmetic (all
+# intermediates < 2^63 for validation-set-sized inputs). The seed word is
+# affine in (i, j); WITHOUT further mixing `seed_word % nb` would be a
+# bijection of j (no modulus wrap for small strides) and every "resample"
+# would degenerate to the identity sample. Two MINSTD modular multiplies
+# (`x * 48271 % MOD`, twice) make the effective stride ~2^30, wrapping
+# MOD every few steps — the residue mod nb is then effectively uniform
+# and multiplicities are genuinely multinomial.
+_BOOT_A = 1_103_515_245
+_BOOT_B = 12_345
+_BOOT_MULT = 48_271
+_BOOT_MOD = 2_147_483_647
+
+
+def balanced_bootstrap_metrics(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+    user_col: str,
+    bucket_col: str,
+    n_samples: int = 100,
+    seed: int = 7,
+    labels: tuple[str, ...] = ("H", "W"),
+    other: str = "O",
+) -> DataFrame:
+    """Balanced bootstrap of the macro-F1/accuracy gate
+    (`08-optimization.Rmd:104-125`: 100 resamples of users WITH
+    replacement, balanced within activity buckets; mean/std of each
+    metric across resamples).
+
+    Deterministic-by-construction: draws come from integer LCG mixing of
+    (replicate, draw, seed) — not ``rand()`` — so results are
+    partition-count-invariant, retry-safe, AND exactly replayable by a
+    SQL oracle. Fully distributed plan:
+
+      1. index distinct users per bucket (one keyed window — buckets are
+         activity deciles, so no single-partition stage);
+      2. synthesize ``n_samples × n_b`` draws per bucket via
+         explode(sequence) and map draw→user by equi-join on the index;
+      3. per (replicate, user) multiplicity joins the label rows once;
+      4. per-replicate weighted conditional aggregation → macro-F1 /
+         accuracy; final tiny agg over ``n_samples`` rows.
+
+    At 100 TB the validation set is still annotation-bounded, but nothing
+    here collects to the driver — the same plan runs on the full corpus.
+    """
+    t, p = F.col(truth_col), F.col(pred_col)
+    base = df.where((t != other) | (p != other)).select(
+        F.col(user_col).alias("__u").cast("long"),
+        F.col(bucket_col).alias("__bk").cast("long"),
+        t.alias("__t"),
+        p.alias("__p"),
+    )
+
+    users = base.select("__bk", "__u").distinct()
+    w = Window.partitionBy("__bk").orderBy("__u")
+    indexed = users.withColumn("__idx", F.row_number().over(w))
+    sizes = indexed.groupBy("__bk").agg(F.max("__idx").alias("__nb"))
+
+    draws = (
+        sizes.withColumn("__i", F.explode(F.sequence(F.lit(1), F.lit(n_samples))))
+        .withColumn("__j", F.explode(F.sequence(F.lit(1), F.col("__nb"))))
+        .select(
+            "__bk",
+            "__i",
+            (
+                (
+                    (
+                        (
+                            (
+                                F.col("__i").cast("long") * F.lit(_BOOT_A)
+                                + F.col("__j").cast("long") * F.lit(_BOOT_B)
+                                + F.lit(seed)
+                                + F.col("__bk") * F.lit(997)
+                            )
+                            % F.lit(_BOOT_MOD)
+                        )
+                        * F.lit(_BOOT_MULT)
+                        % F.lit(_BOOT_MOD)
+                    )
+                    * F.lit(_BOOT_MULT)
+                    % F.lit(_BOOT_MOD)
+                )
+                % F.col("__nb").cast("long")
+                + 1
+            ).alias("__idx"),
+        )
+    )
+    mult = (
+        draws.join(indexed, ["__bk", "__idx"])
+        .groupBy("__i", "__u")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+
+    weighted = base.join(mult, "__u")
+    m = F.col("__m")
+    aggs = [
+        F.sum(m).alias("n"),
+        F.sum(F.when(F.col("__t") == F.col("__p"), m).otherwise(0)).alias("__hits"),
+    ]
+    for lbl in labels:
+        aggs += [
+            F.sum(
+                F.when((F.col("__t") == lbl) & (F.col("__p") == lbl), m).otherwise(0)
+            ).alias(f"__tp_{lbl}"),
+            F.sum(
+                F.when((F.col("__t") != lbl) & (F.col("__p") == lbl), m).otherwise(0)
+            ).alias(f"__fp_{lbl}"),
+            F.sum(
+                F.when((F.col("__t") == lbl) & (F.col("__p") != lbl), m).otherwise(0)
+            ).alias(f"__fn_{lbl}"),
+        ]
+    per_rep = weighted.groupBy("__i").agg(*aggs)
+
+    def _safe_div(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    f1s = []
+    for lbl in labels:
+        tp = F.col(f"__tp_{lbl}")
+        prec = _safe_div(tp, tp + F.col(f"__fp_{lbl}"))
+        rec = _safe_div(tp, tp + F.col(f"__fn_{lbl}"))
+        f1s.append(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+        )
+    macro = sum(f1s[1:], f1s[0]) / float(len(labels))
+    scored = per_rep.select(
+        F.col("__i").alias("sample"),
+        _safe_div(F.col("__hits"), F.col("n")).alias("accuracy"),
+        macro.alias("macro_f1"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.avg("macro_f1").alias("f1_mean"),
+        F.stddev_samp("macro_f1").alias("f1_std"),
+        F.avg("accuracy").alias("acc_mean"),
+        F.stddev_samp("accuracy").alias("acc_std"),
+    )
+
+
 def recall_proxy(
     scores: DataFrame,
     seed_positives: DataFrame,

@@ -1,0 +1,275 @@
+"""Catalog queries — the reference's home/work-labeling quality gate
+(`compiled-bookdown/08-optimization.Rmd:60-216`): macro-F1 over {H,W}
+after filter_o, Cohen's κ against a validator, and the 100-resample
+balanced bootstrap (resampled users with replacement within activity
+buckets) that produces the fold_f1 / fold_f1_std model-selection
+statistics.
+
+The labeled-locations fixture is derived from ``events`` with pure
+integer arithmetic (identical in Spark and DuckDB), and the bootstrap
+draws come from deterministic LCG mixing instead of ``rand()`` — so all
+three queries, including the resampling itself, have EXACT value-hash
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import evaluation
+from .catalog import register, table
+
+# --- deterministic labels fixture (same arithmetic in both engines) ---------
+#
+# locations = distinct (user_id, event_id % 5); per location:
+#   h  -> true class (H 40% / W 30% / O 30%)
+#   g1 -> algorithm agreement draw (80% agree, else rotated class)
+#   g2 -> first-validator agreement draw (85% agree, else rotated)
+
+_SQL_LABELS = """
+    loc AS (
+      SELECT DISTINCT user_id, event_id % 5 AS cluster_label FROM events
+    ),
+    lab AS (
+      SELECT user_id, cluster_label,
+             user_id % 4 AS act_buck,
+             (user_id * 31 + cluster_label * 7) % 10 AS h,
+             (user_id * 2654435761 + cluster_label * 40503) % 100 AS g1,
+             (user_id * 1299709 + cluster_label * 7919) % 100 AS g2
+      FROM loc
+    ),
+    labels AS (
+      SELECT user_id, cluster_label, act_buck,
+             CASE WHEN h < 4 THEN 'H' WHEN h < 7 THEN 'W' ELSE 'O' END
+               AS final_op,
+             CASE WHEN g1 < 80
+                  THEN CASE WHEN h < 4 THEN 'H' WHEN h < 7 THEN 'W' ELSE 'O' END
+                  ELSE CASE WHEN h < 4 THEN 'W' WHEN h < 7 THEN 'O' ELSE 'H' END
+             END AS algo_op,
+             CASE WHEN g2 < 85
+                  THEN CASE WHEN h < 4 THEN 'H' WHEN h < 7 THEN 'W' ELSE 'O' END
+                  ELSE CASE WHEN h < 4 THEN 'O' WHEN h < 7 THEN 'H' ELSE 'W' END
+             END AS first_op
+      FROM lab
+    )
+"""
+
+
+def _hw_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    loc = ev.select(
+        "user_id", (F.col("event_id") % 5).alias("cluster_label")
+    ).distinct()
+    h = (F.col("user_id") * 31 + F.col("cluster_label") * 7) % 10
+    g1 = (F.col("user_id") * F.lit(2654435761) + F.col("cluster_label") * 40503) % 100
+    g2 = (F.col("user_id") * 1299709 + F.col("cluster_label") * 7919) % 100
+    truth = F.when(h < 4, "H").when(h < 7, "W").otherwise("O")
+    rot1 = F.when(h < 4, "W").when(h < 7, "O").otherwise("H")
+    rot2 = F.when(h < 4, "O").when(h < 7, "H").otherwise("W")
+    return loc.select(
+        "user_id",
+        "cluster_label",
+        (F.col("user_id") % 4).alias("act_buck"),
+        truth.alias("final_op"),
+        F.when(g1 < 80, truth).otherwise(rot1).alias("algo_op"),
+        F.when(g2 < 85, truth).otherwise(rot2).alias("first_op"),
+    )
+
+
+@register(
+    "ev_macro_f1",
+    sql=f"""
+    WITH {_SQL_LABELS},
+    kept AS (
+      SELECT * FROM labels WHERE final_op != 'O' OR algo_op != 'O'
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN final_op = algo_op THEN 1 ELSE 0 END) AS DOUBLE) AS hits,
+             CAST(sum(CASE WHEN final_op = 'H' AND algo_op = 'H' THEN 1 ELSE 0 END) AS DOUBLE) AS tp_h,
+             CAST(sum(CASE WHEN final_op != 'H' AND algo_op = 'H' THEN 1 ELSE 0 END) AS DOUBLE) AS fp_h,
+             CAST(sum(CASE WHEN final_op = 'H' AND algo_op != 'H' THEN 1 ELSE 0 END) AS DOUBLE) AS fn_h,
+             CAST(sum(CASE WHEN final_op = 'W' AND algo_op = 'W' THEN 1 ELSE 0 END) AS DOUBLE) AS tp_w,
+             CAST(sum(CASE WHEN final_op != 'W' AND algo_op = 'W' THEN 1 ELSE 0 END) AS DOUBLE) AS fp_w,
+             CAST(sum(CASE WHEN final_op = 'W' AND algo_op != 'W' THEN 1 ELSE 0 END) AS DOUBLE) AS fn_w
+      FROM kept
+    ),
+    pr AS (
+      SELECT n, hits / n AS accuracy,
+             CASE WHEN tp_h + fp_h > 0 THEN tp_h / (tp_h + fp_h) ELSE 0 END AS p_h,
+             CASE WHEN tp_h + fn_h > 0 THEN tp_h / (tp_h + fn_h) ELSE 0 END AS r_h,
+             CASE WHEN tp_w + fp_w > 0 THEN tp_w / (tp_w + fp_w) ELSE 0 END AS p_w,
+             CASE WHEN tp_w + fn_w > 0 THEN tp_w / (tp_w + fn_w) ELSE 0 END AS r_w
+      FROM c
+    ),
+    f AS (
+      SELECT n, accuracy,
+             CASE WHEN p_h + r_h > 0 THEN 2 * p_h * r_h / (p_h + r_h) ELSE 0 END AS f1_h,
+             CASE WHEN p_w + r_w > 0 THEN 2 * p_w * r_w / (p_w + r_w) ELSE 0 END AS f1_w
+      FROM pr
+    )
+    SELECT n, round(accuracy, 6) AS accuracy,
+           round(f1_h, 6) AS f1_h, round(f1_w, 6) AS f1_w,
+           round((f1_h + f1_w) / 2, 6) AS macro_f1
+    FROM f
+    """,
+    tags=("evaluation", "macro-f1"),
+    doc="macro-F1 over {H,W} + accuracy after filter_o — the reference's "
+    "home/work model-selection objective (08-optimization.Rmd:74-101, "
+    "sklearn labels=['H','W'] average='macro' semantics incl. "
+    "zero_division=0), as one conditional-aggregation pass",
+)
+def ev_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _hw_labels(spark, sf_dir)
+    out = evaluation.classification_metrics(labels, "final_op", "algo_op")
+    return out.select(
+        "n",
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("f1_H", 6).alias("f1_h"),
+        F.round("f1_W", 6).alias("f1_w"),
+        F.round("macro_f1", 6).alias("macro_f1"),
+    )
+
+
+@register(
+    "ev_cohens_kappa",
+    sql=f"""
+    WITH {_SQL_LABELS},
+    kept AS (
+      SELECT first_op AS a, algo_op AS b FROM labels
+      WHERE first_op IN ('H', 'W') AND algo_op IN ('H', 'W')
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS DOUBLE) AS agree,
+             CAST(sum(CASE WHEN a = 'H' THEN 1 ELSE 0 END) AS DOUBLE) AS ma_h,
+             CAST(sum(CASE WHEN b = 'H' THEN 1 ELSE 0 END) AS DOUBLE) AS mb_h,
+             CAST(sum(CASE WHEN a = 'W' THEN 1 ELSE 0 END) AS DOUBLE) AS ma_w,
+             CAST(sum(CASE WHEN b = 'W' THEN 1 ELSE 0 END) AS DOUBLE) AS mb_w
+      FROM kept
+    ),
+    k AS (
+      SELECT n, agree / n AS p_o,
+             (ma_h / n) * (mb_h / n) + (ma_w / n) * (mb_w / n) AS p_e
+      FROM c
+    )
+    SELECT n, round(p_o, 6) AS p_o, round(p_e, 6) AS p_e,
+           round(CASE WHEN p_e < 1 THEN (p_o - p_e) / (1 - p_e) ELSE 1 END, 6)
+             AS kappa
+    FROM k
+    """,
+    tags=("evaluation", "kappa"),
+    doc="Cohen's κ between validator and algorithm restricted to labels "
+    "{H,W} (08-optimization.Rmd:85-88, sklearn cohen_kappa_score "
+    "labels=['H','W'] semantics: rows with O in either rater dropped)",
+)
+def ev_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _hw_labels(spark, sf_dir)
+    out = evaluation.cohen_kappa(labels, "first_op", "algo_op")
+    return out.select(
+        "n",
+        F.round("p_o", 6).alias("p_o"),
+        F.round("p_e", 6).alias("p_e"),
+        F.round("kappa", 6).alias("kappa"),
+    )
+
+
+_BOOT_N = 20
+_BOOT_SEED = 7
+
+
+@register(
+    "ev_bootstrap_f1",
+    sql=f"""
+    WITH {_SQL_LABELS},
+    base AS (
+      SELECT user_id AS u, act_buck AS bk, final_op AS t, algo_op AS p
+      FROM labels WHERE final_op != 'O' OR algo_op != 'O'
+    ),
+    users AS (SELECT DISTINCT bk, u FROM base),
+    indexed AS (
+      SELECT bk, u, row_number() OVER (PARTITION BY bk ORDER BY u) AS idx
+      FROM users
+    ),
+    sizes AS (SELECT bk, max(idx) AS nb FROM indexed GROUP BY bk),
+    reps AS (
+      SELECT bk, nb, unnest(range(1, {_BOOT_N} + 1)) AS i FROM sizes
+    ),
+    draws AS (
+      SELECT bk, i,
+             ((i * {evaluation._BOOT_A} + unnest(range(1, nb + 1)) * {evaluation._BOOT_B}
+               + {_BOOT_SEED} + bk * 997) % {evaluation._BOOT_MOD}
+              * {evaluation._BOOT_MULT} % {evaluation._BOOT_MOD}
+              * {evaluation._BOOT_MULT} % {evaluation._BOOT_MOD}) % nb + 1 AS idx
+      FROM reps
+    ),
+    mult AS (
+      SELECT i, u, CAST(count(*) AS BIGINT) AS m
+      FROM draws JOIN indexed USING (bk, idx)
+      GROUP BY i, u
+    ),
+    per_rep AS (
+      SELECT i,
+             CAST(sum(m) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN t = p THEN m ELSE 0 END) AS DOUBLE) AS hits,
+             CAST(sum(CASE WHEN t = 'H' AND p = 'H' THEN m ELSE 0 END) AS DOUBLE) AS tp_h,
+             CAST(sum(CASE WHEN t != 'H' AND p = 'H' THEN m ELSE 0 END) AS DOUBLE) AS fp_h,
+             CAST(sum(CASE WHEN t = 'H' AND p != 'H' THEN m ELSE 0 END) AS DOUBLE) AS fn_h,
+             CAST(sum(CASE WHEN t = 'W' AND p = 'W' THEN m ELSE 0 END) AS DOUBLE) AS tp_w,
+             CAST(sum(CASE WHEN t != 'W' AND p = 'W' THEN m ELSE 0 END) AS DOUBLE) AS fp_w,
+             CAST(sum(CASE WHEN t = 'W' AND p != 'W' THEN m ELSE 0 END) AS DOUBLE) AS fn_w
+      FROM base JOIN mult USING (u)
+      GROUP BY i
+    ),
+    scored AS (
+      SELECT i, hits / n AS accuracy,
+             (CASE WHEN (CASE WHEN tp_h + fp_h > 0 THEN tp_h / (tp_h + fp_h) ELSE 0 END)
+                        + (CASE WHEN tp_h + fn_h > 0 THEN tp_h / (tp_h + fn_h) ELSE 0 END) > 0
+                   THEN 2 * (CASE WHEN tp_h + fp_h > 0 THEN tp_h / (tp_h + fp_h) ELSE 0 END)
+                          * (CASE WHEN tp_h + fn_h > 0 THEN tp_h / (tp_h + fn_h) ELSE 0 END)
+                          / ((CASE WHEN tp_h + fp_h > 0 THEN tp_h / (tp_h + fp_h) ELSE 0 END)
+                             + (CASE WHEN tp_h + fn_h > 0 THEN tp_h / (tp_h + fn_h) ELSE 0 END))
+                   ELSE 0 END
+              + CASE WHEN (CASE WHEN tp_w + fp_w > 0 THEN tp_w / (tp_w + fp_w) ELSE 0 END)
+                          + (CASE WHEN tp_w + fn_w > 0 THEN tp_w / (tp_w + fn_w) ELSE 0 END) > 0
+                   THEN 2 * (CASE WHEN tp_w + fp_w > 0 THEN tp_w / (tp_w + fp_w) ELSE 0 END)
+                          * (CASE WHEN tp_w + fn_w > 0 THEN tp_w / (tp_w + fn_w) ELSE 0 END)
+                          / ((CASE WHEN tp_w + fp_w > 0 THEN tp_w / (tp_w + fp_w) ELSE 0 END)
+                             + (CASE WHEN tp_w + fn_w > 0 THEN tp_w / (tp_w + fn_w) ELSE 0 END))
+                   ELSE 0 END) / 2 AS macro_f1
+      FROM per_rep
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           round(avg(macro_f1), 6) AS f1_mean,
+           round(stddev_samp(macro_f1), 6) AS f1_std,
+           round(avg(accuracy), 6) AS acc_mean,
+           round(stddev_samp(accuracy), 6) AS acc_std
+    FROM scored
+    """,
+    tags=("evaluation", "bootstrap"),
+    doc="balanced bootstrap of the macro-F1 gate "
+    "(08-optimization.Rmd:104-125): users resampled with replacement "
+    "within activity buckets via deterministic LCG draws (not rand()) — "
+    "partition-invariant, retry-safe, and exactly oracle-replayable; "
+    "fully distributed (windowed index + equi-joins + weighted "
+    "conditional aggregation, nothing collected)",
+)
+def ev_bootstrap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _hw_labels(spark, sf_dir)
+    out = evaluation.balanced_bootstrap_metrics(
+        labels,
+        "final_op",
+        "algo_op",
+        "user_id",
+        "act_buck",
+        n_samples=_BOOT_N,
+        seed=_BOOT_SEED,
+    )
+    return out.select(
+        "n_samples",
+        F.round("f1_mean", 6).alias("f1_mean"),
+        F.round("f1_std", 6).alias("f1_std"),
+        F.round("acc_mean", 6).alias("acc_mean"),
+        F.round("acc_std", 6).alias("acc_std"),
+    )

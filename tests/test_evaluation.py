@@ -1,0 +1,124 @@
+"""Unit tests for the H/W-labeling quality gate (macro-F1 / Cohen's κ /
+balanced bootstrap) — hand-computed sklearn-semantics expectations on
+tiny fixtures (sklearn itself isn't in the container), plus determinism
+and genuine-resampling properties of the bootstrap.
+
+Reference semantics under test: `08-optimization.Rmd:74-125` —
+f1_score(labels=['H','W'], average='macro') after filter_o,
+cohen_kappa_score(labels=['H','W']), 100-resample balanced bootstrap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sdg_big_data_spark.operators import evaluation
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(
+        [(i, t, p) for i, (t, p) in enumerate(pairs)],
+        schema="user_id long, truth string, pred string",
+    )
+
+
+def test_classification_metrics_hand_computed(spark):
+    # confusion (truth rows × pred cols) over H/W/O after filter_o:
+    #   H: HH=3 HW=1 HO=1 | W: WH=1 WW=2 WO=0 | O: OH=1 OW=0 (OO dropped)
+    pairs = (
+        [("H", "H")] * 3
+        + [("H", "W")]
+        + [("H", "O")]
+        + [("W", "H")]
+        + [("W", "W")] * 2
+        + [("O", "H")]
+        + [("O", "O")] * 4  # filter_o removes these
+    )
+    out = evaluation.classification_metrics(
+        _rows(spark, pairs), "truth", "pred"
+    ).collect()[0]
+    assert out["n"] == 9
+    assert out["accuracy"] == pytest.approx(5 / 9)
+    # H: P=3/5, R=3/5 -> F1=0.6 ; W: P=2/3, R=2/3 -> F1=2/3
+    assert out["f1_H"] == pytest.approx(0.6)
+    assert out["f1_W"] == pytest.approx(2 / 3)
+    assert out["macro_f1"] == pytest.approx((0.6 + 2 / 3) / 2)
+
+
+def test_classification_metrics_zero_division(spark):
+    # pred never says W -> precision_W undefined -> sklearn zero_division=0
+    pairs = [("H", "H"), ("W", "H"), ("W", "H")]
+    out = evaluation.classification_metrics(
+        _rows(spark, pairs), "truth", "pred"
+    ).collect()[0]
+    assert out["f1_W"] == 0.0
+    assert out["f1_H"] == pytest.approx(2 * (1 / 3) * 1 / ((1 / 3) + 1))
+
+
+def test_cohen_kappa_hand_computed(spark):
+    # restricted to {H,W}: n=10, agree=7; a: 6H 4W, b: 5H 5W
+    # p_o=0.7, p_e=0.6*0.5+0.4*0.5=0.5, kappa=(0.7-0.5)/0.5=0.4
+    pairs = (
+        [("H", "H")] * 4
+        + [("H", "W")] * 2
+        + [("W", "H")]
+        + [("W", "W")] * 3
+        + [("O", "H"), ("H", "O")]  # dropped by label restriction
+    )
+    out = evaluation.cohen_kappa(_rows(spark, pairs), "truth", "pred").collect()[0]
+    assert out["n"] == 10
+    assert out["p_o"] == pytest.approx(0.7)
+    assert out["p_e"] == pytest.approx(0.5)
+    assert out["kappa"] == pytest.approx(0.4)
+
+
+def test_cohen_kappa_perfect_agreement(spark):
+    pairs = [("H", "H")] * 3 + [("W", "W")] * 3
+    out = evaluation.cohen_kappa(_rows(spark, pairs), "truth", "pred").collect()[0]
+    assert out["kappa"] == pytest.approx(1.0)
+
+
+def _boot_fixture(spark, n_users=40):
+    # 3 locations per user; deterministic 'mistake' pattern so per-user
+    # accuracy varies (resampling users must then move the metric).
+    rows = []
+    for u in range(n_users):
+        for c in range(3):
+            t = "H" if (u + c) % 2 == 0 else "W"
+            p = t if (u * 7 + c) % 5 != 0 else ("W" if t == "H" else "H")
+            rows.append((u, u % 4, t, p))
+    return spark.createDataFrame(
+        rows, schema="user_id long, act_buck long, truth string, pred string"
+    )
+
+
+def test_bootstrap_deterministic_and_genuinely_resampled(spark):
+    df = _boot_fixture(spark)
+    kw = dict(n_samples=15, seed=11)
+    a = evaluation.balanced_bootstrap_metrics(
+        df, "truth", "pred", "user_id", "act_buck", **kw
+    ).collect()[0]
+    b = evaluation.balanced_bootstrap_metrics(
+        df, "truth", "pred", "user_id", "act_buck", **kw
+    ).collect()[0]
+    assert a.asDict() == b.asDict()  # seeded + LCG draws -> bit-identical
+    assert a["n_samples"] == 15
+    # the resamples must actually differ from each other (guards against
+    # the affine-draw bijection bug where every replicate was the
+    # identity sample and std collapsed to 0)
+    assert a["f1_std"] > 0.0
+    assert a["acc_std"] > 0.0
+    # and stay centered near the full-sample metric
+    full = evaluation.classification_metrics(df, "truth", "pred").collect()[0]
+    assert a["f1_mean"] == pytest.approx(full["macro_f1"], abs=0.1)
+
+
+def test_bootstrap_seed_changes_draws(spark):
+    df = _boot_fixture(spark)
+    a = evaluation.balanced_bootstrap_metrics(
+        df, "truth", "pred", "user_id", "act_buck", n_samples=10, seed=1
+    ).collect()[0]
+    b = evaluation.balanced_bootstrap_metrics(
+        df, "truth", "pred", "user_id", "act_buck", n_samples=10, seed=2
+    ).collect()[0]
+    assert a["f1_mean"] != b["f1_mean"]
