@@ -71,7 +71,12 @@ def run_once(spark, name: str, fn) -> float:
     elapsed = time.perf_counter() - t0
     # release any caches the query built (self-join DAGs cache their
     # shared subtree); without this, repeated runs accumulate cached
-    # plans and storage memory grows monotonically (ADVICE r1)
+    # plans and storage memory grows monotonically (ADVICE r1).
+    # release_caches() drops the registered operator caches (the scoped
+    # production path); clearCache() then sweeps anything unregistered.
+    from sdg_big_data_spark.cachescope import release_caches
+
+    release_caches()
     spark.catalog.clearCache()
     return elapsed
 

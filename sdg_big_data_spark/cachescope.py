@@ -1,0 +1,69 @@
+"""Scoped cache registry — unpersist discipline for operator caches.
+
+Several operators ``.cache()`` an intermediate that feeds multiple
+consumers (shingle tables self-joined for Jaccard, minhash band
+signatures, simhash fingerprints, token explosions scoring + training a
+vocab). The cache is the right plan — without it the expensive
+scan→tokenize chain recomputes per consumer — but a bare ``.cache()``
+leaks: in a long-lived session composing these operators, storage memory
+accumulates until executors start evicting working-set blocks.
+
+Every operator cache therefore registers here via :func:`scoped_cache`;
+consumers that materialize results release with :func:`cache_scope`
+(mark/rollback — safe to nest) or :func:`release_caches` (drop
+everything, e.g. a bench harness between queries).
+
+``unpersist`` is always correctness-safe in Spark — dropping a cache
+merely means downstream actions recompute the lineage — so releasing
+"too early" can never corrupt a result, only slow a later reuse.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + register for later release."""
+    cached = df.cache()
+    _LIVE.append(cached)
+    return cached
+
+
+def live_cache_count() -> int:
+    return len(_LIVE)
+
+
+def release_caches(blocking: bool = False) -> int:
+    """Unpersist every registered cache; returns how many were dropped."""
+    n = 0
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped — nothing to release
+        n += 1
+    return n
+
+
+@contextmanager
+def cache_scope(blocking: bool = False):
+    """Release (only) the caches registered inside the ``with`` body —
+    mark/rollback semantics, so nested scopes and pre-existing caches
+    compose correctly. Wrap any entry point that materializes operator
+    results (pipelines, benchmarks, report builders)."""
+    mark = len(_LIVE)
+    try:
+        yield
+    finally:
+        while len(_LIVE) > mark:
+            df = _LIVE.pop()
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass

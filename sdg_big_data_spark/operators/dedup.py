@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..cachescope import scoped_cache
 from ..functions import text as T
 from . import windows
 
@@ -75,7 +76,7 @@ def jaccard_pairs(
     """
     # cached: feeds both sides of the self-join plus the size aggregate —
     # uncached, the tokenize→shingle chain runs 3x
-    sh = shingle_table(df, id_col, text_col, n).cache()
+    sh = scoped_cache(shingle_table(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -172,7 +173,8 @@ def minhash_lsh_candidates(
                 ":", F.sort_array(F.collect_list(F.format_string("%d.%d", "perm", "minhash")))
             ).alias("band_sig")
         )
-    ).cache()  # self-joined below — without the cache the full signature
+    )
+    bands = scoped_cache(bands)  # self-joined below — without the cache the full signature
     # pipeline (scan → shingle → dict → encode → min-agg) runs twice
     x = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     y = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
@@ -233,7 +235,7 @@ def simhash_near_dup_pairs(
     quadratic step never materializes."""
     # cached: the fingerprint DAG (tokenize → dictionary → votes) feeds
     # both sides of the band self-join
-    fp = simhash(df, id_col, text_col, bits).cache()
+    fp = scoped_cache(simhash(df, id_col, text_col, bits))
     n_bands = bits // band_bits
     banded = fp.select(
         F.col(id_col),

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cachescope import scoped_cache
 from ..functions import text as T
 from ..operators import relational
 from .catalog import register, table
@@ -369,7 +370,8 @@ def t_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan→normalize→tokenize→explode chain runs twice
     toks = docs.select(
         "doc_id", F.explode(T.tokenize(F.col("text"))).alias("tok")
-    ).cache()
+    )
+    toks = scoped_cache(toks)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
     vt = vocab.crossJoin(F.broadcast(total))

@@ -1,0 +1,72 @@
+"""Unpersist discipline (VERDICT r2 #6): every operator ``.cache()`` is
+registered with ``cachescope`` and released by consumers — after a
+materializing entry point wrapped in ``cache_scope`` returns, the
+session's persisted-RDD map is empty again.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sdg_big_data_spark import cachescope
+from sdg_big_data_spark.operators import dedup
+from sdg_big_data_spark.pipelines import dataprep
+from sdg_big_data_spark.plans.catalog import table
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_operator_caches_register_and_release(spark, sf_dir):
+    cachescope.release_caches()
+    spark.catalog.clearCache()
+    assert _n_persisted(spark) == 0
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    with cachescope.cache_scope(blocking=True):
+        n = dedup.minhash_lsh_candidates(docs, "doc_id", "text").count()
+        assert n >= 0
+        assert cachescope.live_cache_count() >= 1  # band table registered
+    assert cachescope.live_cache_count() == 0
+    assert _n_persisted(spark) == 0
+
+
+def test_nested_scopes_release_only_inner(spark, sf_dir):
+    cachescope.release_caches()
+    docs = table(spark, sf_dir, "documents").limit(100)
+    with cachescope.cache_scope(blocking=True):
+        dedup.jaccard_pairs(docs, "doc_id", "text").count()
+        outer_live = cachescope.live_cache_count()
+        assert outer_live >= 1
+        with cachescope.cache_scope(blocking=True):
+            dedup.simhash_near_dup_pairs(docs, "doc_id", "text").count()
+            assert cachescope.live_cache_count() > outer_live
+        assert cachescope.live_cache_count() == outer_live  # inner released
+    assert cachescope.live_cache_count() == 0
+
+
+def test_dataprep_pipeline_leaves_no_caches(spark, sf_dir):
+    cachescope.release_caches()
+    spark.catalog.clearCache()
+    docs = table(spark, sf_dir, "documents").limit(300)
+    with cachescope.cache_scope(blocking=True):
+        stages = dataprep.run(docs)
+        # materialize the terminal stages (the pipeline is lazy by design)
+        assert stages["near_dedup"].count() >= 0
+        assert stages["budget"].count() >= 0
+    assert _n_persisted(spark) == 0
+
+
+def test_release_is_correctness_safe(spark, sf_dir):
+    # unpersist before an action must only recompute, never change results
+    docs = table(spark, sf_dir, "documents").limit(150)
+    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text")
+    cachescope.release_caches(blocking=True)  # drop BEFORE materializing
+    a = sorted(r.asDict() for r in pairs.collect())
+    with cachescope.cache_scope(blocking=True):
+        b = sorted(
+            r.asDict()
+            for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+        )
+    assert a == b
