@@ -330,6 +330,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 6,
     arrow_verify: bool = True,
+    max_bucket_rows: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
     cosine verify (pairs a < b with cos >= threshold).
@@ -347,9 +348,18 @@ def embedding_near_dups(
       per-pair fold. Zero Python dependency; the per-pair higher-order
       fold is interpreted, so it loses at high pair counts.
 
-    At 100 TB, ``n_planes`` scales up to bound bucket sizes (pairs grow
-    quadratically per bucket); skewed buckets can additionally be salted
-    into sub-buckets with cross-salt pair joins.
+    **Hot-bucket salting** (``max_bucket_rows``, Arrow path): a bucket
+    of n rows is n²/2 pairs in ONE task — a single hot bucket (near-dup
+    clusters, zero vectors, spam floods) straggles or OOMs the stage no
+    matter how many executors exist. Buckets larger than
+    ``max_bucket_rows`` are split into ``s = ceil(n / cap)`` salt
+    sub-groups by id hash, and each unordered sub-group pair (sa ≤ sb)
+    becomes its own verify task keyed (bucket, sa, sb): per-task work is
+    bounded by cap² pairs and 2·cap rows, coverage is exact (every pair
+    lands in exactly one task), and results are bit-identical — same
+    per-pair arithmetic, just a different task decomposition. Cost: hot
+    buckets replicate rows s× (only hot buckets pay; cold buckets have
+    s=1 and one task, the unsalted plan). ``None`` disables.
     """
     b = df.withColumn(
         "__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes)
@@ -362,28 +372,110 @@ def embedding_near_dups(
 
         ship_package(df.sparkSession)
 
+        def _empty() -> "pd.DataFrame":
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+
+        def _pairs(ids_a, V_a, ids_b, V_b, ia, ib) -> "pd.DataFrame":
+            # Sequential-order sums (cumsum's last column == the left fold)
+            # keep bit-parity with the SQL/DuckDB form.
+            nrm_a = np.sqrt(np.cumsum(V_a * V_a, axis=1)[:, -1])
+            nrm_b = np.sqrt(np.cumsum(V_b * V_b, axis=1)[:, -1])
+            dots = np.cumsum(V_a[ia] * V_b[ib], axis=1)[:, -1]
+            cos = dots / (nrm_a[ia] * nrm_b[ib])
+            keep = cos >= threshold
+            lo = np.minimum(ids_a[ia[keep]], ids_b[ib[keep]])
+            hi = np.maximum(ids_a[ia[keep]], ids_b[ib[keep]])
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[keep]})
+
         def verify(pdf: pd.DataFrame) -> pd.DataFrame:
             n = len(pdf)
             if n < 2:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
-                )
+                return _empty()
             pdf = pdf.sort_values("__id")
             ids = pdf["__id"].to_numpy()
             V = np.array(list(pdf["__v"]), dtype=np.float64)
-            # Sequential-order sums (cumsum's last column == the left fold)
-            # keep bit-parity with the SQL/DuckDB form.
-            nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
             ia, ib = np.triu_indices(n, k=1)
-            dots = np.cumsum(V[ia] * V[ib], axis=1)[:, -1]
-            cos = dots / (nrm[ia] * nrm[ib])
-            keep = cos >= threshold
-            return pd.DataFrame(
-                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": cos[keep]}
+            return _pairs(ids, V, ids, V, ia, ib)
+
+        if max_bucket_rows is None:
+            return b.groupBy("__bkt").applyInPandas(
+                verify, schema="id_a long, id_b long, cos double"
             )
 
-        return b.groupBy("__bkt").applyInPandas(
-            verify, schema="id_a long, id_b long, cos double"
+        from ..cachescope import scoped_cache
+
+        b = scoped_cache(b)  # feeds the size aggregate AND the task fan-out
+        sizes = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__nb"))
+        salted = (
+            # ≤ 2^n_planes buckets → the size table is always broadcastable
+            b.join(F.broadcast(sizes), "__bkt")
+            .withColumn(
+                "__s",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("__nb") / F.lit(max_bucket_rows)),
+                ).cast("int"),
+            )
+            .withColumn(
+                "__salt", F.pmod(F.hash(F.col("__id")), F.col("__s")).cast("int")
+            )
+        )
+        task_t = "array<struct<sa:int,sb:int,role:string>>"
+        # Row with salt t joins tasks (t, j≥t) as side 'a' and (i<t, t) as
+        # side 'b'; the diagonal task (t, t) appears once, side 'a' only —
+        # so every unordered pair is generated in exactly one task.
+        tasks = F.concat(
+            F.transform(
+                F.sequence(F.col("__salt"), F.col("__s") - 1),
+                lambda j: F.struct(
+                    F.col("__salt").alias("sa"),
+                    j.cast("int").alias("sb"),
+                    F.lit("a").alias("role"),
+                ),
+            ),
+            F.when(
+                F.col("__salt") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__salt") - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("sa"),
+                        F.col("__salt").alias("sb"),
+                        F.lit("b").alias("role"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(task_t)),
+        )
+        fanned = salted.select(
+            "__id", "__v", "__bkt", F.explode(tasks).alias("__t")
+        ).select(
+            "__id",
+            "__v",
+            "__bkt",
+            F.col("__t.sa").alias("__sa"),
+            F.col("__t.sb").alias("__sb"),
+            F.col("__t.role").alias("__role"),
+        )
+
+        def verify_task(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf["__sa"].iat[0] == pdf["__sb"].iat[0]:
+                return verify(pdf)  # diagonal task: triangular pairs
+            a = pdf[pdf["__role"] == "a"].sort_values("__id")
+            c = pdf[pdf["__role"] == "b"].sort_values("__id")
+            if not len(a) or not len(c):
+                return _empty()
+            ids_a = a["__id"].to_numpy()
+            ids_b = c["__id"].to_numpy()
+            V_a = np.array(list(a["__v"]), dtype=np.float64)
+            V_b = np.array(list(c["__v"]), dtype=np.float64)
+            ia, ib = np.meshgrid(
+                np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij"
+            )
+            return _pairs(ids_a, V_a, ids_b, V_b, ia.ravel(), ib.ravel())
+
+        return fanned.groupBy("__bkt", "__sa", "__sb").applyInPandas(
+            verify_task, schema="id_a long, id_b long, cos double"
         )
     x = b.select(
         F.col("__id").alias("id_a"),

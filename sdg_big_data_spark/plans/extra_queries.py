@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cachescope import scoped_cache
 from ..functions.timeutil import epoch_micros, epoch_seconds
 from ..operators import joins
 from .catalog import register, table
@@ -163,7 +164,8 @@ def f7_kskip_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         F.array_contains(toks, "spark").alias("is_target"),
         F.explode(F.concat(contiguous, skip1)).alias("gram"),
-    ).cache()
+    )
+    grams = scoped_cache(grams)
     tot = grams.agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("double").alias("n_t"),
         F.count(F.lit(1)).cast("double").alias("n_all"),
