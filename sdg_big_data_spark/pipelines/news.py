@@ -108,7 +108,40 @@ def global_factor(panel: DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"day": filled.index, "factor": factor})
 
 
-def run(articles: DataFrame) -> dict[str, object]:
+def global_factor_dfm(
+    panel: DataFrame, ar_order: int = 8, n_iter: int = 50
+) -> pd.DataFrame:
+    """The reference's ACTUAL estimator (`3_sentiment_global.do:33-38`):
+    single-factor dynamic-factor model with AR(``ar_order``) factor
+    dynamics, fit by EM/Kalman MLE on the (day × country) panel with
+    missing days filled as 0 (the .do file's ``replace vv = 0 if
+    mi(vv)`` after ``tsfill``), reporting the FILTERED factor
+    (``smethod(filter)``). :func:`global_factor` (SVD PC1) remains as
+    the cheap static approximation.
+
+    Returns a pandas frame (day, factor, factor_smoothed)."""
+    from ..operators.dfactor import fit_dynamic_factor
+
+    pdf = (
+        panel.select("country", "day", "sentiment_z")
+        .toPandas()
+        .pivot_table(index="day", columns="country", values="sentiment_z")
+        .sort_index()
+    )
+    filled = pdf.fillna(0.0)
+    fit = fit_dynamic_factor(
+        filled.to_numpy(dtype=float), ar_order=ar_order, n_iter=n_iter
+    )
+    return pd.DataFrame(
+        {
+            "day": filled.index,
+            "factor": fit["factor_filtered"],
+            "factor_smoothed": fit["factor_smoothed"],
+        }
+    )
+
+
+def run(articles: DataFrame, ar_order: int = 8) -> dict[str, object]:
     """Full pipeline on an articles frame with (an, date,
     regions array<string>, full_text)."""
     scored = article_sentiment(articles)
@@ -120,4 +153,5 @@ def run(articles: DataFrame) -> dict[str, object]:
         "panel": panel,
         "standardized": std,
         "global_factor": global_factor(std),
+        "global_factor_dfm": global_factor_dfm(std, ar_order=ar_order),
     }
