@@ -171,6 +171,7 @@ def spatial_join_wkt(
     wkt_col: str = "geometry",
     cell_deg: float = 0.01,
     buffer_deg: float = 0.0,
+    max_polygons: int = 100_000,
 ) -> DataFrame:
     """J6 (general form) — coarse bbox/grid join, then exact ray-cast
     point-in-polygon refinement in a vectorized Arrow batch.
@@ -178,10 +179,26 @@ def spatial_join_wkt(
     Polygon bboxes are derived on the driver (polygons are dimension
     tables by assumption, as in the reference where admin CSVs are
     broadcast); the refine UDF receives only coarse-join survivors.
+
+    The dimension-table assumption is ENFORCED, not assumed:
+    ``max_polygons`` caps the driver-side collect (the world's admin-2
+    boundaries are ~48k rows, well inside the default 100k). A polygon
+    side that trips the guard is fact-table-sized and needs a
+    partitioned geometry join (grid-cell explode both sides), not this
+    broadcast plan.
     """
     from ..session import ship_package
 
     ship_package(points.sparkSession)
+    n_polys = polygons.limit(max_polygons + 1).count()
+    if n_polys > max_polygons:
+        raise ValueError(
+            f"spatial_join_wkt collects the polygon side to the driver "
+            f"(broadcast-dimension contract) but it has > {max_polygons} "
+            f"rows. Raise max_polygons only if driver memory allows; for a "
+            f"fact-sized geometry table, grid-cell-explode BOTH sides and "
+            f"equi-join on cell instead."
+        )
     pdf = polygons.select(geom_id_col, wkt_col).toPandas()
     rings = {r[geom_id_col]: parse_wkt_polygon(r[wkt_col]) for _, r in pdf.iterrows()}
     boxes = []

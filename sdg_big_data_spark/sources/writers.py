@@ -33,7 +33,23 @@ def write_partitioned(
     date-range query prune to a handful of partitions instead of a full
     scan.
     """
+    if fmt == "delta" and not _delta_available(df.sparkSession):
+        raise RuntimeError(
+            "Delta Lake is not available in this environment (no delta-spark "
+            "module / delta JVM classes — probed, see COVERAGE.md 'Delta "
+            "availability'). Use fmt='parquet' (same partition-pruning "
+            "semantics) or run on a cluster with delta-spark installed."
+        )
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    """True iff the Delta Lake classes are loadable in this JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName("io.delta.sql.DeltaSparkSessionExtension")
+        return True
+    except Exception:
+        return False
 
 
 def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
@@ -74,8 +90,55 @@ def write_bucketed(
     w.mode(mode).format("parquet").saveAsTable(table_name)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Interleaved-bit (Morton / Z-order) sort key over ``cols``.
+
+    Each column is min/max-normalized to ``bits`` bits, then the bits are
+    interleaved — rows close in the key are close in EVERY column, so
+    files/row-groups written in key order carry tight min/max footer
+    stats on all ``cols`` simultaneously and multi-column range
+    predicates skip most of the table (the effect Delta's
+    ``OPTIMIZE ZORDER BY`` buys; same technique, parquet-native).
+    Pure shift/and/or expressions — whole-stage codegen, no Python.
+
+    Returns (key Column, stats Row) — stats is the one collected min/max
+    row (dimension-sized: 2 doubles per column).
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    terms = []
+    for ci, c in enumerate(cols):
+        lo, hi = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+        rng = (hi - lo) if (hi is not None and lo is not None) else 0.0
+        if rng and rng > 0:
+            scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(rng) * F.lit(top)
+        else:
+            scaled = F.lit(0.0)
+        q = F.least(
+            F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(top)
+        )
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * len(cols) + ci
+                )
+            )
+    key = terms[0]
+    for t in terms[1:]:
+        key = key + t  # bit positions are disjoint: sum == bitwise-or
+    return key, stats
+
+
 def optimize_table(
-    spark: SparkSession, path: str, target_file_mb: int = 128
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    zorder_cols: list[str] | None = None,
 ) -> None:
     """S14 — compaction (`tz_offset.scala:32` runs Delta ``OPTIMIZE``).
 
@@ -88,9 +151,19 @@ def optimize_table(
     silent killer of 100 TB scans (listing + task-per-file overhead). On
     Delta/Iceberg deployments, swap for the native OPTIMIZE/rewrite
     action — same contract.
+
+    ``zorder_cols`` additionally clusters each rewritten leaf by the
+    interleaved-bit key (:func:`zorder_key`) — ``repartitionByRange`` on
+    the key plus within-file sort, so every output file covers a small
+    hyper-rectangle of the column space and parquet footer stats prune
+    multi-column range predicates (Delta's ``OPTIMIZE ZORDER BY``
+    analogue). A z-ordered leaf is rewritten even when already compact:
+    clustering, not file count, is the point.
     """
     import glob
     import shutil
+
+    from pyspark.sql import functions as F
 
     leaf_dirs = sorted(
         {
@@ -102,14 +175,25 @@ def optimize_table(
         files = glob.glob(os.path.join(d, "*.parquet"))
         size_b = sum(os.path.getsize(f) for f in files)
         n_files = int(max(1, size_b // (target_file_mb * 1024 * 1024)))
-        if len(files) <= n_files:
+        if len(files) <= n_files and not zorder_cols:
             continue  # already compact enough
         # Reading the leaf dir drops the partition-column values, but they
         # live in the directory NAME, which is preserved by the rename —
         # a table-level read re-derives them from the path as before.
         df = spark.read.parquet(d)
+        if zorder_cols:
+            key, _ = zorder_key(df, zorder_cols)
+            df = (
+                df.withColumn("__z", key)
+                .repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            writer = df.write
+        else:
+            writer = df.coalesce(n_files).write
         tmp = d.rstrip("/") + "__compacted"
-        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        writer.mode("overwrite").parquet(tmp)
         shutil.rmtree(d)
         os.rename(tmp, d)
 

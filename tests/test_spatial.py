@@ -116,3 +116,24 @@ def test_spatial_join_wkt_border_buffer(spark):
     assert {r["pid"] for r in plain.collect()} == {1}
     buffered = spatial_join_wkt(pts, polys, cell_deg=0.5, buffer_deg=0.005)
     assert {r["pid"] for r in buffered.collect()} == {1, 2}
+
+
+def test_wkt_join_polygon_size_guard(spark):
+    """The broadcast-dimension contract is enforced: a polygon side over
+    max_polygons fails loudly before any driver-side collect."""
+    import pytest
+
+    from sdg_big_data_spark.operators.spatial import spatial_join_wkt
+
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5)], schema="event_id long, lat double, lon double"
+    )
+    polys = spark.range(50).select(
+        F.concat(F.lit("g"), F.col("id")).alias("geom_id"),
+        F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))").alias("geometry"),
+    )
+    with pytest.raises(ValueError, match="grid-cell-explode"):
+        spatial_join_wkt(pts, polys, max_polygons=10)
+    # under the cap the join runs fine
+    out = spatial_join_wkt(pts, polys.limit(3), max_polygons=10)
+    assert out.count() == 3
