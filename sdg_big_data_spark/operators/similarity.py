@@ -406,8 +406,17 @@ def embedding_near_dups(
 
         from ..cachescope import scoped_cache
 
-        b = scoped_cache(b)  # feeds the size aggregate AND the task fan-out
+        b = scoped_cache(b)  # feeds the size probe AND the verify pass
         sizes = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__nb"))
+        # Adaptive: the size table is <= 2^n_planes rows — probe its max
+        # (one partial-agg pass that also materializes the cache) and keep
+        # the plain one-task-per-bucket plan when nothing is hot; only a
+        # skewed corpus pays the fan-out's join/explode overhead.
+        max_nb = sizes.agg(F.max("__nb")).collect()[0][0] or 0
+        if max_nb <= max_bucket_rows:
+            return b.groupBy("__bkt").applyInPandas(
+                verify, schema="id_a long, id_b long, cos double"
+            )
         salted = (
             # ≤ 2^n_planes buckets → the size table is always broadcastable
             b.join(F.broadcast(sizes), "__bkt")
