@@ -1,0 +1,106 @@
+"""Streaming dedup: stream-vs-batch parity (the stream's surviving key
+set equals batch dedup's) and the bounded-state contract.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sdg_big_data_spark.functions import text as T
+from sdg_big_data_spark.streaming.dedup import (
+    streaming_content_dedup,
+    streaming_key_dedup,
+)
+
+
+def _docs_with_dups(spark, path):
+    t0 = dt.datetime(2021, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        body = f"document body number {i % 20} with shared content"
+        rows.append((i, t0 + dt.timedelta(minutes=i), body))
+    df = spark.createDataFrame(rows, schema="doc_id long, ts timestamp, text string")
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_streaming_content_dedup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = _docs_with_dups(spark, src)
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        src
+    )
+    deduped = streaming_content_dedup(stream, "text", "ts", watermark="2 hours")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    # 20 distinct bodies; exactly one survivor per content fingerprint
+    assert got.count() == 20
+    stream_fps = {
+        r["fp"]
+        for r in got.select(T.doc_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    batch_fps = {
+        r["fp"]
+        for r in batch.select(
+            T.doc_fingerprint(F.col("text")).alias("fp")
+        ).distinct().collect()
+    }
+    assert stream_fps == batch_fps  # stream and batch agree on identity
+
+
+def test_streaming_key_dedup_first_arrival_wins(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2021, 1, 1, 0, 0, 0)
+    rows = [
+        (k, t0 + dt.timedelta(minutes=m), f"payload-{k}-{m}")
+        for k in range(5)
+        for m in range(4)  # 4 duplicate arrivals per key, minutes apart
+    ]
+    spark.createDataFrame(
+        rows, schema="k long, ts timestamp, payload string"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("k long, ts timestamp, payload string").parquet(
+        src
+    )
+    q = (
+        streaming_key_dedup(stream, ["k"], "ts", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 5  # one row per key
+    assert {r["k"] for r in got.collect()} == set(range(5))
+
+
+def test_streaming_dedup_plan_is_watermark_bounded(spark):
+    """The physical plan must carry the watermark-bounded dedup operator
+    (bounded state), not the unbounded stream dropDuplicates."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .withColumnRenamed("timestamp", "ts")
+    )
+    deduped = streaming_key_dedup(stream, ["value"], "ts", watermark="10 minutes")
+    plan = deduped.explain(extended=True) or deduped._jdf.queryExecution().toString()
+    assert "dropDuplicatesWithinWatermark" in plan.lower().replace(" ", "") or (
+        "deduplicatewithinwatermark" in plan.lower().replace(" ", "")
+    )
