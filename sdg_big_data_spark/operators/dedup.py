@@ -25,6 +25,8 @@ so the DuckDB oracle can replay it bit-for-bit.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from ..cachescope import scoped_cache
@@ -138,23 +140,30 @@ def minhash_signatures(
     sh = shingle_table(df, id_col, text_col, n)
     enc = sh.select(
         F.col(id_col),
-        (portable_hash60(F.col("shingle")) % F.lit(MINHASH_PRIME)).alias("sid"),
+        (portable_hash60(F.col("shingle")) % F.lit(MINHASH_PRIME))
+        .cast("long")
+        .alias("sid"),
     )
-    perms = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(a).cast("long").alias("a"),
-                F.lit(b).cast("long").alias("b"),
-            )
-            for i, (a, b) in enumerate(MINHASH_PERMS)
-        ]
-    )
-    exploded = enc.select(id_col, F.col("sid").cast("long").alias("sid"), F.explode(perms).alias("p"))
-    return exploded.groupBy(id_col, F.col("p.i").alias("perm")).agg(
+    # All k permutation minima as conditional aggregates in ONE
+    # groupBy(id) — the shuffle carries 1 row per shingle (map-side
+    # partial min collapses each partition to one row per doc) instead
+    # of k exploded rows; the wide row then unpivots to the (id, perm,
+    # minhash) contract with a zero-shuffle stack.
+    mins = [
         F.min(
-            (F.col("p.a") * F.col("sid") + F.col("p.b")) % F.lit(MINHASH_PRIME)
-        ).alias("minhash")
+            (F.lit(a).cast("long") * F.col("sid") + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    wide = enc.groupBy(id_col).agg(*mins)
+    stack_expr = ", ".join(
+        f"{i}L, __m{i}" for i in range(len(MINHASH_PERMS))
+    )
+    return wide.select(
+        F.col(id_col),
+        F.expr(
+            f"stack({len(MINHASH_PERMS)}, {stack_expr}) AS (perm, minhash)"
+        ),
     )
 
 
@@ -198,23 +207,30 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     enc = toks.select(
         F.col(id_col), (portable_hash60(F.col("tok")) % F.lit(2**32)).alias("h")
     )
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # integer bit ops only (portable to any SQL oracle): bit b of h is
-    # (h >> b) & 1; the fingerprint reassembles as sum of (1 << b).
-    per_bit = enc.select(id_col, "h", bit_idx).withColumn(
-        "vote",
+    # Integer bit ops only (portable to any SQL oracle): bit b of h is
+    # (h >> b) & 1. All ``bits`` majority votes run as conditional sums
+    # in ONE aggregation — bit b of the fingerprint is set iff
+    # 2*ones_b > n (strict majority; +1/-1 vote sum > 0 is the same
+    # predicate). vs the explode-per-bit form this shuffles 1 row per
+    # token instead of ``bits`` rows, and map-side partial aggregation
+    # collapses each partition to one row per doc before the exchange —
+    # at 100 TB the shuffle carries docs, not doc*token*bit rows.
+    ones = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"__o{b}")
+        for b in range(bits)
+    ]
+    g = enc.groupBy(id_col).agg(*ones, F.count(F.lit(1)).alias("__n"))
+    fp = reduce(
+        lambda acc, b: acc
+        + F.when(
+            F.col(f"__o{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+        range(1, bits),
         F.when(
-            F.expr("(h >> bit) & 1") == 1, F.lit(1)
-        ).otherwise(F.lit(-1)),
+            F.col("__o0") * 2 > F.col("__n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
     )
-    votes = per_bit.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    return g.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -190,8 +190,10 @@ def spatial_join_wkt(
     from ..session import ship_package
 
     ship_package(points.sparkSession)
-    n_polys = polygons.limit(max_polygons + 1).count()
-    if n_polys > max_polygons:
+    # The guard rides the collect the join needs anyway (limit max+1 →
+    # one job, bounded driver memory) instead of a separate count pass.
+    pdf = polygons.select(geom_id_col, wkt_col).limit(max_polygons + 1).toPandas()
+    if len(pdf) > max_polygons:
         raise ValueError(
             f"spatial_join_wkt collects the polygon side to the driver "
             f"(broadcast-dimension contract) but it has > {max_polygons} "
@@ -199,7 +201,6 @@ def spatial_join_wkt(
             f"fact-sized geometry table, grid-cell-explode BOTH sides and "
             f"equi-join on cell instead."
         )
-    pdf = polygons.select(geom_id_col, wkt_col).toPandas()
     rings = {r[geom_id_col]: parse_wkt_polygon(r[wkt_col]) for _, r in pdf.iterrows()}
     boxes = []
     for gid, ring in rings.items():

@@ -392,29 +392,35 @@ def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = text.tokenize(F.col("text"))
     g5 = text.ngrams(toks, 5)
-    hs = F.transform(
-        g5, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-    )
-    wins = text.let(
-        hs,
-        lambda h: F.transform(
-            F.sequence(F.lit(1), F.size(h)), lambda i: F.array_min(F.slice(h, i, 4))
-        ),
-    )
-    # let-bind the fingerprint array so the md5 pipeline evaluates once
-    # per row, not once per output column (projection collapse would
-    # otherwise inline it three times).
-    stats = text.let(
-        wins,
-        lambda w: F.struct(
-            F.size(F.array_distinct(w)).alias("n_fingerprints"),
-            F.array_min(w).alias("min_fp"),
-            F.array_max(w).alias("max_fp"),
-        ),
+
+    def _stats(g: Column) -> Column:
+        hs = F.transform(
+            g, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+        )
+        return text.let(
+            hs,
+            lambda h: text.let(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(h)),
+                    lambda i: F.array_min(F.slice(h, i, 4)),
+                ),
+                lambda w: F.struct(
+                    F.size(F.array_distinct(w)).alias("n_fingerprints"),
+                    F.array_min(w).alias("min_fp"),
+                    F.array_max(w).alias("max_fp"),
+                ),
+            ),
+        )
+
+    # ONE let over the gram array feeds both the empty-doc guard and the
+    # stats — a separate `.where(size(g5) > 0)` would re-run the whole
+    # tokenize→ngram chain a second time just for the filter.
+    guarded = text.let(
+        g5, lambda g: F.when(F.size(g) > 0, _stats(g))
     )
     return (
-        docs.where(F.size(g5) > 0)
-        .select("doc_id", stats.alias("__s"))
+        docs.select("doc_id", guarded.alias("__s"))
+        .where(F.col("__s").isNotNull())
         .select("doc_id", "__s.n_fingerprints", "__s.min_fp", "__s.max_fp")
     )
 
