@@ -62,6 +62,11 @@ HEADLINE = [
     "m_multimodal_features",
     "w4_full_rank",
     "j_asof_join",
+    # added round 3 (first trustworthy anchor round — BENCH_r01 was n=1 and
+    # cache-polluted, r02 crashed; totals are not comparable to r01/r02
+    # anyway, so the set is widened here rather than frozen incomplete):
+    "ev_bootstrap_f1",
+    "t_token_budget",
 ]
 
 

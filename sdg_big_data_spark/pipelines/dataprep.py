@@ -153,3 +153,38 @@ def run(
         "near_dedup": nd,
         "budget": budget_report(nd, text_col),
     }
+
+
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    order_cols: list | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget selection — the data-mixing stage of a training-data
+    pipeline: within each ``group_col`` stratum (language, source,
+    quality bucket), keep the best documents until the stratum's token
+    budget fills. "Best" = the caller's ``order_cols`` total order
+    (default: longest first, id tiebreak).
+
+    A doc survives iff its INCLUSIVE running token count ≤
+    ``budget_tokens`` under that order — exact, deterministic, and
+    SQL-replayable. The running sum uses
+    :func:`~..operators.windows.grouped_prefix_sum`, so one language
+    being 80% of the corpus never becomes a single sort partition.
+    """
+    from ..operators.windows import grouped_prefix_sum
+
+    counts = docs.withColumn(
+        "n_tokens", F.size(text.tokenize(F.col(text_col)))
+    )
+    ordering = order_cols or [
+        F.col("n_tokens").desc(),
+        F.col(id_col).asc(),
+    ]
+    summed = grouped_prefix_sum(
+        counts, [group_col], ordering, "n_tokens", cum_col="cum_tokens"
+    )
+    return summed.where(F.col("cum_tokens") <= budget_tokens)

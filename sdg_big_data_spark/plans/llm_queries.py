@@ -266,3 +266,38 @@ def g_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "t_token_budget",
+    sql=f"""
+    WITH c AS (
+      SELECT doc_id, lang, len({_SQL_TOKS.format(c="text")}) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY n_tokens DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM c
+    )
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= 3000
+    """,
+    tags=("budget", "data-mixing"),
+    doc="token-budget selection per language (training-data mixing): keep "
+    "longest-first docs while the stratum's inclusive running token count "
+    "stays within budget. Spark side runs the SCALABLE grouped prefix sum "
+    "(range shuffle + narrow Arrow cumsum + broadcast offsets — no "
+    "whole-group sort partition, windows.grouped_prefix_sum); the oracle "
+    "states the same semantics as a plain window cumsum",
+)
+def t_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.dataprep import budget_select
+
+    docs = table(spark, sf_dir, "documents")
+    out = budget_select(docs, budget_tokens=3000, group_col="lang")
+    return out.select(
+        "doc_id", "lang", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )

@@ -237,3 +237,47 @@ def test_global_rank_exact_and_partition_invariant(spark):
     assert lr.count() == n
     assert lr.agg(F.max("lr")).collect()[0][0] <= n
     assert lr.where(F.col("lr") < 1).count() == 0
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    """Scalable grouped prefix sum == the textbook whole-group window,
+    including on a heavily skewed group distribution."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sdg_big_data_spark.operators.windows import grouped_prefix_sum
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(5000):
+        g = "big" if i % 10 else f"small{i % 7}"  # ~90% of rows in one group
+        rows.append((i, g, int(rng.integers(1, 50))))
+    df = spark.createDataFrame(rows, schema="id long, g string, v long").repartition(16)
+
+    fast = grouped_prefix_sum(
+        df, ["g"], [F.col("v").desc(), F.col("id").asc()], "v", cum_col="c"
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = df.withColumn("c", F.sum("v").over(w).cast("double"))
+    a = {(r["id"], r["c"]) for r in fast.collect()}
+    b = {(r["id"], r["c"]) for r in ref.collect()}
+    assert a == b
+
+
+def test_grouped_prefix_sum_no_broadcast_variant(spark):
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.operators.windows import grouped_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, i % 3, 1) for i in range(300)], schema="id long, g int, v int"
+    )
+    out = grouped_prefix_sum(
+        df, ["g"], [F.col("id").asc()], "v", cum_col="c", broadcast_offsets=False
+    )
+    # each group is 100 rows of v=1 in id order -> cum c == rank within group
+    top = out.where(F.col("c") == 100.0)
+    assert top.count() == 3
