@@ -104,3 +104,63 @@ def fixed_n_sample(df: DataFrame, n: int, key_col: str, oversample: float = 1.2)
     hash ordering is a full shuffle of the *keys only* at worst; limit is
     pushed down (CollectLimit with early termination)."""
     return df.orderBy(hash_bucket(F.col(key_col)), F.col(key_col)).limit(n)
+
+
+def group_fixed_n(
+    df: DataFrame, group_cols: list[str], n: int, key_col: str
+) -> DataFrame:
+    """Deterministic fixed-n sample PER GROUP (the reference samples
+    fixed-size validation sets per activity bucket / per month): rank
+    rows within each group by the portable multiplicative hash of
+    ``key_col`` (id tiebreak) and keep the first ``n``.
+
+    Two-phase at scale — a plain ``Window.partitionBy(group)`` sorts a
+    whole group in one task, so a skewed group straggles:
+
+      1. narrow per-PHYSICAL-partition head-n per group (sort within
+         partitions + Arrow cumcount with cross-batch carry — no
+         shuffle, cuts each partition's contribution to ≤ n per group);
+      2. exact window rank over the survivors (≤ n × #partitions rows
+         per group reach the exchange, independent of group size).
+
+    Deterministic and engine-replayable: the hash order is pure integer
+    arithmetic, so an oracle states the same ranking directly.
+    """
+    from pyspark.sql.window import Window
+
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    gcols = list(group_cols)
+    base = df.withColumn("__hk", hash_bucket(F.col(key_col)))
+    ordering = (
+        [F.col(c).asc() for c in gcols]
+        + [F.col("__hk").asc(), F.col(key_col).asc()]
+    )
+    local = base.sortWithinPartitions(*ordering)
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in local.schema.fields
+    )
+
+    def head_n(batches):
+        import pandas as pd
+
+        carry_key, carry_cnt = None, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cnt = pdf.groupby(gcols, sort=False).cumcount()
+            keys = pd.MultiIndex.from_frame(pdf[gcols])
+            if carry_key is not None:
+                cnt = cnt + (keys == carry_key) * carry_cnt
+            carry_key = keys[-1]
+            carry_cnt = int(cnt.iloc[-1]) + 1
+            yield pdf[cnt < n]
+
+    pruned = local.mapInPandas(head_n, schema=schema)
+    w = Window.partitionBy(*gcols).orderBy(F.col("__hk").asc(), F.col(key_col).asc())
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__hk", "__rn")
+    )

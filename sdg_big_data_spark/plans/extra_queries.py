@@ -563,3 +563,83 @@ def a_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "a_quantiles",
+    sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("quantiles", "A1"),
+    doc="exact grouped quantiles (linear interpolation — Spark percentile "
+    "== DuckDB quantile_cont semantics). Exact form for oracle parity; at "
+    "100 TB swap percentile -> percentile_approx (t-digest, one pass, "
+    "mergeable sketches) — same call shape",
+)
+def a_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "a_corr_covar",
+    sql="""
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24 AS hr
+      FROM events
+    )
+    SELECT event_type,
+           round(corr(value, hr), 5) AS corr_vh,
+           round(covar_samp(value, hr), 5) AS covar_vh,
+           CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY event_type
+    """,
+    tags=("corr", "A7"),
+    doc="grouped Pearson correlation + sample covariance (value vs "
+    "hour-of-day) — single-pass mergeable moment aggregates; hour derived "
+    "from epoch integer arithmetic so both engines see identical inputs",
+)
+def a_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hr = (epoch_seconds("ts") / F.lit(3600)).cast("long") % 24
+    e = ev.select("event_type", "value", hr.alias("hr"))
+    return e.groupBy("event_type").agg(
+        F.round(F.corr("value", "hr"), 5).alias("corr_vh"),
+        F.round(F.covar_samp("value", "hr"), 5).alias("covar_vh"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "r4_group_sample",
+    sql="""
+    SELECT event_type, event_id, user_id
+    FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (event_id % 4294967296) * 2654435761 % 4294967296 ASC,
+                        event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 50
+    """,
+    tags=("R3", "sampling-group"),
+    doc="deterministic fixed-n sample per group (sampling.group_fixed_n): "
+    "portable multiplicative-hash order within group; two-phase narrow "
+    "prune (per-partition head-n, Arrow cumcount with carry) before the "
+    "exact window, so a skewed group never sorts in one task",
+)
+def r4_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import group_fixed_n
+
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "user_id")
+    return group_fixed_n(ev, ["event_type"], 50, "event_id")

@@ -281,3 +281,29 @@ def test_grouped_prefix_sum_no_broadcast_variant(spark):
     # each group is 100 rows of v=1 in id order -> cum c == rank within group
     top = out.where(F.col("c") == 100.0)
     assert top.count() == 3
+
+
+def test_group_fixed_n_matches_plain_window(spark):
+    """Two-phase pruned per-group sample == the textbook whole-group
+    window, and is invariant to the input partitioning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sdg_big_data_spark.operators.sampling import group_fixed_n, hash_bucket
+
+    rows = [(i, "g%d" % (i % 4), i * 3) for i in range(2000)]
+    base = spark.createDataFrame(rows, schema="event_id long, g string, v long")
+
+    def plain(df, n=25):
+        w = Window.partitionBy("g").orderBy(
+            hash_bucket(F.col("event_id")).asc(), F.col("event_id").asc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= n).drop("rn")
+        )
+
+    want = {tuple(r) for r in plain(base).collect()}
+    for parts in (1, 7, 32):
+        got = {tuple(r) for r in group_fixed_n(base.repartition(parts), ["g"], 25, "event_id").collect()}
+        assert got == want, f"partitioning {parts} changed the sample"
+    assert len(want) == 4 * 25
