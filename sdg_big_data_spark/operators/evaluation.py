@@ -295,10 +295,14 @@ def balanced_bootstrap_metrics(
         _safe_div(F.col("__hits"), F.col("n")).alias("accuracy"),
         macro.alias("macro_f1"),
     )
+    # percentile CI bounds (linear interpolation — identical semantics to
+    # DuckDB quantile_cont, so the CI itself is oracle-exact)
     return scored.agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.avg("macro_f1").alias("f1_mean"),
         F.stddev_samp("macro_f1").alias("f1_std"),
+        F.percentile("macro_f1", F.lit(0.025)).alias("f1_lo"),
+        F.percentile("macro_f1", F.lit(0.975)).alias("f1_hi"),
         F.avg("accuracy").alias("acc_mean"),
         F.stddev_samp("accuracy").alias("acc_std"),
     )

@@ -243,6 +243,8 @@ _BOOT_SEED = 7
     SELECT CAST(count(*) AS BIGINT) AS n_samples,
            round(avg(macro_f1), 6) AS f1_mean,
            round(stddev_samp(macro_f1), 6) AS f1_std,
+           round(quantile_cont(macro_f1, 0.025), 6) AS f1_lo,
+           round(quantile_cont(macro_f1, 0.975), 6) AS f1_hi,
            round(avg(accuracy), 6) AS acc_mean,
            round(stddev_samp(accuracy), 6) AS acc_std
     FROM scored
@@ -270,6 +272,8 @@ def ev_bootstrap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round("f1_mean", 6).alias("f1_mean"),
         F.round("f1_std", 6).alias("f1_std"),
+        F.round("f1_lo", 6).alias("f1_lo"),
+        F.round("f1_hi", 6).alias("f1_hi"),
         F.round("acc_mean", 6).alias("acc_mean"),
         F.round("acc_std", 6).alias("acc_std"),
     )

@@ -301,3 +301,36 @@ def t_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
     )
+
+
+@register(
+    "t_pack_plan",
+    sql=f"""
+    WITH c AS (
+      SELECT source, doc_id, len({_SQL_TOKS.format(c="text")}) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM c WHERE n_tokens > 0
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset,
+           CAST((cum - 1) // 512 AS BIGINT) AS last_bin
+    FROM s
+    """,
+    tags=("packing", "data-mixing"),
+    doc="sequence-packing plan (packing.pack_plan): per-shard contiguous "
+    "token concatenation chopped into 512-token context windows; each doc "
+    "learns its (first_bin, bin_offset, last_bin) coordinates. Runs on the "
+    "scalable grouped prefix sum — no whole-shard sort partition; pure "
+    "integer window arithmetic, exactly oracle-replayable",
+)
+def t_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_plan
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_plan(docs, capacity=512, shard_cols=["source"])

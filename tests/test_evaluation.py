@@ -101,7 +101,17 @@ def test_bootstrap_deterministic_and_genuinely_resampled(spark):
     b = evaluation.balanced_bootstrap_metrics(
         df, "truth", "pred", "user_id", "act_buck", **kw
     ).collect()[0]
-    assert a.asDict() == b.asDict()  # seeded + LCG draws -> bit-identical
+    # The DRAWS are deterministic (LCG, no rand()); the per-replicate
+    # scores are exact integer ratios. The final mean/std over replicates
+    # is a distributed double sum whose partial-aggregation order is
+    # scheduler-dependent, so compare to float-accumulation precision
+    # (the catalog oracle rounds to 6dp and is immune).
+    for k in a.asDict():
+        av, bv = a[k], b[k]
+        if isinstance(av, float):
+            assert bv == pytest.approx(av, rel=1e-12, abs=1e-12), k
+        else:
+            assert av == bv, k
     assert a["n_samples"] == 15
     # the resamples must actually differ from each other (guards against
     # the affine-draw bijection bug where every replicate was the
