@@ -267,12 +267,15 @@ def simhash_near_dup_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
     )
-    cand = (
+    # The Hamming verify is a per-row bit_count — run it BEFORE the
+    # distinct, so pairs failing the threshold die in the join stage and
+    # never reach the dedup exchange (a pair can arrive via up to
+    # ``n_bands`` band matches; distinct still collapses the survivors).
+    return (
         a.join(b, ["band", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
         .distinct()
     )
-    return cand.withColumn(
-        "hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("int")
-    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -59,14 +59,18 @@ def near_dup_removal(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
+    strategy: str = "greedy",
 ) -> DataFrame:
     """Remove near-duplicates: MinHash+LSH candidate pairs → exact
-    shingle-Jaccard verify → drop the larger id of each surviving pair.
+    shingle-Jaccard verify → resolve survivors per ``strategy``:
 
-    Greedy keep-lowest-id resolution (one aggregation over pair edges) —
-    transitive chains collapse toward the smallest id; the full
-    connected-components alternative is an iterative large-star/small-star
-    loop, overkill for near-dup thresholds this high.
+    - ``"greedy"`` (default): drop the larger id of each verified pair —
+      one aggregation, but NOT transitive (chain a–b, b–c with a≁c drops
+      c even though only b links them);
+    - ``"components"``: true cluster semantics — connected components
+      over the verified pairs (`operators/graph.connected_components`,
+      iterative min-label propagation), keep exactly the minimum id of
+      each component.
 
     Scale shape of the verify stage (the r1 judge's #1 finding): the
     shingle table is FIRST semi-joined down to docs that appear in an LSH
@@ -102,7 +106,15 @@ def near_dup_removal(
         )
         .where(F.col("jaccard") >= jaccard_threshold)
     )
-    drop = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if strategy == "components":
+        from ..operators.graph import connected_components
+
+        comp = connected_components(verified, "id_a", "id_b")
+        drop = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        drop = verified.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(drop, id_col, "left_anti")
 
 

@@ -334,3 +334,47 @@ def t_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return pack_plan(docs, capacity=512, shard_cols=["source"])
+
+
+@register(
+    "d_dup_clusters",
+    sql=f"""
+    WITH RECURSIVE sig AS ({_minhash_sql()}),
+    bands AS (
+      SELECT doc_id, perm // 2 AS band,
+             array_to_string(list_sort(list(format('{{:d}}.{{:d}}', perm, minhash))), ':')
+               AS band_sig
+      FROM sig GROUP BY doc_id, perm // 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    cc(node, lab) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, cc.lab FROM cc JOIN edges e ON e.u = cc.node
+    )
+    SELECT node AS doc_id, min(lab) AS component
+    FROM cc GROUP BY node
+    """,
+    tags=("dedup-cluster", "iterative"),
+    doc="near-dup CLUSTER resolution: connected components over the "
+    "MinHash-LSH candidate pairs (graph.connected_components — iterative "
+    "min-label propagation, one join + one min-agg per round, "
+    "localCheckpoint lineage truncation; rounds ~ graph diameter). The "
+    "oracle states the same fixpoint as a recursive CTE — an iterative "
+    "Spark algorithm with an exact declarative oracle",
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, "doc_id", "text")
+    out = connected_components(cand, "id_a", "id_b")
+    return out.select(F.col("node").alias("doc_id"), "component")

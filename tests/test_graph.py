@@ -1,0 +1,86 @@
+"""Connected-components unit tests: hand-checkable topologies + a
+randomized differential against a Python union-find."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sdg_big_data_spark.operators.graph import connected_components
+
+
+def _cc(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, schema="id_a long, id_b long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_chain_collapses_transitively(spark):
+    # a-b, b-c, c-d: one component labeled by the min id — the case the
+    # greedy pair-drop resolution gets wrong
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_components(spark):
+    got = _cc(spark, [(10, 20), (30, 40), (40, 50), (7, 8)])
+    assert got == {10: 10, 20: 10, 30: 30, 40: 30, 50: 30, 7: 7, 8: 7}
+
+
+def test_star_and_cycle(spark):
+    got = _cc(spark, [(5, 1), (5, 2), (5, 3), (2, 3), (3, 1)])
+    assert set(got.values()) == {1}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rng = np.random.default_rng(6)
+    n = 400
+    pairs = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, (300, 2))
+        if a != b
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id per component for every node that appears in edges
+    nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+    roots: dict[int, int] = {}
+    for v in sorted(nodes):
+        roots.setdefault(find(v), v)  # min id reaches each root first
+    want = {v: roots[find(v)] for v in nodes}
+    got = _cc(spark, pairs)
+    assert got == want
+
+
+def test_near_dup_components_strategy_keeps_one_per_cluster(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.cachescope import cache_scope
+    from sdg_big_data_spark.pipelines.dataprep import near_dup_removal
+    from sdg_big_data_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents").limit(300)
+    with cache_scope(blocking=True):
+        greedy = {r["doc_id"] for r in near_dup_removal(docs).select("doc_id").collect()}
+        comp = {
+            r["doc_id"]
+            for r in near_dup_removal(docs, strategy="components")
+            .select("doc_id")
+            .collect()
+        }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # both keep canonical minima; components may RETAIN chain-endpoints
+    # greedy over-drops, never the reverse
+    assert comp >= greedy
+    assert comp <= all_ids

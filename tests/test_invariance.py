@@ -1,0 +1,63 @@
+"""Environment-invariance gates (the COVERAGE.md claim, enforced):
+catalog results must not depend on the host session's timezone or
+shuffle-partition count. A non-UTC session silently shifts every
+year/month/hour derivation vs the oracle unless ``read_table``'s UTC
+enforcement holds; partition-count changes break anything that leans on
+``spark_partition_id`` or seeded per-partition randomness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sdg_big_data_spark.plans import catalog
+
+# Queries chosen for sensitivity: calendar derivations, event-time
+# windows, epoch sessionization, hash sampling, scalable rank, dedup.
+PROBES = [
+    "f_datetime_family",
+    "w_tumbling_hour",
+    "g_sessionize",
+    "r1_hash_sample",
+    "w4_full_rank",
+    "d_exact_dedup",
+    "ev_bootstrap_f1",
+]
+
+
+def _normalize(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for k in sorted(r):
+            v = r[k]
+            if isinstance(v, float) and not math.isnan(v):
+                vals.append((k, round(v, 9)))
+            else:
+                vals.append((k, str(v)))
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    """A sibling session with hostile confs: non-UTC zone + a very
+    different shuffle width. Shares the SparkContext (both are session-
+    level confs), so the module is cheap."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    s.conf.set("spark.sql.shuffle.partitions", "200")
+    return s
+
+
+@pytest.mark.parametrize("name", PROBES)
+def test_query_invariant_under_hostile_session(name, spark, hostile, ddb, sf_dir):
+    catalog._load_all()
+    fn = catalog.REGISTRY[name].fn
+    sql = catalog.REGISTRY[name].sql
+    want = _normalize(ddb.execute(sql).fetch_arrow_table().to_pylist())
+    got = _normalize([r.asDict() for r in fn(hostile, sf_dir).collect()])
+    assert got == want, f"{name} drifted under America/New_York + 200 partitions"
