@@ -326,3 +326,71 @@ def recall_proxy(
             F.sum((F.col(score_col) >= cutoff).cast("int")) / F.count(F.lit(1))
         ).alias("recall"),
     )
+
+
+def grid_search_configs(
+    stops: DataFrame,
+    truth: DataFrame,
+    configs: list[dict],
+    labeler,
+    join_cols: tuple[str, str] = ("user_id", "cluster_label"),
+    truth_col: str = "final_op",
+    pred_col: str = "location_type",
+    labels: tuple[str, ...] = ("H", "W"),
+    other: str = "O",
+) -> DataFrame:
+    """The reference's parameter grid search (`08-optimization.Rmd:
+    141-216`): label stops under EVERY config, score each against the
+    validators' truth, return one metrics row per config.
+
+    Spark-first parallelization of the reference's ``joblib.Parallel(
+    n_jobs=32)`` loop: the per-config metric aggregates are UNIONED into
+    one plan and computed in ONE action — the cluster schedules all
+    configs' stages together (sharing executors and, when the optimizer
+    can, the stops scan) instead of 32 driver processes re-reading the
+    inputs. Returns (config_id, config, n, accuracy, f1_<label>...,
+    macro_f1) — a #configs-row frame.
+    """
+    import json as _json
+
+    frames = []
+    for i, cfg in enumerate(configs):
+        labeled = labeler(stops, **cfg)
+        joined = truth.join(labeled, list(join_cols), "full_outer").fillna(
+            {truth_col: other, pred_col: other}
+        )
+        m = classification_metrics(joined, truth_col, pred_col, labels, other)
+        frames.append(
+            m.select(
+                F.lit(i).alias("config_id"),
+                F.lit(_json.dumps(cfg, sort_keys=True)).alias("config"),
+                "*",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def select_compatible_config(
+    grid: DataFrame, f1_col: str = "macro_f1", std_col: str | None = None
+) -> DataFrame:
+    """The reference's configuration selection
+    (`08-optimization.Rmd:218-231` ``get_country_compatibilities``):
+    keep configs whose f1 + std reaches best_f1 − best_std (statistically
+    compatible with the optimum), ranked best-first. Without a std column
+    (no bootstrap run) this degenerates to exact argmax. The grid frame
+    is #configs rows — window over it is trivially safe."""
+    std = F.col(std_col) if std_col else F.lit(0.0)
+    w = Window.orderBy(F.col(f1_col).desc(), F.col("config_id").asc())
+    ranked = grid.withColumn("__best_f1", F.first(f1_col).over(w)).withColumn(
+        "__best_std", F.first(std_col).over(w) if std_col else F.lit(0.0)
+    )
+    return (
+        ranked.where(
+            F.col(f1_col) + std >= F.col("__best_f1") - F.col("__best_std")
+        )
+        .drop("__best_f1", "__best_std")
+        .orderBy(F.col(f1_col).desc(), F.col("config_id").asc())
+    )

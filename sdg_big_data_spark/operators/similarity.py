@@ -507,3 +507,53 @@ def embedding_near_dups(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization to ``bits``-bit signed
+    codes: code = round(x / scale), scale = max|x| / (2^(bits-1) - 1).
+
+    The ANN memory-scale path: a 768-dim float32 vector is 3 KB; int8
+    codes + one float scale are ~770 B — 4x more corpus per executor
+    page-cache, which at 100 TB is the difference between memory-resident
+    buckets and disk thrash. Dot products on codes underestimate |error|
+    <= O(scale) per term; rank-sensitive stages re-score survivors on the
+    float vectors (the standard two-stage retrieve+rescore).
+
+    Pure expressions (transform + round) — codegen, and exactly
+    replayable by a SQL oracle.
+    """
+    top = (1 << (bits - 1)) - 1
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(
+        float(top)
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.when(
+            scale > 0,
+            F.transform(
+                v, lambda x: F.round(x.cast("double") / scale).cast("int")
+            ),
+        )
+        .otherwise(F.transform(v, lambda x: F.lit(0)))
+        .alias("codes"),
+    )
+
+
+def dequantize_dot(codes_a: Column, scale_a: Column, codes_b: Column, scale_b: Column) -> Column:
+    """Approximate dot product from quantized codes: integer dot
+    (exact, overflow-safe for 8-bit codes up to ~2^46 dims) times the two
+    scales."""
+    int_dot = F.aggregate(
+        F.zip_with(codes_a, codes_b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return int_dot.cast("double") * scale_a * scale_b

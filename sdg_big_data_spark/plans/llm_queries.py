@@ -378,3 +378,32 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.minhash_lsh_candidates(docs, "doc_id", "text")
     out = connected_components(cand, "id_a", "id_b")
     return out.select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
+    "e_quantize",
+    sql="""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id, round(scale, 9) AS scale,
+           CASE WHEN scale > 0
+                THEN list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))
+                ELSE list_transform(embedding, x -> 0) END AS codes
+    FROM q
+    """,
+    tags=("similarity", "quantization"),
+    doc="int8 symmetric scalar quantization of embeddings "
+    "(similarity.quantize_embeddings): per-vector scale = max|x|/127, "
+    "codes = round(x/scale) — 4x memory for ANN buckets; pure "
+    "expressions, exact integer oracle",
+)
+def e_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb)
+    return out.select("vec_id", F.round("scale", 9).alias("scale"), "codes")

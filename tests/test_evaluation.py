@@ -132,3 +132,69 @@ def test_bootstrap_seed_changes_draws(spark):
         df, "truth", "pred", "user_id", "act_buck", n_samples=10, seed=2
     ).collect()[0]
     assert a["f1_mean"] != b["f1_mean"]
+
+
+def _stops_fixture(spark):
+    """Synthetic stops: each user has a 'home' cluster (nightly stops)
+    and a 'work' cluster (weekday 10:00 stops, ~2h/day)."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2021, 1, 4)  # a Monday
+    for u in range(20):
+        for d in range(10):
+            day = base + dt.timedelta(days=d)
+            night = day.replace(hour=22)
+            rows.append(
+                (u, 100 + u, int(night.timestamp()), int(night.timestamp()) + 28800, 28800)
+            )
+            if day.weekday() < 5:
+                work = day.replace(hour=10)
+                rows.append(
+                    (u, 200 + u, int(work.timestamp()), int(work.timestamp()) + 7200, 7200)
+                )
+    return spark.createDataFrame(
+        rows,
+        schema="user_id long, cluster_label long, t_start long, t_end long, duration long",
+    )
+
+
+def test_grid_search_ranks_matching_config_first(spark):
+    from sdg_big_data_spark.operators import grouped
+
+    stops = _stops_fixture(spark)
+    truth_rows = [(u, 100 + u, "H") for u in range(20)] + [
+        (u, 200 + u, "W") for u in range(20)
+    ]
+    truth = spark.createDataFrame(
+        truth_rows, schema="user_id long, cluster_label long, final_op string"
+    )
+    configs = [
+        {"min_work_seconds_per_day": 3600},   # 2h/day work stops pass
+        {"min_work_seconds_per_day": 20000},  # nothing qualifies as work
+    ]
+    grid = evaluation.grid_search_configs(
+        stops, truth, configs, grouped.label_home_work
+    ).collect()
+    by_id = {r["config_id"]: r for r in grid}
+    assert len(by_id) == 2
+    assert by_id[0]["macro_f1"] == pytest.approx(1.0)  # recovers truth exactly
+    assert by_id[1]["macro_f1"] < by_id[0]["macro_f1"]  # strict config loses W
+
+    best = evaluation.select_compatible_config(
+        evaluation.grid_search_configs(stops, truth, configs, grouped.label_home_work)
+    ).collect()
+    assert best[0]["config_id"] == 0
+
+
+def test_select_compatible_keeps_statistical_ties(spark):
+    rows = [
+        (0, "a", 0.90, 0.02),
+        (1, "b", 0.89, 0.02),  # within best-std band -> compatible
+        (2, "c", 0.80, 0.01),  # not compatible
+    ]
+    grid = spark.createDataFrame(
+        rows, schema="config_id int, config string, macro_f1 double, f1_std double"
+    )
+    kept = evaluation.select_compatible_config(grid, std_col="f1_std").collect()
+    assert [r["config_id"] for r in kept] == [0, 1]

@@ -133,3 +133,52 @@ def test_salting_bounds_per_task_rows(spark, hot_emb):
     # hash salting is multinomial, not exact-equal split; 3x cap would
     # only trip if salting were broken outright
     assert per_task.agg(F.max("n_rows")).collect()[0][0] <= 3 * cap
+
+
+def test_quantized_dot_tracks_exact_dot(spark, emb):
+    """int8 codes reconstruct dot products within the scalar-quantization
+    error envelope (~1% relative for unit-scale gaussian vectors)."""
+    from sdg_big_data_spark.operators.similarity import (
+        dequantize_dot,
+        dot,
+        quantize_embeddings,
+    )
+
+    sample = emb.limit(40)
+    q = quantize_embeddings(sample)
+    j = (
+        sample.alias("x")
+        .join(sample.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+        .join(
+            q.select(
+                F.col("vec_id").alias("xid"),
+                F.col("codes").alias("ca"),
+                F.col("scale").alias("sa"),
+            ),
+            F.col("x.vec_id") == F.col("xid"),
+        )
+        .join(
+            q.select(
+                F.col("vec_id").alias("yid"),
+                F.col("codes").alias("cb"),
+                F.col("scale").alias("sb"),
+            ),
+            F.col("y.vec_id") == F.col("yid"),
+        )
+        .select(
+            dot(F.col("x.embedding"), F.col("y.embedding")).alias("exact"),
+            dequantize_dot(
+                F.col("ca"), F.col("sa"), F.col("cb"), F.col("sb")
+            ).alias("approx"),
+        )
+    )
+    rows = j.collect()
+    assert len(rows) == 40 * 39 // 2
+    import math
+
+    for r in rows:
+        # absolute envelope: d * scale_a * scale_b / 2-ish per term; with
+        # 16 dims and ~N(0,1) entries a 0.15 absolute bound is generous
+        # yet catches any broken scale/rounding
+        assert math.isfinite(r["approx"])
+        assert abs(r["approx"] - r["exact"]) < 0.15, (r["exact"], r["approx"])
