@@ -381,3 +381,33 @@ def grouped_prefix_sum(
     return joined.withColumn(cum_col, F.col(cum_col) + F.col("__off")).drop(
         "__pid", "__off"
     )
+
+
+def cumulative_share_scalable(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value_col: str,
+    by: Sequence[str] = (),
+    out_name: str = "cum_share",
+) -> DataFrame:
+    """W6 at fact-table scale: running share of the (per-group) total
+    WITHOUT the single-partition sort the plain window form plans when
+    ``by`` is empty (that form is fine for its documented dimension-sized
+    inputs; this one rides :func:`grouped_prefix_sum` — range shuffle +
+    narrow cumsum — and broadcast-joins the totals back).
+
+    Float caveat vs the window form: partial sums accumulate per
+    partition then add offsets, so last-bit placement can differ from
+    strict sequential accumulation — equal at any sane rounding.
+    """
+    gcols = list(by)
+    tmp_grp = "__cs_grp"
+    work = df if gcols else df.withColumn(tmp_grp, F.lit(1))
+    keys = gcols or [tmp_grp]
+    summed = grouped_prefix_sum(work, keys, list(order_cols), value_col, cum_col=out_name)
+    totals = work.groupBy(*keys).agg(F.sum(value_col).cast("double").alias("__tot"))
+    out = summed.join(F.broadcast(totals), keys).withColumn(
+        out_name, F.col(out_name) / F.col("__tot")
+    )
+    out = out.drop("__tot")
+    return out.drop(tmp_grp) if not gcols else out

@@ -200,3 +200,51 @@ def budget_select(
         counts, [group_col], ordering, "n_tokens", cum_col="cum_tokens"
     )
     return summed.where(F.col("cum_tokens") <= budget_tokens)
+
+
+def run_checkpointed(
+    docs: DataFrame,
+    work_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.6,
+    keep_langs: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.8,
+    strategy: str = "greedy",
+) -> dict[str, DataFrame]:
+    """The prep chain with stage checkpoints — the operational form for
+    100 TB runs: every stage materializes to parquet under ``work_dir``
+    and a re-run RESUMES from the last completed stage (parquet
+    ``_SUCCESS`` marker) instead of recomputing the whole lineage.
+
+    Why this matters at scale beyond restartability: stages 4+ sit
+    behind pandas-UDF boundaries and multi-join DAGs — checkpointing
+    bounds lineage (no re-execution of the whole chain when a downstream
+    stage's task retries) and lets each stage be re-tuned/re-run
+    independently (the reference re-runs its pipeline per 10-day batch
+    the same way, `stop_locations_append.py`).
+    """
+    import os
+
+    spark = docs.sparkSession
+
+    def _stage(name: str, build):
+        path = os.path.join(work_dir, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            build().write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    q = _stage("s1_quality", lambda: quality_gate(docs, text_col, min_quality))
+    lg = _stage("s2_language", lambda: language_gate(q, text_col, keep_langs))
+    ex = _stage("s3_exact_dedup", lambda: exact_dedup_keep_min(lg, id_col, text_col))
+    nd = _stage(
+        "s4_near_dedup",
+        lambda: near_dup_removal(ex, id_col, text_col, jaccard_threshold, strategy),
+    )
+    return {
+        "quality": q,
+        "language": lg,
+        "exact_dedup": ex,
+        "near_dedup": nd,
+        "budget": budget_report(nd, text_col),
+    }

@@ -296,3 +296,37 @@ def test_dataprep_pipeline(spark):
     assert {r["doc_id"] for r in out["near_dedup"].select("doc_id").collect()} == {1, 6}
     budget = out["budget"].collect()
     assert len(budget) == 1 and budget[0]["n_docs"] == 2
+
+
+def test_dataprep_checkpointed_resumes(spark, sf_dir, tmp_path):
+    import os
+
+    from sdg_big_data_spark.cachescope import cache_scope
+    from sdg_big_data_spark.pipelines import dataprep
+    from sdg_big_data_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    wd = str(tmp_path / "prep")
+    with cache_scope(blocking=True):
+        first = dataprep.run_checkpointed(docs, wd)
+        survivors1 = {r["doc_id"] for r in first["near_dedup"].select("doc_id").collect()}
+
+    # stage files exist with success markers
+    for st in ("s1_quality", "s2_language", "s3_exact_dedup", "s4_near_dedup"):
+        assert os.path.exists(os.path.join(wd, st, "_SUCCESS"))
+
+    # drop the LAST stage; re-run must rebuild only it (earlier stage
+    # files untouched -> same mtime) and reproduce identical survivors
+    import shutil
+
+    mtimes = {
+        st: os.path.getmtime(os.path.join(wd, st, "_SUCCESS"))
+        for st in ("s1_quality", "s2_language", "s3_exact_dedup")
+    }
+    shutil.rmtree(os.path.join(wd, "s4_near_dedup"))
+    with cache_scope(blocking=True):
+        second = dataprep.run_checkpointed(docs, wd)
+        survivors2 = {r["doc_id"] for r in second["near_dedup"].select("doc_id").collect()}
+    assert survivors2 == survivors1
+    for st, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(wd, st, "_SUCCESS")) == m, st

@@ -307,3 +307,31 @@ def test_group_fixed_n_matches_plain_window(spark):
         got = {tuple(r) for r in group_fixed_n(base.repartition(parts), ["g"], 25, "event_id").collect()}
         assert got == want, f"partitioning {parts} changed the sample"
     assert len(want) == 4 * 25
+
+
+def test_cumulative_share_scalable_matches_window(spark):
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.operators import windows as W
+
+    rows = [(i, "g%d" % (i % 3), float(1 + (i * 7) % 23)) for i in range(3000)]
+    df = spark.createDataFrame(rows, schema="id long, g string, v double").repartition(8)
+
+    fast = W.cumulative_share_scalable(
+        df, [F.col("v").asc(), F.col("id").asc()], "v", by=["g"]
+    )
+    slow = W.cumulative_share(
+        df.withColumn("__ord", F.struct("v", "id")), "__ord", "v", by=["g"]
+    )
+    a = {(r["id"], round(r["cum_share"], 9)) for r in fast.collect()}
+    b = {(r["id"], round(r["cum_share"], 9)) for r in slow.collect()}
+    assert a == b
+
+    # global (by=()) form too — the case the plain window single-partitions
+    g_fast = W.cumulative_share_scalable(df, [F.col("v").asc(), F.col("id").asc()], "v")
+    g_slow = W.cumulative_share(
+        df.withColumn("__ord", F.struct("v", "id")), "__ord", "v"
+    )
+    a = {(r["id"], round(r["cum_share"], 9)) for r in g_fast.collect()}
+    b = {(r["id"], round(r["cum_share"], 9)) for r in g_slow.collect()}
+    assert a == b
