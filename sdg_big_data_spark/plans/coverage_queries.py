@@ -9,8 +9,9 @@ arithmetic → identical doubles in Spark and DuckDB), so the two-phase
 grid join can be oracle-checked against a plain range-predicate join —
 same semantics, different physical strategy.
 
-Rows-only entries (no SQL oracle — genuinely non-relational sequential
-algorithms): f2_stop_detect, f3_recluster.
+All entries here carry exact SQL oracles — including f2_stop_detect and
+f3_recluster, whose sequential semantics are replayed declaratively
+(round-2 addition).
 """
 
 from __future__ import annotations
