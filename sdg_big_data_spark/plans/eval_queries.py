@@ -277,3 +277,45 @@ def ev_bootstrap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("acc_mean", 6).alias("acc_mean"),
         F.round("acc_std", 6).alias("acc_std"),
     )
+
+
+@register(
+    "dq_ks_drift",
+    sql="""
+    WITH t AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    g AS (
+      SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(count(*) AS BIGINT) AS ct
+      FROM t GROUP BY v
+    ),
+    c AS (
+      SELECT CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             CAST(sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t
+      FROM g
+    ),
+    n AS (
+      SELECT CAST(sum(a) AS BIGINT) AS na,
+             CAST(count(*) - sum(a) AS BIGINT) AS nb
+      FROM t
+    )
+    SELECT n.na AS n_a, n.nb AS n_b,
+           round(max(abs(CAST(cum_a AS DOUBLE) / na
+                         - CAST(cum_t - cum_a AS DOUBLE) / nb)), 6) AS ks
+    FROM c, n GROUP BY n.na, n.nb
+    """,
+    tags=("data-quality", "drift"),
+    doc="two-sample Kolmogorov-Smirnov drift statistic between event-type "
+    "value distributions (quality.ks_statistic): exact sup|ECDF_a-ECDF_b| "
+    "via distinct-value grouping + the scalable prefix sum — no sampling "
+    "cap, no single-partition sort; integer counts until the final "
+    "division, so the oracle replays it exactly",
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import ks_statistic
+
+    ev = table(spark, sf_dir, "events")
+    out = ks_statistic(ev, "value", "event_type", "click", "purchase")
+    return out.select("n_a", "n_b", F.round("ks", 6).alias("ks"))

@@ -198,3 +198,31 @@ def test_select_compatible_keeps_statistical_ties(spark):
     )
     kept = evaluation.select_compatible_config(grid, std_col="f1_std").collect()
     assert [r["config_id"] for r in kept] == [0, 1]
+
+
+def test_ks_statistic_known_cases(spark):
+    from sdg_big_data_spark.operators.quality import ks_statistic
+
+    # identical distributions -> ks == 0
+    rows = [(float(v), s) for v in range(50) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, schema="v double, side string")
+    r = ks_statistic(df, "v", "side", "a", "b").collect()[0]
+    assert r["n_a"] == 50 and r["n_b"] == 50
+    assert r["ks"] == pytest.approx(0.0)
+
+    # disjoint supports -> ks == 1
+    rows = [(float(v), "a") for v in range(30)] + [
+        (float(v + 1000), "b") for v in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema="v double, side string")
+    r = ks_statistic(df, "v", "side", "a", "b").collect()[0]
+    assert r["ks"] == pytest.approx(1.0)
+
+    # hand-computed with ties: a = [1,2,2,3], b = [2,3,3,4]
+    # ECDFs at 1: 1/4 vs 0 -> .25 ; at 2: 3/4 vs 1/4 -> .5 ; at 3: 1 vs 3/4
+    # -> .25 ; at 4: 1 vs 1 -> 0   => ks = 0.5
+    rows = [(1.0, "a"), (2.0, "a"), (2.0, "a"), (3.0, "a"),
+            (2.0, "b"), (3.0, "b"), (3.0, "b"), (4.0, "b")]
+    df = spark.createDataFrame(rows, schema="v double, side string")
+    r = ks_statistic(df, "v", "side", "a", "b").collect()[0]
+    assert r["ks"] == pytest.approx(0.5)
