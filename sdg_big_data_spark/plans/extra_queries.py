@@ -643,3 +643,40 @@ def r4_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("event_type", "event_id", "user_id")
     return group_fixed_n(ev, ["event_type"], 50, "event_id")
+
+
+@register(
+    "a_robust_stats",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(m.med), 6) AS med,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("robust-stats", "A7"),
+    doc="grouped median + MAD (median absolute deviation) — the "
+    "outlier-resistant location/scale pair for quality gating (a z-score "
+    "on mean/std lets one spam flood shift the gate; median/MAD doesn't). "
+    "Two exact passes: grouped median, broadcast back, median of absolute "
+    "deviations; interpolation identical to DuckDB quantile_cont. At "
+    "100 TB swap percentile -> approx_percentile (t-digest), same shape",
+)
+def a_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad"),
+    )
