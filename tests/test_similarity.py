@@ -182,3 +182,108 @@ def test_quantized_dot_tracks_exact_dot(spark, emb):
         # yet catches any broken scale/rounding
         assert math.isfinite(r["approx"])
         assert abs(r["approx"] - r["exact"]) < 0.15, (r["exact"], r["approx"])
+
+
+def test_lsh_and_ivf_recall_vs_brute_force(spark, emb):
+    """The approximate paths must actually retrieve: recall@5 vs the
+    exact baseline, measured on the shared fixture. LSH with few planes
+    and IVF probing half the cells should both clear 50% easily; a
+    bucketing bug (wrong hash, empty probes) collapses recall to ~0."""
+    from sdg_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        hit = tot = 0
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for q, t in truth.items():
+            tot += len(t)
+            hit += len(t & got.get(q, set()))
+        return hit / tot
+
+    # Random gaussian vectors are the HARDEST case for sign-bit LSH (true
+    # neighbors barely correlate, so same-bucket probability is near
+    # chance) — the meaningful invariants are (a) far above the random-
+    # chance floor (5 of ~400 ≈ 1.3%), (b) recall rises as buckets
+    # coarsen (the documented n_planes recall/cost dial).
+    r3 = recall(lsh_topk(emb, queries, dim=16, k=5, n_planes=3).collect())
+    r1 = recall(lsh_topk(emb, queries, dim=16, k=5, n_planes=1).collect())
+    assert r3 > 0.15, "LSH recall collapsed to chance"
+    assert r1 > r3 - 0.05, "coarser buckets must not lose recall"
+    assert r1 > 0.5
+
+    corpus_lab = emb.withColumn("label", (F.col("vec_id") % 8).cast("int"))
+    q_lab = queries.withColumn("label", (F.col("vec_id") % 8).cast("int"))
+    ivf = ivf_topk(corpus_lab, q_lab, k=5, nprobe=4).collect()
+    assert recall(ivf) > 0.5, "IVF recall collapsed"
+
+
+def test_two_stage_quantized_retrieve_then_rescore(spark, emb):
+    """The documented 100 TB pattern: retrieve a candidate pool with
+    cheap int8 dots, rescore survivors with float cosine — final top-5
+    must nearly match the all-float baseline."""
+    import numpy as np
+
+    from sdg_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_dot,
+        quantize_embeddings,
+    )
+    from pyspark.sql.window import Window
+
+    queries = emb.where(F.col("vec_id") < 5)
+    q = quantize_embeddings(emb)
+    qq = q.join(queries.select("vec_id"), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("qc"),
+        F.col("scale").alias("qs"),
+    )
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        q.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("codes").alias("cc"),
+            F.col("scale").alias("cs"),
+        )
+        .join(F.broadcast(qq), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qdot", dequantize_dot(F.col("qc"), F.col("qs"), F.col("cc"), F.col("cs"))
+        )
+        .withColumn("prank", F.row_number().over(pool_w))
+        .where(F.col("prank") <= 20)  # 4x over-retrieve
+        .select("query_id", "neighbor_id")
+    )
+    # rescore pool in float
+    from sdg_big_data_spark.operators.similarity import cosine
+
+    vecs = emb.select(F.col("vec_id"), F.col("embedding"))
+    rescored = (
+        pool.join(vecs.withColumnRenamed("vec_id", "query_id").withColumnRenamed("embedding", "qv"), "query_id")
+        .join(vecs.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("embedding", "cv"), "neighbor_id")
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    final = rescored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in final.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.8  # int8 first pass rarely loses a true top-5
