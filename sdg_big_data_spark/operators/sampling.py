@@ -164,3 +164,56 @@ def group_fixed_n(
         .where(F.col("__rn") <= n)
         .drop("__hk", "__rn")
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    group_cols: list[str],
+    fractions: dict[str, float],
+    key_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic EXACT-proportion train/val/test assignment per
+    stratum — the ML-data staple: within each group, rows are ordered by
+    the portable multiplicative hash of ``key_col`` (id tiebreak) and the
+    ordered prefix is cut at exact fractional boundaries, so an 80/10/10
+    split of a 1000-row stratum is exactly 800/100/100 (a per-row
+    Bernoulli hash split only approximates proportions and drifts on
+    small strata).
+
+    Scalable: the within-group rank rides
+    :func:`~.windows.grouped_prefix_sum` (range shuffle + narrow cumsum),
+    never a whole-group sort partition; group sizes broadcast back.
+    Deterministic + engine-replayable: same hash order as
+    :func:`group_fixed_n`, so an oracle can state the assignment exactly.
+    ``fractions`` preserve insertion order; they must sum to 1.
+    """
+    from .windows import grouped_prefix_sum
+
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    base = df.withColumn("__hk", hash_bucket(F.col(key_col))).withColumn(
+        "__one", F.lit(1)
+    )
+    ranked = grouped_prefix_sum(
+        base,
+        group_cols,
+        [F.col("__hk").asc(), F.col(key_col).asc()],
+        "__one",
+        cum_col="__rk",
+    )
+    sizes = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__nb"))
+    j = ranked.join(F.broadcast(sizes), group_cols)
+    # boundary b_i = floor(nb * cumulative_fraction); rank in (b_{i-1}, b_i]
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = F.floor(F.col("__nb") * F.lit(cum))
+        clause = F.col("__rk") <= bound
+        expr = F.when(clause, name) if expr is None else expr.when(clause, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return j.withColumn(split_col, expr).drop("__hk", "__one", "__rk", "__nb")

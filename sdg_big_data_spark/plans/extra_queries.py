@@ -680,3 +680,40 @@ def a_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("med"), 6).alias("med"),
         F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad"),
     )
+
+
+@register(
+    "r5_stratified_split",
+    sql="""
+    WITH r AS (
+      SELECT event_type,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (event_id % 4294967296) * 2654435761 % 4294967296 ASC,
+                        event_id ASC) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nb
+      FROM events
+    )
+    SELECT event_type,
+           CASE WHEN rk <= floor(nb * 0.8) THEN 'train'
+                WHEN rk <= floor(nb * 0.9) THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("R3", "ml-split"),
+    doc="deterministic EXACT-proportion stratified train/val/test split "
+    "(sampling.stratified_split): within-stratum hash-order rank cut at "
+    "exact fractional boundaries — 80/10/10 of a 1000-row stratum is "
+    "exactly 800/100/100, unlike per-row Bernoulli hashing. Rank rides "
+    "the scalable grouped prefix sum; the oracle states the same "
+    "assignment with a window",
+)
+def r5_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_split
+
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id")
+    out = stratified_split(
+        ev, ["event_type"], {"train": 0.8, "val": 0.1, "test": 0.1}, "event_id"
+    )
+    return out.groupBy("event_type", "split").agg(F.count(F.lit(1)).alias("n"))

@@ -335,3 +335,32 @@ def test_cumulative_share_scalable_matches_window(spark):
     a = {(r["id"], round(r["cum_share"], 9)) for r in g_fast.collect()}
     b = {(r["id"], round(r["cum_share"], 9)) for r in g_slow.collect()}
     assert a == b
+
+
+def test_stratified_split_exact_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.operators.sampling import stratified_split
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(1000)]
+    base = spark.createDataFrame(rows, schema="id long, g string")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def run(df):
+        out = stratified_split(df, ["g"], fr, "id")
+        return {
+            (r["g"], r["split"]): r["n"]
+            for r in out.groupBy("g", "split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }, {(r["id"], r["split"]) for r in out.select("id", "split").collect()}
+
+    counts, assign = run(base)
+    # exact proportions per stratum (strata of 334/333/333)
+    for g in ("g0", "g1", "g2"):
+        nb = sum(v for (gg, _), v in counts.items() if gg == g)
+        assert counts[(g, "train")] == int(nb * 0.8)
+        assert counts[(g, "train")] + counts[(g, "val")] == int(nb * 0.9)
+    # every row assigned exactly once
+    assert len(assign) == 1000
+    # partitioning must not change any row's assignment
+    _, assign7 = run(base.repartition(7))
+    assert assign7 == assign
