@@ -149,8 +149,9 @@ def group_fixed_n(
         for pdf in batches:
             if not len(pdf):
                 continue
-            cnt = pdf.groupby(gcols, sort=False).cumcount()
-            keys = pd.MultiIndex.from_frame(pdf[gcols])
+            cnt = pdf.groupby(gcols, sort=False, dropna=False).cumcount()  # dropna=False: NULL groups still sample
+            kf = pdf[gcols].astype(object).where(pdf[gcols].notna(), "\x00<null>")
+            keys = pd.MultiIndex.from_frame(kf)
             if carry_key is not None:
                 cnt = cnt + (keys == carry_key) * carry_cnt
             carry_key = keys[-1]
@@ -203,7 +204,15 @@ def stratified_split(
         cum_col="__rk",
     )
     sizes = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__nb"))
-    j = ranked.join(F.broadcast(sizes), group_cols)
+    lhs = ranked.alias("__ss_l")
+    rhs = sizes.alias("__ss_r")
+    cond = None
+    for g in group_cols:
+        c = F.col(f"__ss_l.{g}").eqNullSafe(F.col(f"__ss_r.{g}"))
+        cond = c if cond is None else cond & c
+    j = lhs.join(F.broadcast(rhs), cond).select(
+        "__ss_l.*", F.col("__ss_r.__nb").alias("__nb")
+    )
     # boundary b_i = floor(nb * cumulative_fraction); rank in (b_{i-1}, b_i]
     expr = None
     cum = 0.0

@@ -350,8 +350,15 @@ def grouped_prefix_sum(
         for pdf in batches:
             if not len(pdf):
                 continue
-            cum = pdf.groupby(gcols, sort=False)[value_col].cumsum().astype("float64")
-            keys = pd.MultiIndex.from_frame(pdf[gcols])
+            cum = (
+                pdf.groupby(gcols, sort=False, dropna=False)[value_col]
+                .cumsum()
+                .astype("float64")
+            )  # dropna=False: a NULL group key must accumulate, not NaN out
+            # NaN-safe boundary keys: NaN != NaN would break the carry for
+            # a NULL group spanning Arrow batches — substitute a sentinel
+            kf = pdf[gcols].astype(object).where(pdf[gcols].notna(), "\x00<null>")
+            keys = pd.MultiIndex.from_frame(kf)
             if carry_key is not None:
                 cum = cum + (keys == carry_key) * carry_val
             carry_key = keys[-1]
@@ -373,10 +380,17 @@ def grouped_prefix_sum(
         *gcols,
         F.coalesce(F.sum("__tot").over(w_off), F.lit(0.0)).alias("__off"),
     )
-    joined = (
-        local.join(F.broadcast(offsets), ["__pid", *gcols])
-        if broadcast_offsets
-        else local.join(offsets, ["__pid", *gcols])
+    # NULL-safe join: a plain equi-join on the group columns silently
+    # DROPS every NULL-keyed group (SQL `=` never matches NULL); <=> keeps
+    # them. Aliased sides + select("l.*") avoid the self-lineage
+    # ambiguity both frames share (offsets derives from local).
+    lhs = local.alias("__gps_l")
+    rhs = offsets.alias("__gps_r")
+    cond = F.col("__gps_l.__pid") == F.col("__gps_r.__pid")
+    for g in gcols:
+        cond = cond & F.col(f"__gps_l.{g}").eqNullSafe(F.col(f"__gps_r.{g}"))
+    joined = lhs.join(F.broadcast(rhs) if broadcast_offsets else rhs, cond).select(
+        "__gps_l.*", F.col("__gps_r.__off").alias("__off")
     )
     return joined.withColumn(cum_col, F.col(cum_col) + F.col("__off")).drop(
         "__pid", "__off"
@@ -406,8 +420,16 @@ def cumulative_share_scalable(
     keys = gcols or [tmp_grp]
     summed = grouped_prefix_sum(work, keys, list(order_cols), value_col, cum_col=out_name)
     totals = work.groupBy(*keys).agg(F.sum(value_col).cast("double").alias("__tot"))
-    out = summed.join(F.broadcast(totals), keys).withColumn(
-        out_name, F.col(out_name) / F.col("__tot")
+    lhs = summed.alias("__cs_l")
+    rhs = totals.alias("__cs_r")
+    cond = None
+    for g in keys:
+        c = F.col(f"__cs_l.{g}").eqNullSafe(F.col(f"__cs_r.{g}"))
+        cond = c if cond is None else cond & c
+    out = (
+        lhs.join(F.broadcast(rhs), cond)
+        .select("__cs_l.*", F.col("__cs_r.__tot").alias("__tot"))
+        .withColumn(out_name, F.col(out_name) / F.col("__tot"))
     )
     out = out.drop("__tot")
     return out.drop(tmp_grp) if not gcols else out

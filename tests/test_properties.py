@@ -364,3 +364,22 @@ def test_stratified_split_exact_and_partition_invariant(spark):
     # partitioning must not change any row's assignment
     _, assign7 = run(base.repartition(7))
     assert assign7 == assign
+
+
+def test_grouped_prefix_sum_handles_null_group_keys(spark):
+    """pandas groupby drops NaN keys by default — a NULL group must still
+    accumulate (not NaN out or vanish)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sdg_big_data_spark.operators.windows import grouped_prefix_sum
+
+    rows = [(i, None if i % 3 == 0 else "g%d" % (i % 2), 1) for i in range(90)]
+    df = spark.createDataFrame(rows, schema="id long, g string, v int").repartition(5)
+    fast = grouped_prefix_sum(df, ["g"], [F.col("id").asc()], "v", cum_col="c")
+    w = Window.partitionBy("g").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.withColumn("c", F.sum("v").over(w).cast("double"))
+    a = {(r["id"], r["c"]) for r in fast.collect()}
+    b = {(r["id"], r["c"]) for r in ref.collect()}
+    assert a == b
+    assert all(c is not None for _, c in a)
