@@ -252,13 +252,18 @@ def balanced_bootstrap_metrics(
             ).alias("__idx"),
         )
     )
+    # ``indexed`` (one row per validation user) and ``mult`` (n_samples x
+    # users) are annotation-bounded — a human-labeled validation set, not
+    # the corpus — so both sides broadcast; each hint removes a full
+    # shuffle exchange from the hot path. The corpus-sized frame never
+    # moves: ``base`` stays where the scan put it.
     mult = (
-        draws.join(indexed, ["__bk", "__idx"])
+        draws.join(F.broadcast(indexed), ["__bk", "__idx"])
         .groupBy("__i", "__u")
         .agg(F.count(F.lit(1)).alias("__m"))
     )
 
-    weighted = base.join(mult, "__u")
+    weighted = base.join(F.broadcast(mult), "__u")
     m = F.col("__m")
     aggs = [
         F.sum(m).alias("n"),
