@@ -333,6 +333,48 @@ def recall_proxy(
     )
 
 
+def calibration(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Probability-calibration diagnostics: the reliability table plus
+    Brier score and expected calibration error (ECE).
+
+    Bins are equal-width on [0,1] (``least(floor(p·k), k−1)`` so p=1.0
+    lands in the last bin); per bin the mean confidence vs the empirical
+    positive rate. Brier = mean (p−y)²; ECE = Σ_b (n_b/N)·|conf_b −
+    acc_b|. One shuffle (the k-row bin aggregate); the global scores
+    derive from the SAME tiny frame and broadcast back onto every bin
+    row, so the full table + scores cost a single pass over the corpus.
+    """
+    p, y = F.col(prob_col), F.col(label_col).cast("double")
+    b = F.least(F.floor(p * n_bins).cast("long"), F.lit(n_bins - 1).cast("long"))
+    bins = (
+        df.select(b.alias("bin"), p.alias("__p"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__p").alias("conf"),
+            F.avg("__y").alias("acc"),
+            F.sum((F.col("__p") - F.col("__y")) * (F.col("__p") - F.col("__y"))).alias(
+                "__se"
+            ),
+        )
+    )
+    glob = bins.agg(
+        F.sum("n").alias("__N"),
+        (F.sum("__se") / F.sum("n")).alias("brier"),
+        (F.sum(F.col("n") * F.abs(F.col("conf") - F.col("acc"))) / F.sum("n")).alias(
+            "ece"
+        ),
+    )
+    return bins.crossJoin(F.broadcast(glob)).select(
+        "bin", "n", "conf", "acc", "brier", "ece"
+    )
+
+
 def grid_search_configs(
     stops: DataFrame,
     truth: DataFrame,

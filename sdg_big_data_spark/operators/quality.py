@@ -1,23 +1,22 @@
-"""Distribution-drift operators — two-sample Kolmogorov-Smirnov.
+"""Data-quality operators for training-data curation.
 
-A training-data pipeline needs drift detection: did this crawl's quality
-scores / document lengths / model scores shift against the reference
-corpus? The two-sample KS statistic — max |ECDF_a(x) − ECDF_b(x)| — is
-the standard nonparametric answer.
+- two-sample Kolmogorov-Smirnov drift (:func:`ks_statistic`);
+- Gopher-style repetition signals (:func:`repetition_signals`) —
+  duplicate-token fraction and most-common-bigram coverage, the standard
+  filters against boilerplate / degenerate pages;
+- PII redaction (:func:`scrub_pii`) — pattern counts + masked text;
+- domain mixture weighting (:func:`mixture_weights`) — per-source
+  sampling rates that hit a target token distribution.
 
-Exact and scalable: group both samples by value (ties collapse to one
-row), then ONE ordered prefix sum over the distinct-value frame gives
-both ECDFs (cum_b = cum_total − cum_a, so a single
-:func:`~.windows.grouped_prefix_sum` pass suffices), and the statistic
-is a max-aggregate. No single-partition sort anywhere — the prefix sum
-range-partitions — and no sample-size cap: the exact statistic over
-billions of rows. Pure integer counts until the final division, so a
-SQL oracle replays it exactly.
+All pure built-in expressions (zero Python UDFs); every operator has an
+exact DuckDB oracle in the catalog.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .windows import grouped_prefix_sum
@@ -83,4 +82,152 @@ def ks_statistic(
         F.first("__na").alias("n_a"),
         F.first("__nb").alias("n_b"),
         F.max("__d").alias("ks"),
+    )
+
+
+def _top_sorted_run(arr: Column) -> Column:
+    """Most frequent element of a SORTED array as (count, value), via one
+    linear fold over runs of equal neighbours. Ties break to the
+    lexicographically-smallest value (first run wins; strict ``>``
+    keeps the earlier run on equal counts). Returns a struct
+    ``(best bigint, bgram string)``; best=0 / bgram=NULL for empty input.
+
+    Why a fold and not explode+groupBy: the fold is a NARROW map — the
+    most-common-gram question never leaves the row, so a 100 TB corpus
+    pays zero shuffle for it. The interpreted higher-order-function cost
+    is linear in tokens per doc, the same work a shuffle-based plan
+    would do anyway in its map phase.
+    """
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("bgram"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bgram"]).alias("bgram"),
+        )
+
+    return F.aggregate(
+        arr,
+        init,
+        merge,
+        lambda acc: F.struct(acc["best"].alias("best"), acc["bgram"].alias("bgram")),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``dup_token_frac`` — 1 − distinct/total tokens (boilerplate and
+      keyword-stuffed pages score high);
+    - ``top_bigram`` / ``top_bigram_frac`` — the most frequent word
+      bigram and the fraction of tokens its occurrences cover
+      (2·count/total; overlapping occurrences each count, so a
+      degenerate "a a a…" page scores ~2 — the signal saturates, which
+      is fine for a threshold filter).
+
+    Entirely per-row (tokenize → sort bigrams → linear run fold): a pure
+    map with NO shuffle, so it composes into any corpus pass for free —
+    unlike the textbook explode + groupBy(doc, gram) + argmax plan,
+    which pays two wide exchanges for the same answer.
+    """
+    from ..functions.text import ngrams, tokenize
+
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    top = _top_sorted_run(F.array_sort(ngrams(F.col("__toks"), 2)))
+    n = F.size("__toks")
+    return toks.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(
+            n > 0, 1.0 - F.size(F.array_distinct("__toks")) / n
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        top["bgram"].alias("top_bigram"),
+        F.when(n >= 2, top["best"] * 2.0 / n)
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+# Redaction patterns — deliberately RE2-compatible (no backrefs, no
+# lookaround) so the DuckDB oracle runs the IDENTICAL pattern text.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+1-555-[0-9]{4}", "<PHONE>"),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: Mapping[str, tuple[str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """PII redaction pass: per pattern, count matches (``n_<name>``) and
+    replace them with the mask token; ``clean_text`` carries the fully
+    masked text. One narrow projection — counts and masking share the
+    single regex engine pass per pattern, nothing shuffles."""
+    clean = F.col(text_col)
+    cols: list[Column] = [F.col(id_col)]
+    for name, (pat, _mask) in patterns.items():
+        cols.append(F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(f"n_{name}"))
+    for _name, (pat, mask) in patterns.items():
+        clean = F.regexp_replace(clean, pat, mask)
+    cols.append(clean.alias("clean_text"))
+    return df.select(*cols)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    weights: Mapping[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture planning: given a target share per source and a
+    total token budget, compute each source's sampling rate.
+
+    rate_s = min(1, share_s · budget / tokens_s): a source holding less
+    than its target allocation is taken whole (rate 1 — the shortfall is
+    a *reported* gap, not silently re-normalized away; rebalancing is a
+    policy decision for the caller). Sources absent from ``weights`` get
+    share 0. One groupBy(source) aggregation — source cardinality is
+    dimension-sized, so the weight table joins as a broadcast literal.
+    """
+    from ..functions.text import token_count
+
+    spark = docs.sparkSession
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(F.col(text_col))).alias("src_tokens")
+    )
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        "source string, share double",
+    )
+    j = per_src.join(F.broadcast(wdf), "source", "left").withColumn(
+        "share", F.coalesce(F.col("share"), F.lit(0.0))
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("share") * F.lit(float(budget_tokens)) / F.col("src_tokens")
+    )
+    return j.select(
+        "source",
+        "src_tokens",
+        "share",
+        rate.alias("rate"),
+        F.floor(rate * F.col("src_tokens")).cast("long").alias("expected_tokens"),
     )

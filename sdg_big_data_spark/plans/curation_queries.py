@@ -1,0 +1,180 @@
+"""Catalog queries — corpus-curation operators for training-data
+pipelines: repetition quality signals (the Gopher-style boilerplate
+filters), PII redaction, and domain-mixture weighting.
+
+The PII fixture PLANTS deterministic emails/phones derived from doc_id
+before scrubbing — the raw fixture text contains none, and an oracle
+that only ever checks zero matches would prove nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import quality
+from .catalog import register, table
+from .text_queries import _SQL_TOKS
+
+_TOKS = _SQL_TOKS.format(c="text")
+
+# --- t_repetition -----------------------------------------------------------
+
+_REPETITION_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    stats AS (
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS nd
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+               AS gram
+      FROM toks WHERE len(t) >= 2
+    ),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+    top AS (
+      SELECT doc_id, gram, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC)
+               AS rn
+      FROM cnt
+    )
+    SELECT s.doc_id, CAST(s.n_tokens AS INTEGER) AS n_tokens,
+           round(CASE WHEN s.n_tokens > 0
+                      THEN CAST(1 AS DOUBLE) - CAST(s.nd AS DOUBLE) / s.n_tokens
+                      ELSE 0 END, 6) AS dup_token_frac,
+           t.gram AS top_bigram,
+           round(CASE WHEN s.n_tokens >= 2
+                      THEN CAST(t.c AS DOUBLE) * 2 / s.n_tokens
+                      ELSE 0 END, 6) AS top_bigram_frac
+    FROM stats s LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+"""
+
+
+@register(
+    "t_repetition",
+    sql=_REPETITION_SQL,
+    tags=("text-quality", "curation"),
+    doc="Gopher-style repetition signals: duplicate-token fraction + "
+    "most-common-bigram coverage. Spark side is a pure NARROW map (sorted "
+    "bigram run-fold inside the row — quality.repetition_signals); the "
+    "oracle states the same answer as the textbook explode+groupBy+argmax",
+)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = quality.repetition_signals(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        "top_bigram",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+# --- t_pii_scrub ------------------------------------------------------------
+
+_EMAIL_RE = quality.PII_PATTERNS["email"][0]
+_PHONE_RE = quality.PII_PATTERNS["phone"][0]
+
+_PLANTED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or call +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+_PII_SQL = (
+    "WITH planted AS (SELECT doc_id, "
+    + _PLANTED
+    + " AS text FROM documents)\n"
+    + "SELECT doc_id,\n"
+    + f"  len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,\n"
+    + f"  len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,\n"
+    + f"  regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),"
+    + f" '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text\n"
+    + "FROM planted"
+)
+
+
+@register(
+    "t_pii_scrub",
+    sql=_PII_SQL,
+    tags=("pii", "curation"),
+    doc="PII redaction (quality.scrub_pii): per-pattern match counts + "
+    "masked text in one narrow projection. Emails/phones are planted "
+    "deterministically from doc_id so the oracle checks real redactions, "
+    "not a vacuous zero; patterns are RE2-compatible so both engines run "
+    "the identical regex text",
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return quality.scrub_pii(planted, "doc_id", "text")
+
+
+# --- t_domain_mix -----------------------------------------------------------
+
+_MIX_WEIGHTS = {
+    "src0": 0.3,
+    "src1": 0.25,
+    "src2": 0.2,
+    "src3": 0.15,
+    "src4": 0.1,
+}
+_MIX_BUDGET = 20_000
+
+_MIX_VALUES = ", ".join(
+    f"('{s}', CAST({w} AS DOUBLE))" for s, w in sorted(_MIX_WEIGHTS.items())
+)
+
+_MIX_SQL = f"""
+    WITH c AS (
+      SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    w(source, share) AS (VALUES {_MIX_VALUES}),
+    j AS (
+      SELECT c.source, c.src_tokens,
+             COALESCE(w.share, CAST(0 AS DOUBLE)) AS share
+      FROM c LEFT JOIN w USING (source)
+    )
+    SELECT source, src_tokens, round(share, 6) AS share,
+           round(least(CAST(1 AS DOUBLE), share * {_MIX_BUDGET} / src_tokens), 6)
+             AS rate,
+           CAST(floor(least(CAST(1 AS DOUBLE), share * {_MIX_BUDGET} / src_tokens)
+                      * src_tokens) AS BIGINT) AS expected_tokens
+    FROM j
+"""
+
+
+@register(
+    "t_domain_mix",
+    sql=_MIX_SQL,
+    tags=("data-mixing", "curation"),
+    doc="domain-mixture planning (quality.mixture_weights): per-source "
+    "sampling rates hitting a target token distribution under a budget; "
+    "one groupBy(source) + broadcast weight join; under-provisioned "
+    "sources cap at rate 1 (the shortfall is reported, not silently "
+    "re-normalized)",
+)
+def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = quality.mixture_weights(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, source_col="source", text_col="text"
+    )
+    return out.select(
+        "source",
+        "src_tokens",
+        F.round("share", 6).alias("share"),
+        F.round("rate", 6).alias("rate"),
+        "expected_tokens",
+    )

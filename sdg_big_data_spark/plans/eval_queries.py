@@ -280,6 +280,61 @@ def ev_bootstrap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_calibration",
+    sql="""
+    WITH s AS (
+      SELECT CAST((event_id * 2654435761) % 1000 AS DOUBLE)
+               / CAST(1000 AS DOUBLE) AS p,
+             CASE WHEN (event_id * 1299709 + 7) % 1000
+                       < (event_id * 2654435761) % 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    bins AS (
+      SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(p) AS conf,
+             avg(CAST(y AS DOUBLE)) AS acc,
+             sum((p - y) * (p - y)) AS se
+      FROM s GROUP BY 1
+    ),
+    g AS (
+      SELECT sum(se) / sum(n) AS brier,
+             sum(n * abs(conf - acc)) / sum(n) AS ece
+      FROM bins
+    )
+    SELECT bin, n, round(conf, 6) AS conf, round(acc, 6) AS acc,
+           round(brier, 6) AS brier, round(ece, 6) AS ece
+    FROM bins, g
+    """,
+    tags=("evaluation", "calibration"),
+    doc="probability-calibration diagnostics (evaluation.calibration): "
+    "10-bin reliability table + Brier score + ECE in ONE corpus pass "
+    "(k-row bin aggregate; global scores derived from the same tiny frame "
+    "and broadcast back). Scores/labels are deterministic integer hashes "
+    "of event_id so the resampling-free fixture is exactly "
+    "oracle-replayable",
+)
+def ev_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h1 = (F.col("event_id") * F.lit(2654435761)) % 1000
+    h2 = (F.col("event_id") * F.lit(1299709) + 7) % 1000
+    scores = ev.select(
+        (h1.cast("double") / F.lit(1000.0)).alias("p"),
+        (h2 < h1).cast("int").alias("y"),
+    )
+    out = evaluation.calibration(scores, "y", "p", n_bins=10)
+    return out.select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("conf"),
+        F.round("acc", 6).alias("acc"),
+        F.round("brier", 6).alias("brier"),
+        F.round("ece", 6).alias("ece"),
+    )
+
+
+@register(
     "dq_ks_drift",
     sql="""
     WITH t AS (

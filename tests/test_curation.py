@@ -1,0 +1,145 @@
+"""Unit tests for the corpus-curation operators (operators/quality.py):
+repetition signals, PII scrubbing, domain-mixture weighting, and the
+calibration diagnostics — hand-computed expectations on tiny fixtures
+(the catalog oracle parity covers the full-table forms)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sdg_big_data_spark.operators import evaluation, quality
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+class TestRepetitionSignals:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [
+                # 6 tokens, 3 distinct; bigrams: "a b","b a","a b","b c","c c"
+                # top = "a b" x2 -> frac 2*2/6
+                (1, "a b a b c c"),
+                # all distinct, every bigram unique -> top is the first
+                # lexicographically among count-1 ties
+                (2, "x y z"),
+                (3, ""),  # empty -> zero signals, NULL bigram
+                (4, "solo"),  # one token -> no bigram
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in _rows(quality.repetition_signals(df, "doc_id", "text"))
+        }
+        r1 = out[1]
+        assert r1["n_tokens"] == 6
+        assert r1["dup_token_frac"] == pytest.approx(1 - 3 / 6)
+        assert r1["top_bigram"] == "a b"
+        assert r1["top_bigram_frac"] == pytest.approx(4 / 6)
+        r2 = out[2]
+        assert r2["dup_token_frac"] == pytest.approx(0.0)
+        assert r2["top_bigram"] == "x y"  # smallest gram wins the tie
+        assert r2["top_bigram_frac"] == pytest.approx(2 / 3)
+        assert out[3]["n_tokens"] == 0
+        assert out[3]["top_bigram"] is None
+        assert out[3]["top_bigram_frac"] == 0.0
+        assert out[4]["top_bigram"] is None
+
+    def test_degenerate_page_saturates(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam")], "doc_id long, text string"
+        )
+        (r,) = _rows(quality.repetition_signals(df, "doc_id", "text"))
+        assert r["dup_token_frac"] == pytest.approx(0.75)
+        # 3 overlapping "spam spam" occurrences over 4 tokens -> 1.5
+        assert r["top_bigram_frac"] == pytest.approx(1.5)
+
+
+class TestScrubPii:
+    def test_counts_and_masking(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.user@example.org and b_2@test.co now"),
+                (2, "call +1-555-0134 or +1-555-9999"),
+                (3, "clean text with no identifiers"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in _rows(quality.scrub_pii(df, "doc_id", "text"))}
+        assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 0
+        assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+        assert out[2]["n_phone"] == 2 and out[2]["n_email"] == 0
+        assert out[2]["clean_text"] == "call <PHONE> or <PHONE>"
+        assert out[3]["clean_text"] == "clean text with no identifiers"
+
+    def test_no_python_udf_in_plan(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = quality.scrub_pii(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestMixtureWeights:
+    def test_rates_and_cap(self, spark):
+        # srcA: 10 tokens, srcB: 2 tokens, srcC unweighted
+        df = spark.createDataFrame(
+            [
+                (1, "srcA", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+                (2, "srcB", "u1 u2"),
+                (3, "srcC", "v1 v2 v3"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            r["source"]: r
+            for r in _rows(
+                quality.mixture_weights(
+                    df, {"srcA": 0.5, "srcB": 0.5}, budget_tokens=8
+                )
+            )
+        }
+        # srcA: wants 4 of 10 -> rate .4, expected 4
+        assert out["srcA"]["rate"] == pytest.approx(0.4)
+        assert out["srcA"]["expected_tokens"] == 4
+        # srcB: wants 4 but only has 2 -> capped at 1.0, shortfall visible
+        assert out["srcB"]["rate"] == 1.0
+        assert out["srcB"]["expected_tokens"] == 2
+        # srcC: no target share -> excluded entirely
+        assert out["srcC"]["share"] == 0.0
+        assert out["srcC"]["expected_tokens"] == 0
+
+
+class TestCalibration:
+    def test_perfectly_sharp_predictor(self, spark):
+        # p in {0.05, 0.95} predicting y exactly -> brier = ece = per-bin gap
+        rows = [(0.05, 0) for _ in range(10)] + [(0.95, 1) for _ in range(10)]
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = _rows(evaluation.calibration(df, "y", "p"))
+        by_bin = {r["bin"]: r for r in out}
+        assert set(by_bin) == {0, 9}
+        assert by_bin[0]["conf"] == pytest.approx(0.05)
+        assert by_bin[0]["acc"] == 0.0
+        assert by_bin[9]["acc"] == 1.0
+        # brier = mean(0.05^2) ; ece = mean |conf-acc| = 0.05
+        assert out[0]["brier"] == pytest.approx(0.0025)
+        assert out[0]["ece"] == pytest.approx(0.05)
+
+    def test_edge_bin_assignment(self, spark):
+        df = spark.createDataFrame(
+            [(0.0, 0), (1.0, 1), (0.999, 1)], "p double, y int"
+        )
+        out = {r["bin"]: r for r in _rows(evaluation.calibration(df, "y", "p"))}
+        assert out[0]["n"] == 1  # p=0.0 -> bin 0
+        assert out[9]["n"] == 2  # p=1.0 clamps into bin 9
+
+    def test_brier_matches_direct(self, spark):
+        rows = [((i * 37 % 100) / 100.0, i % 2) for i in range(200)]
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = _rows(evaluation.calibration(df, "y", "p"))
+        direct = sum((p - y) ** 2 for p, y in rows) / len(rows)
+        assert out[0]["brier"] == pytest.approx(direct, rel=1e-9)
+        assert 0.0 <= out[0]["ece"] <= 1.0
+        assert not math.isnan(out[0]["ece"])
