@@ -190,3 +190,58 @@ def as_of_join(
         if c not in ("__side", "__payload", *payload_cols)
     ] + [F.col(f"__payload.{c}").alias(c) for c in payload_cols]
     return carried.where(F.col("__side") == 1).select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str],
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair sharing
+    ``keys`` with ``start <= point < end`` (end-exclusive). ``point_col``
+    / ``start_col`` / ``end_col`` are integer columns (epoch seconds,
+    positions, …).
+
+    Spark has no native band/interval join — the naive spelling
+    ``points.join(intervals, (p >= s) & (p < e))`` plans a
+    BroadcastNestedLoop/cartesian and dies at scale. This is the
+    two-phase banding strategy (same pattern as the spatial grid join,
+    `operators/spatial.py`):
+
+    1. quantize: each point lands in ONE bucket of ``bucket_width``;
+       each interval explodes to the buckets it covers
+       (``sequence(s div w, (e-1) div w)``);
+    2. equi-join on (keys, bucket) — a plain shuffled hash join Catalyst
+       and AQE fully optimize — then refine with the exact range
+       predicate.
+
+    No dedup pass is needed: a point exists in exactly one bucket, so
+    each qualifying pair is produced exactly once. Pick ``bucket_width``
+    near the typical interval length: cost is
+    |intervals| x (interval_len / bucket_width) exploded rows, and at
+    most |points| + |exploded| join input — never the |points| x
+    |intervals| blow-up. Degenerate intervals (end <= start) are dropped
+    (they contain no point under end-exclusive semantics — and Spark's
+    ``sequence`` would otherwise generate a DESCENDING range, silently
+    joining buckets the interval does not cover).
+    """
+    keys = list(keys)
+    p, s, e = F.col(point_col), F.col(start_col), F.col(end_col)
+    w = F.lit(int(bucket_width))
+    # FLOOR(x / w), not integer div: negative positions bucket correctly
+    ipts = points.withColumn("__b", F.floor(p / w).cast("long"))
+    iint = intervals.where(e > s).withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(s / w).cast("long"),
+                F.floor((e - 1) / w).cast("long"),
+            )
+        ),
+    )
+    joined = ipts.join(iint, [*keys, "__b"])
+    return joined.where((p >= s) & (p < e)).drop("__b")

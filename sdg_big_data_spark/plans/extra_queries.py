@@ -546,6 +546,59 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_interval_join",
+    sql="""
+    WITH pts AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, event_id AS interval_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(floor(value * 10) AS BIGINT) * 600 + 600 AS e
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT iv.interval_id, count(*) AS n_points,
+           round(sum(pts.value), 2) AS total_value
+    FROM iv JOIN pts
+      ON pts.user_id = iv.user_id AND pts.t >= iv.s AND pts.t < iv.e
+    GROUP BY iv.interval_id
+    """,
+    tags=("interval", "join", "time-series"),
+    doc="point-in-interval join (joins.interval_join): every 10th event "
+    "opens a 10-70 min window for its user; count/sum the user's events "
+    "inside it. Banded two-phase plan — points bucket once, intervals "
+    "explode to covered buckets, equi-join + exact refine — a shuffled "
+    "hash join Catalyst optimizes, never the BroadcastNestedLoop a raw "
+    "range predicate plans",
+)
+def j_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    pts = events.select(
+        "user_id", epoch_seconds("ts").alias("t"), "value"
+    )
+    iv = events.where(F.col("event_id") % 10 == 0).select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        epoch_seconds("ts").alias("s"),
+        (
+            epoch_seconds("ts")
+            + F.floor(F.col("value") * 10).cast("long") * 600
+            + 600
+        ).alias("e"),
+    )
+    joined = joins.interval_join(
+        pts, iv, keys=["user_id"], point_col="t", start_col="s",
+        end_col="e", bucket_width=1800,
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
     "a_cube_status",
     sql="""
     SELECT o_orderstatus, o_orderpriority,

@@ -113,6 +113,82 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+class TestIntervalJoin:
+    def _fixtures(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 0, 10.0), (1, 100, 20.0), (1, 3600, 30.0), (1, 7199, 40.0),
+             (2, 100, 50.0)],
+            "k long, t long, v double",
+        )
+        iv = spark.createDataFrame(
+            [
+                (1, 100, 0, 7200),   # spans 2+ buckets; t=0 out, 7199 in
+                (1, 101, 100, 101),  # just t=100
+                (1, 102, 50, 50),    # degenerate: end == start -> empty
+                (2, 103, 0, 99),     # end-exclusive: t=100 NOT in [0,99)
+            ],
+            "k long, iid long, s long, e long",
+        )
+        return pts, iv
+
+    def test_semantics_boundaries_and_single_production(self, spark):
+        from sdg_big_data_spark.operators.joins import interval_join
+
+        pts, iv = self._fixtures(spark)
+        out = interval_join(
+            pts, iv, keys=["k"], point_col="t", start_col="s",
+            end_col="e", bucket_width=3600,
+        )
+        pairs = sorted((r["iid"], r["t"]) for r in out.collect())
+        # interval 100 = [0, 7200): t=0 start-inclusive, t=7199 = end-1 in;
+        # interval 101 = [100, 101): exactly t=100;
+        # 102 degenerate -> dropped; 103 = [0, 99): t=100 end-side out
+        assert pairs == [(100, 0), (100, 100), (100, 3600), (100, 7199),
+                         (101, 100)]
+        # each qualifying pair exactly once despite multi-bucket explode
+        assert len(pairs) == len(set(pairs))
+
+    def test_no_cartesian_or_nested_loop(self, spark):
+        from sdg_big_data_spark.operators.joins import interval_join
+
+        pts, iv = self._fixtures(spark)
+        out = interval_join(
+            pts, iv, keys=["k"], point_col="t", start_col="s",
+            end_col="e", bucket_width=3600,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_matches_naive_range_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from sdg_big_data_spark.operators.joins import interval_join
+
+        pts = spark.range(500).select(
+            (F.col("id") % 7).alias("k"),
+            ((F.col("id") * 37) % 1000).alias("t"),
+            F.lit(1.0).alias("v"),
+        )
+        iv = spark.range(60).select(
+            (F.col("id") % 7).alias("k"),
+            F.col("id").alias("iid"),
+            ((F.col("id") * 101) % 900).alias("s"),
+            (((F.col("id") * 101) % 900) + (F.col("id") % 5) * 80).alias("e"),
+        )
+        fast = interval_join(
+            pts, iv, keys=["k"], point_col="t", start_col="s",
+            end_col="e", bucket_width=64,
+        )
+        naive = pts.join(iv.withColumnRenamed("k", "k2"),
+                         (F.col("k") == F.col("k2"))
+                         & (F.col("t") >= F.col("s"))
+                         & (F.col("t") < F.col("e"))).drop("k2")
+        a = sorted((r["iid"], r["k"], r["t"]) for r in fast.collect())
+        b = sorted((r["iid"], r["k"], r["t"]) for r in naive.collect())
+        assert a == b
+
+
 def test_optimize_table_compacts(spark, tmp_path):
     from sdg_big_data_spark.sources.writers import optimize_table
 
