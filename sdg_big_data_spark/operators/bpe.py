@@ -1,0 +1,145 @@
+"""Distributed BPE pair-merge training — the tokenizer-training step of
+an LLM data pipeline, Spark-first.
+
+Architecture (the part that matters at 100 TB): the corpus is touched
+ONCE — a word-frequency aggregation (one shuffle, output is
+vocabulary-sized, millions of rows not billions). Every merge round then
+runs on that small weighted vocabulary: pair counts are a groupBy over
+exploded adjacent pairs weighted by word frequency, the winning pair is
+a 1-row collect (dimension-sized, like a k-means centroid pull), and the
+merge applies as a narrow map. Cost per round ~ vocab size, independent
+of corpus size — which is exactly why classical BPE trainers operate on
+word counts, not raw text.
+
+Exactness trick: a word's symbol sequence is carried as ONE encoded
+string — ``|sym1||sym2||sym3|`` — so applying merge (a,b) is the literal
+string replace of ``|a||b|`` with ``|ab|``. Java, DuckDB, and Python
+``str.replace`` all scan left-to-right non-overlapping, which is
+precisely the classical BPE merge order, so the whole training loop —
+including every intermediate merge table — is exactly replayable by a
+SQL oracle (unrolled CTE rounds) and by the pure-Python reference in the
+differential test. Symbols are drawn from the tokenizer alphabet
+(lowercase alnum + apostrophe, plus the ``</w>`` end-of-word marker), so
+``|`` can never occur inside a symbol and the encoding is unambiguous.
+
+Tie-break rule (part of the contract): highest pair frequency, then
+lexicographically smallest (left, right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "|"
+END_OF_WORD = "</w>"
+
+
+def encode_word(word: Column) -> Column:
+    """word → ``|c1||c2||...||cn||</w>|`` encoded symbol string."""
+    return F.concat(
+        F.lit(SEP),
+        F.array_join(F.split(word, ""), SEP + SEP),
+        F.lit(SEP + SEP + END_OF_WORD + SEP),
+    )
+
+
+def _symbols(enc: Column) -> Column:
+    # substring(enc, 2, len-2) strips the outer separators
+    return F.split(enc.substr(F.lit(2), F.length(enc) - 2), r"\|\|")
+
+
+def adjacent_pairs(enc: Column) -> Column:
+    """All adjacent symbol pairs of an encoded word, as ``a||b`` strings
+    (overlapping occurrences each count — classical BPE statistics)."""
+    s = _symbols(enc)
+    # guard: Spark sequence(1, 0) would generate a DESCENDING [1, 0] for
+    # single-symbol words, not an empty range
+    return F.when(F.size(s) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.concat_ws(
+                SEP + SEP, F.element_at(s, i), F.element_at(s, i + 1)
+            ),
+        )
+    )
+
+
+def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → (word, freq): the single corpus-scale pass."""
+    from ..functions.text import tokenize
+
+    return (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int = 16,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges over the corpus.
+
+    Returns ``(merges, vocab)``: the ordered merge table
+    ``[(step, left_sym, right_sym, pair_freq), ...]`` and the final
+    vocabulary frame ``(word, freq, enc)`` with merges applied.
+
+    The driver-side collect per round is ONE row (the winning pair) —
+    the same dimension-sized pull as a k-means centroid update, not a
+    corpus collect. Lineage over the vocab frame grows by one projection
+    per round, so every ``checkpoint_every`` rounds it is truncated with
+    ``localCheckpoint`` (the connected-components operator uses the same
+    discipline, operators/graph.py).
+    """
+    from ..cachescope import scoped_cache
+
+    vocab = word_vocab(docs, text_col).withColumn("enc", encode_word(F.col("word")))
+    vocab = scoped_cache(vocab)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(F.explode(adjacent_pairs(F.col("enc"))).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        top = (
+            pairs.orderBy(
+                F.col("pair_freq").desc(),
+                F.split("pair", r"\|\|")[0].asc(),
+                F.split("pair", r"\|\|")[1].asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, freq = top[0]["pair"], int(top[0]["pair_freq"])
+        left, right = pair.split(SEP + SEP)
+        merges.append((step, left, right, freq))
+        pat = SEP + left + SEP + SEP + right + SEP
+        rep = SEP + left + right + SEP
+        vocab = vocab.withColumn("enc", F.expr(
+            f"replace(enc, {_sql_str(pat)}, {_sql_str(rep)})"
+        ))
+        if step % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def subword_vocab(vocab: DataFrame) -> DataFrame:
+    """Final (symbol, freq) table: explode the merged symbol sequences,
+    weight by word frequency."""
+    return (
+        vocab.select(F.explode(_symbols(F.col("enc"))).alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

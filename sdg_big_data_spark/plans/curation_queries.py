@@ -178,3 +178,80 @@ def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate", 6).alias("rate"),
         "expected_tokens",
     )
+
+
+# --- t_bpe_merges -----------------------------------------------------------
+
+_BPE_K = 8
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Unrolled k-round BPE oracle. Each round: pair counts over the
+    encoded vocab, winning pair by (freq DESC, left ASC, right ASC),
+    merge applied as the SAME literal left-to-right string replace the
+    Spark operator uses — so every intermediate merge is value-exact."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+        ),
+        e0 AS MATERIALIZED (
+          SELECT '|' || array_to_string(regexp_split_to_array(word, ''), '||')
+                     || '||</w>|' AS enc, freq
+          FROM w0
+        )"""
+    ]
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS MATERIALIZED (
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq
+          FROM (
+            SELECT unnest(list_transform(range(1, len(s)),
+                          i -> s[i] || '||' || s[i+1])) AS pair, freq
+            FROM (SELECT string_split(substring(enc, 2, length(enc) - 2), '||')
+                    AS s, freq FROM e{p})
+          ) GROUP BY pair
+        ),
+        t{r} AS MATERIALIZED (
+          SELECT {r} AS step,
+                 split_part(pair, '||', 1) AS left_sym,
+                 split_part(pair, '||', 2) AS right_sym,
+                 pair_freq
+          FROM p{r}
+          ORDER BY pair_freq DESC, left_sym ASC, right_sym ASC LIMIT 1
+        ),
+        e{r} AS MATERIALIZED (
+          SELECT replace(enc,
+                   '|' || (SELECT left_sym FROM t{r}) || '||'
+                       || (SELECT right_sym FROM t{r}) || '|',
+                   '|' || (SELECT left_sym FROM t{r})
+                       || (SELECT right_sym FROM t{r}) || '|') AS enc, freq
+          FROM e{p}
+        )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, left_sym, right_sym, pair_freq FROM t{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@register(
+    "t_bpe_merges",
+    sql=_bpe_oracle_sql(_BPE_K),
+    tags=("bpe", "tokenizer", "curation"),
+    doc="distributed BPE tokenizer training (operators/bpe.train_bpe): "
+    "corpus touched ONCE (word-frequency shuffle, vocab-sized output); "
+    "each merge round = pair-count groupBy over the weighted vocab + "
+    "1-row collect + narrow merge map. The encoded-string merge "
+    "(literal left-to-right replace) makes every round exactly "
+    "replayable — the oracle unrolls all rounds as CTEs and matches the "
+    "full merge table value-for-value",
+)
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges, _vocab = train_bpe(docs, "text", n_merges=_BPE_K)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_freq long"
+    )
