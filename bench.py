@@ -67,6 +67,10 @@ HEADLINE = [
     # anyway, so the set is widened here rather than frozen incomplete):
     "ev_bootstrap_f1",
     "t_token_budget",
+    "t_repetition",
+    "j_interval_join",
+    "t_bpe_merges",
+    "ev_calibration",
 ]
 
 

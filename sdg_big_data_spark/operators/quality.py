@@ -146,18 +146,26 @@ def repetition_signals(
     from ..functions.text import ngrams, tokenize
 
     toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
-    top = _top_sorted_run(F.array_sort(ngrams(F.col("__toks"), 2)))
-    n = F.size("__toks")
-    return toks.select(
+    # The run-fold struct is referenced twice downstream (bgram + best);
+    # alias it in its OWN projection so it evaluates once per row —
+    # higher-order functions are interpreted (no codegen CSE), and
+    # CollapseProject keeps a non-cheap multiply-referenced alias, so the
+    # two-step select halves the fold cost (measured ~2x at sf0.1).
+    staged = toks.select(
         F.col(id_col),
-        n.alias("n_tokens"),
-        F.when(
-            n > 0, 1.0 - F.size(F.array_distinct("__toks")) / n
-        )
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("__nd"),
+        _top_sorted_run(F.array_sort(ngrams(F.col("__toks"), 2))).alias("__top"),
+    )
+    n = F.col("n_tokens")
+    return staged.select(
+        F.col(id_col),
+        "n_tokens",
+        F.when(n > 0, 1.0 - F.col("__nd") / n)
         .otherwise(F.lit(0.0))
         .alias("dup_token_frac"),
-        top["bgram"].alias("top_bigram"),
-        F.when(n >= 2, top["best"] * 2.0 / n)
+        F.col("__top")["bgram"].alias("top_bigram"),
+        F.when(n >= 2, F.col("__top")["best"] * 2.0 / n)
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     )

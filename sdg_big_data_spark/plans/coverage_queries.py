@@ -413,15 +413,16 @@ def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    # ONE let over the gram array feeds both the empty-doc guard and the
-    # stats — a separate `.where(size(g5) > 0)` would re-run the whole
-    # tokenize→ngram chain a second time just for the filter.
-    guarded = text.let(
-        g5, lambda g: F.when(F.size(g) > 0, _stats(g))
-    )
+    # Empty-doc guard as a CHEAP pre-filter on the exact precondition
+    # (>= 5 tokens ⟺ at least one 5-gram), NOT as `where(struct.isNotNull())`
+    # after the projection: Catalyst pushes an isnotnull predicate THROUGH
+    # the aliasing projection by substituting the full expression, so the
+    # entire md5+sliding-min chain was measured running twice per row
+    # (Filter + Project, both interpreted — no codegen CSE rescues
+    # higher-order functions). The pre-filter re-runs only the tokenizer.
     return (
-        docs.select("doc_id", guarded.alias("__s"))
-        .where(F.col("__s").isNotNull())
+        docs.where(text.token_count(F.col("text")) >= 5)
+        .select("doc_id", _stats(g5).alias("__s"))
         .select("doc_id", "__s.n_fingerprints", "__s.min_fp", "__s.max_fp")
     )
 
