@@ -46,23 +46,15 @@ def ks_statistic(
         F.sum("__a").alias("__ca"),
         F.count(F.lit(1)).alias("__ct"),
     )
+    # BOTH running counts ride one prefix-sum pass (one range shuffle,
+    # one Arrow stage, one offset join) — the multi-column form halves
+    # the operator cost vs two sequential passes
     cum = grouped_prefix_sum(
         per_value.withColumn("__g", F.lit(1)),
         ["__g"],
         [F.col("__v").asc()],
-        "__ct",
-        cum_col="__cum_t",
-    )
-    # second prefix over the SAME ordered frame for the a-side counts —
-    # piggybacked as one more narrow pass (the frame is already
-    # range-partitioned by __v; reuse of the operator keeps the code
-    # declarative and both passes scale identically)
-    cum = grouped_prefix_sum(
-        cum,
-        ["__g"],
-        [F.col("__v").asc()],
-        "__ca",
-        cum_col="__cum_a",
+        ["__ct", "__ca"],
+        cum_col=["__cum_t", "__cum_a"],
     )
     totals = tagged.agg(
         F.sum("__a").alias("__na"),

@@ -301,12 +301,17 @@ def grouped_prefix_sum(
     df: DataFrame,
     group_cols: Sequence[str],
     order_cols: Sequence[Column],
-    value_col: str,
-    cum_col: str = "cum_sum",
+    value_col: str | Sequence[str],
+    cum_col: str | Sequence[str] = "cum_sum",
     broadcast_offsets: bool = True,
 ) -> DataFrame:
     """EXACT running sum of ``value_col`` per group under a total order —
     without ever putting a whole group in one partition.
+
+    ``value_col``/``cum_col`` accept lists to carry SEVERAL running sums
+    in ONE pass (one range shuffle, one Arrow stage, one offset join) —
+    the two-sided KS statistic uses this to get both ECDFs for the price
+    of one.
 
     ``Window.partitionBy(group).orderBy(...)`` is the textbook form, but
     a skewed group (one language = 80% of a training corpus) becomes a
@@ -333,6 +338,10 @@ def grouped_prefix_sum(
 
     ship_package(df.sparkSession)
     gcols = list(group_cols)
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ccols = [cum_col] if isinstance(cum_col, str) else list(cum_col)
+    if len(vcols) != len(ccols):
+        raise ValueError("value_col and cum_col must have the same length")
     ordering = [F.col(c).asc() for c in gcols] + list(order_cols)
     rp = df.repartitionByRange(*ordering).sortWithinPartitions(*ordering)
     rp = rp.withColumn("__pid", F.spark_partition_id())
@@ -340,18 +349,18 @@ def grouped_prefix_sum(
     out_fields = rp.schema.fields
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
-        + [f"`{cum_col}` double"]
+        + [f"`{c}` double" for c in ccols]
     )
 
     def local_cumsum(batches):
         import pandas as pd
 
-        carry_key, carry_val = None, 0.0
+        carry_key, carry_vals = None, [0.0] * len(vcols)
         for pdf in batches:
             if not len(pdf):
                 continue
             cum = (
-                pdf.groupby(gcols, sort=False, dropna=False)[value_col]
+                pdf.groupby(gcols, sort=False, dropna=False)[vcols]
                 .cumsum()
                 .astype("float64")
             )  # dropna=False: a NULL group key must accumulate, not NaN out
@@ -359,17 +368,22 @@ def grouped_prefix_sum(
             # a NULL group spanning Arrow batches — substitute a sentinel
             kf = pdf[gcols].astype(object).where(pdf[gcols].notna(), "\x00<null>")
             keys = pd.MultiIndex.from_frame(kf)
-            if carry_key is not None:
-                cum = cum + (keys == carry_key) * carry_val
-            carry_key = keys[-1]
-            carry_val = float(cum.iloc[-1])
+            same = keys == carry_key if carry_key is not None else None
             pdf = pdf.copy()
-            pdf[cum_col] = cum
+            for i, (v, c) in enumerate(zip(vcols, ccols)):
+                col = cum[v]
+                if same is not None:
+                    col = col + same * carry_vals[i]
+                carry_vals[i] = float(col.iloc[-1])
+                pdf[c] = col
+            carry_key = keys[-1]
             yield pdf
 
     local = rp.mapInPandas(local_cumsum, schema=schema)
 
-    totals = local.groupBy("__pid", *gcols).agg(F.max(cum_col).alias("__tot"))
+    totals = local.groupBy("__pid", *gcols).agg(
+        *[F.max(c).alias(f"__tot_{i}") for i, c in enumerate(ccols)]
+    )
     w_off = (
         Window.partitionBy(*gcols)
         .orderBy("__pid")
@@ -378,7 +392,12 @@ def grouped_prefix_sum(
     offsets = totals.select(
         "__pid",
         *gcols,
-        F.coalesce(F.sum("__tot").over(w_off), F.lit(0.0)).alias("__off"),
+        *[
+            F.coalesce(F.sum(f"__tot_{i}").over(w_off), F.lit(0.0)).alias(
+                f"__off_{i}"
+            )
+            for i in range(len(ccols))
+        ],
     )
     # NULL-safe join: a plain equi-join on the group columns silently
     # DROPS every NULL-keyed group (SQL `=` never matches NULL); <=> keeps
@@ -390,11 +409,12 @@ def grouped_prefix_sum(
     for g in gcols:
         cond = cond & F.col(f"__gps_l.{g}").eqNullSafe(F.col(f"__gps_r.{g}"))
     joined = lhs.join(F.broadcast(rhs) if broadcast_offsets else rhs, cond).select(
-        "__gps_l.*", F.col("__gps_r.__off").alias("__off")
+        "__gps_l.*",
+        *[F.col(f"__gps_r.__off_{i}").alias(f"__off_{i}") for i in range(len(ccols))],
     )
-    return joined.withColumn(cum_col, F.col(cum_col) + F.col("__off")).drop(
-        "__pid", "__off"
-    )
+    for i, c in enumerate(ccols):
+        joined = joined.withColumn(c, F.col(c) + F.col(f"__off_{i}"))
+    return joined.drop("__pid", *[f"__off_{i}" for i in range(len(ccols))])
 
 
 def cumulative_share_scalable(

@@ -635,10 +635,21 @@ def a_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    # ONE percentile aggregate with an array of percentages — three
+    # scalar percentile() aggs each buffer the group's full value list
+    # independently (3x the memory and sort work; measured ~2x wall)
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("__p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 4).alias("p25"),
+            F.round(F.col("__p")[1], 4).alias("p50"),
+            F.round(F.col("__p")[2], 4).alias("p75"),
+        )
     )
 
 
