@@ -143,3 +143,28 @@ def subword_vocab(vocab: DataFrame) -> DataFrame:
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_segment(text_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Segment a text column into BPE symbols using a trained merge list:
+    tokenize → encode each token → apply the merges IN TRAINING ORDER
+    (the same literal left-to-right replaces training used) → flatten the
+    per-token symbol arrays.
+
+    Pure narrow expression — the merge table rides into the plan as
+    string literals (the expression-level analogue of a broadcast), so
+    corpus-scale encoding is a map-only stage.
+    """
+    from ..functions.text import tokenize
+
+    def per_token(t: Column) -> Column:
+        e = encode_word(t)
+        for left, right in merges:
+            e = F.replace(
+                e,
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            )
+        return _symbols(e)
+
+    return F.flatten(F.transform(tokenize(text_col), per_token))

@@ -279,3 +279,56 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct word n-gram shingles that appear anywhere in the
+    benchmark corpus — the standard train/eval overlap gate run before
+    training on web-scale data.
+
+    Scale shape: the benchmark shingle set is evaluation-suite-sized
+    (thousands of docs, not the corpus), so it broadcasts; the train side
+    pays one narrow shingle pass + a broadcast hash join + one groupBy —
+    the corpus never shuffles by shingle. The shingle array is staged
+    once per doc (multiply-referenced non-cheap alias survives
+    CollapseProject) so size() and explode share one tokenize.
+
+    Returns ``(id, n_shingles, n_overlap, contamination)`` for EVERY
+    train doc — zero-shingle docs report 0.0, not a dropped row.
+    """
+    bsh = (
+        bench.select(F.explode(T.shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    staged = train.select(F.col(id_col), T.shingles(F.col(text_col), n).alias("__sh"))
+    ex = staged.select(
+        F.col(id_col),
+        F.size("__sh").alias("n_shingles"),
+        F.explode_outer("__sh").alias("sh"),
+    )
+    per_doc = (
+        ex.join(F.broadcast(bsh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_overlap",
+        F.when(
+            F.col("n_shingles") > 0, F.col("n_overlap") / F.col("n_shingles")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
+    )

@@ -375,6 +375,57 @@ def calibration(
     )
 
 
+def ndcg_at_k(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    id_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """nDCG@k for binary relevance: DCG over the top-k by score
+    (deterministic tie-break on ``id_col``), normalized by the ideal DCG
+    (all positives first). Returns one row (k, n_pos, dcg, idcg, ndcg).
+
+    Scale shape: top-k is a ``TakeOrdered`` (per-partition heap + k-row
+    driver merge — never a global sort); the positive count is one
+    aggregate; the ideal-DCG harmonic sum is a driver-free expression
+    over ``sequence(1, min(k, n_pos))``.
+    """
+    y = F.col(label_col).cast("double")
+    topk = (
+        df.select(y.alias("__y"), F.col(score_col).alias("__s"), F.col(id_col).alias("__id"))
+        .orderBy(F.col("__s").desc(), F.col("__id").asc())
+        .limit(k)
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.orderBy(F.col("__s").desc(), F.col("__id").asc())
+            ),
+        )
+    )
+    dcg = topk.agg(
+        F.sum(F.col("__y") / F.log2(F.col("__rank") + 1)).alias("dcg")
+    )
+    npos = df.agg(F.sum(y).cast("long").alias("n_pos"))
+    joined = dcg.crossJoin(F.broadcast(npos))
+    m = F.least(F.lit(k).cast("long"), F.col("n_pos"))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard m < 1
+    idcg = F.when(m < 1, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1).cast("long"), m),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+        )
+    )
+    return joined.select(
+        F.lit(k).alias("k"),
+        "n_pos",
+        F.col("dcg"),
+        idcg.alias("idcg"),
+        F.when(idcg > 0, F.col("dcg") / idcg).otherwise(F.lit(0.0)).alias("ndcg"),
+    )
+
+
 def grid_search_configs(
     stops: DataFrame,
     truth: DataFrame,

@@ -255,3 +255,61 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_freq long"
     )
+
+
+def _bpe_apply_oracle_sql(k: int) -> str:
+    """Oracle for merge APPLICATION: re-derives the k merges (same CTE
+    chain as the training oracle), binds them as scalar constants, and
+    applies the identical replace chain to every document's tokens."""
+    base = _bpe_oracle_sql(k)
+    with_body = base[len("WITH ") : base.index("\nSELECT step")].rstrip().rstrip(",")
+    # bind each round's winner as columns of a 1-row consts relation
+    consts = ", ".join(
+        f"(SELECT left_sym FROM t{r}) AS l{r}, (SELECT right_sym FROM t{r}) AS r{r}"
+        for r in range(1, k + 1)
+    )
+    chain = "'|' || array_to_string(regexp_split_to_array(w, ''), '||') || '||</w>|'"
+    for r in range(1, k + 1):
+        chain = (
+            f"replace({chain}, '|' || l{r} || '||' || r{r} || '|', "
+            f"'|' || l{r} || r{r} || '|')"
+        )
+    return f"""WITH {with_body},
+    consts AS (SELECT {consts}),
+    dt AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    applied AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             list_transform(t, w -> len(string_split(
+               substring({chain}, 2, length({chain}) - 2), '||'))) AS lens
+      FROM dt, consts
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(COALESCE(list_sum(lens), 0) AS INTEGER) AS n_subtokens
+    FROM applied"""
+
+
+@register(
+    "t_bpe_encode",
+    sql=_bpe_apply_oracle_sql(_BPE_K),
+    tags=("bpe", "tokenizer", "curation"),
+    doc="BPE merge application (operators/bpe.bpe_segment): segment every "
+    "document with the merges trained by t_bpe_merges — the merge table "
+    "rides into the plan as literals (expression-level broadcast), so "
+    "corpus encoding is a map-only stage; oracle re-derives the merges "
+    "and replays the identical replace chain",
+)
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.bpe import bpe_segment, train_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges, _vocab = train_bpe(docs, "text", n_merges=_BPE_K)
+    pairs = [(m[1], m[2]) for m in merges]
+    staged = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_segment(F.col("text"), pairs).alias("__syms"),
+    )
+    return staged.select(
+        "doc_id", "n_tokens", F.size("__syms").alias("n_subtokens")
+    )

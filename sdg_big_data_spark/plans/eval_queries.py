@@ -374,3 +374,58 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     out = ks_statistic(ev, "value", "event_type", "click", "purchase")
     return out.select("n_a", "n_b", F.round("ks", 6).alias("ks"))
+
+
+@register(
+    "ev_ndcg",
+    sql="""
+    WITH s AS (
+      SELECT event_id,
+             CAST((event_id * 2654435761) % 1000 AS DOUBLE)
+               / CAST(1000 AS DOUBLE) AS p,
+             CASE WHEN (event_id * 1299709 + 7) % 1000
+                       < (event_id * 2654435761) % 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    ranked AS (
+      SELECT y, row_number() OVER (ORDER BY p DESC, event_id ASC) AS rk
+      FROM s
+    ),
+    d AS (
+      SELECT sum(CAST(y AS DOUBLE) / log2(rk + 1)) AS dcg
+      FROM ranked WHERE rk <= 100
+    ),
+    np AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos FROM s),
+    ideal AS (
+      SELECT CAST(COALESCE(sum(CAST(1 AS DOUBLE) / log2(i + 1)), 0) AS DOUBLE)
+               AS idcg
+      FROM (SELECT unnest(range(1, (SELECT least(100, n_pos) FROM np) + 1)) AS i)
+    )
+    SELECT 100 AS k, n_pos, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg
+    FROM d, np, ideal
+    """,
+    tags=("evaluation", "ranking"),
+    doc="nDCG@100 for binary relevance (evaluation.ndcg_at_k): top-k is "
+    "a TakeOrdered (per-partition heap + k-row driver merge, never a "
+    "global sort); ideal DCG is a closed-form harmonic sum over "
+    "sequence(1, min(k, n_pos)) — no second ranking pass",
+)
+def ev_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h1 = (F.col("event_id") * F.lit(2654435761)) % 1000
+    h2 = (F.col("event_id") * F.lit(1299709) + 7) % 1000
+    scores = ev.select(
+        "event_id",
+        (h1.cast("double") / F.lit(1000.0)).alias("p"),
+        (h2 < h1).cast("int").alias("y"),
+    )
+    out = evaluation.ndcg_at_k(scores, "y", "p", "event_id", k=100)
+    return out.select(
+        "k",
+        "n_pos",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )

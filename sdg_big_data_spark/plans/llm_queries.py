@@ -407,3 +407,51 @@ def e_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.quantize_embeddings(emb)
     return out.select("vec_id", F.round("scale", 9).alias("scale"), "codes")
+
+
+@register(
+    "d_contamination",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS t FROM documents
+    ),
+    sharr AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN {_SQL_SHINGLES}
+                  ELSE CAST([] AS VARCHAR[]) END AS sa
+      FROM toks
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest(sa) AS sh FROM sharr WHERE doc_id % 97 = 0
+    ),
+    train AS (SELECT doc_id, sa FROM sharr WHERE doc_id % 97 != 0),
+    ex AS (SELECT doc_id, unnest(sa) AS sh FROM train),
+    hits AS (
+      SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM ex JOIN bsh USING (sh) GROUP BY ex.doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.sa) AS INTEGER) AS n_shingles,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(CASE WHEN len(t.sa) > 0
+                      THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(t.sa)
+                      ELSE 0 END, 6) AS contamination
+    FROM train t LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("decontamination", "dedup"),
+    doc="benchmark decontamination (dedup.contamination_overlap): per "
+    "training doc, the fraction of its distinct 3-gram shingles found "
+    "anywhere in the held-out benchmark slice (doc_id % 97 = 0). "
+    "Benchmark shingle set is eval-suite-sized -> broadcast; the corpus "
+    "never shuffles by shingle",
+)
+def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    out = dedup.contamination_overlap(train, bench, "doc_id", "text", n=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round("contamination", 6).alias("contamination"),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from sdg_big_data_spark.operators import evaluation, quality
 
@@ -143,3 +144,91 @@ class TestCalibration:
         assert out[0]["brier"] == pytest.approx(direct, rel=1e-9)
         assert 0.0 <= out[0]["ece"] <= 1.0
         assert not math.isnan(out[0]["ece"])
+
+
+class TestContamination:
+    def test_hand_computed(self, spark):
+        from sdg_big_data_spark.operators.dedup import contamination_overlap
+
+        train = spark.createDataFrame(
+            [
+                (1, "a b c d"),       # shingles: abc bcd -> 1 overlap (abc)
+                (2, "x y z"),         # xyz -> no overlap
+                (3, "a b c a b c"),   # distinct shingles incl 'a b c' -> hit
+                (4, "t u"),           # too short: 0 shingles
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "a b c q r s")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in contamination_overlap(
+                train, bench, "doc_id", "text"
+            ).collect()
+        }
+        assert out[1]["n_shingles"] == 2 and out[1]["n_overlap"] == 1
+        assert out[1]["contamination"] == pytest.approx(0.5)
+        assert out[2]["n_overlap"] == 0
+        assert out[3]["n_overlap"] >= 1
+        assert out[4]["n_shingles"] == 0
+        assert out[4]["contamination"] == 0.0
+        assert len(out) == 4  # every train doc reported
+
+    def test_broadcast_plan(self, spark):
+        from sdg_big_data_spark.operators.dedup import contamination_overlap
+
+        train = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        bench = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+        plan = (
+            contamination_overlap(train, bench, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestNdcg:
+    def test_perfect_ranking(self, spark):
+        from sdg_big_data_spark.operators.evaluation import ndcg_at_k
+
+        rows = [(i, 1.0 - i / 10.0, 1 if i < 3 else 0) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, s double, y int")
+        (r,) = ndcg_at_k(df, "y", "s", "id", k=5).collect()
+        # positives occupy ranks 1-3 exactly -> dcg == idcg
+        assert r["n_pos"] == 3
+        assert r["ndcg"] == pytest.approx(1.0)
+
+    def test_worst_ranking_and_zero_pos(self, spark):
+        from sdg_big_data_spark.operators.evaluation import ndcg_at_k
+        import math
+
+        rows = [(i, 1.0 - i / 10.0, 1 if i >= 8 else 0) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, s double, y int")
+        (r,) = ndcg_at_k(df, "y", "s", "id", k=5).collect()
+        # positives at ranks 9,10 -> outside top-5 -> dcg 0
+        assert r["dcg"] == 0.0 and r["ndcg"] == 0.0
+        assert r["idcg"] == pytest.approx(1.0 + 1.0 / math.log2(3))
+
+        none = spark.createDataFrame([(1, 0.5, 0)], "id long, s double, y int")
+        (z,) = ndcg_at_k(none, "y", "s", "id", k=5).collect()
+        assert z["ndcg"] == 0.0 and z["idcg"] == 0.0
+
+
+class TestBpeSegment:
+    def test_roundtrip_segments(self, spark):
+        from sdg_big_data_spark.operators import bpe
+
+        docs = spark.createDataFrame(
+            [(1, "low low lower")], "doc_id long, text string"
+        )
+        merges, _ = bpe.train_bpe(docs, "text", n_merges=3)
+        pairs = [(m[1], m[2]) for m in merges]
+        out = docs.select(
+            bpe.bpe_segment(F.col("text"), pairs).alias("syms")
+        ).collect()[0]["syms"]
+        # concatenating symbols reconstructs the tokens (with </w> marks)
+        joined = "".join(out)
+        assert joined == "low</w>low</w>lower</w>"
+        # the trained merges actually compressed: fewer symbols than chars
+        assert len(out) < len("lowlowlower") + 3
