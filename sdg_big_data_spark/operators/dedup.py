@@ -174,21 +174,30 @@ def minhash_lsh_candidates(
     signature. Banding = groupBy band signature + self-join — pure
     equi-joins, shuffle on (band, signature) only."""
     sig = minhash_signatures(df, id_col, text_col, n)
+    # Band signature as ``rows_per_band`` LONG columns (one conditional
+    # max per in-band position — exactly one row per perm exists), not a
+    # sorted-collect_list string: the fixed-width form skips per-group
+    # list building + sort + string formatting and joins on narrow
+    # integer keys. The candidate-pair OUTPUT is identical, so the
+    # oracle's banding SQL is unaffected.
+    mcols = [
+        F.max(
+            F.when(F.col("perm") % rows_per_band == i, F.col("minhash"))
+        ).alias(f"__m{i}")
+        for i in range(rows_per_band)
+    ]
     bands = (
         sig.withColumn("band", F.floor(F.col("perm") / rows_per_band))
         .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ":", F.sort_array(F.collect_list(F.format_string("%d.%d", "perm", "minhash")))
-            ).alias("band_sig")
-        )
+        .agg(*mcols)
     )
     bands = scoped_cache(bands)  # self-joined below — without the cache the full signature
     # pipeline (scan → shingle → dict → encode → min-agg) runs twice
-    x = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
-    y = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    keys = ["band"] + [f"__m{i}" for i in range(rows_per_band)]
+    x = bands.select(F.col(id_col).alias("id_a"), *keys)
+    y = bands.select(F.col(id_col).alias("id_b"), *keys)
     return (
-        x.join(y, ["band", "band_sig"])
+        x.join(y, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
