@@ -94,32 +94,50 @@ def main() -> None:
     spark = get_spark(app_name="sdg-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = catalog.queries()
+    # A failing query is RECORDED, not fatal: round 2's bench produced a
+    # crash record (rc=1, zero timings) because one query hit an analysis
+    # error — every healthy query's number was lost with it. Errors now
+    # land in an "errors" field and the run still emits the JSON line.
+    errors: dict[str, str] = {}
+
+    def safe(name: str) -> float | None:
+        try:
+            return run_once(spark, name, qs[name])
+        except Exception as e:  # noqa: BLE001 — record and move on
+            errors.setdefault(name, f"{type(e).__name__}: {str(e)[:200]}")
+            return None
+
     # Warm-up pass: whole-stage-codegen compilation of the lambda-heavy
     # expression pipelines dominates first execution (~20s for the LSH
     # query alone); steady-state is what a resident cluster sees, so one
     # untimed full pass precedes the measured passes.
     for name in HEADLINE:
-        run_once(spark, name, qs[name])
+        safe(name)
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(N_RUNS):
         for name in HEADLINE:
-            samples[name].append(run_once(spark, name, qs[name]))
-    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+            t = safe(name)
+            if t is not None:
+                samples[name].append(t)
+    timings = {
+        name: round(statistics.median(s), 3)
+        for name, s in samples.items()
+        if s
+    }
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n": N_RUNS,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_seconds_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n": N_RUNS,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
