@@ -24,6 +24,11 @@ PROBES = [
     "w4_full_rank",
     "d_exact_dedup",
     "ev_bootstrap_f1",
+    # round 3: iterative tie-broken training, top-k tie-broken ranking,
+    # interval bucketing over event-time epochs
+    "t_bpe_merges",
+    "ev_ndcg",
+    "j_interval_join",
 ]
 
 
