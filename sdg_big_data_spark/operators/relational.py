@@ -142,3 +142,73 @@ def collapse(
         F.sum(c).alias(f"{c}_sum") for c in sums
     ]
     return df.groupBy(*by).agg(*aggs)
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    fine_cols: Sequence[str],
+    rollup_cols: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count rollup via Apache DataSketches HLL
+    (`hll_sketch_agg` / `hll_union_agg` — Spark built-ins, JVM-side).
+
+    The 100 TB pattern `countDistinct` cannot express: build ONE sketch
+    per fine grain (e.g. per day), persist those ~1.5 KB sketches, and
+    answer every coarser rollup (week / month / all-time / any ad-hoc
+    group subset) by sketch UNION — the base data is never rescanned and
+    the union is associative + commutative, so incremental appends just
+    union yesterday's sketch in. Exact `countDistinct` re-shuffles every
+    raw value for every new grain; sketches shuffle bytes per group.
+
+    Accuracy: DataSketches HLL is EXACT while a group's cardinality fits
+    the sparse coupon list (~0.75·2^lg_k); beyond that the estimate's
+    relative standard error is ~1.04/√2^lg_k (±1.6% at lg_k=12).
+    Returns ``rollup_cols + approx_distinct`` (estimate as long).
+    """
+    fine = df.groupBy(*fine_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("__sketch")
+    )
+    merged = fine.groupBy(*rollup_cols).agg(
+        F.hll_union_agg(F.col("__sketch")).alias("__sketch")
+    )
+    return merged.select(
+        *rollup_cols, F.hll_sketch_estimate("__sketch").alias("approx_distinct")
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equi-width histogram over a numeric column: bucket i covers
+    [min + i·w, min + (i+1)·w) with w = (max−min)/n, the max value
+    clamped into the last bucket. Returns (bucket, lo, hi, n) for
+    OCCUPIED buckets (empty buckets are not emitted — at 100 TB a
+    spine join to materialize empties is the caller's one-liner).
+
+    Two passes by necessity (bounds, then counts) but each is a
+    map-side-combined aggregation — the bounds row is a broadcast
+    crossJoin, so no shuffle carries raw values twice.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    with_b = df.select(v.alias("__v")).crossJoin(F.broadcast(bounds))
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("__v") - F.col("__lo")) / w).cast("int"),
+        )
+    )
+    return (
+        with_b.select(
+            bucket.alias("bucket"),
+            (F.col("__lo") + bucket * w).alias("lo"),
+            (F.col("__lo") + (bucket + 1) * w).alias("hi"),
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

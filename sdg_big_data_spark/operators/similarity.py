@@ -547,6 +547,76 @@ def quantize_embeddings(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each cluster cell, a vector is DROPPED when
+    some same-cell vector with a smaller id has cosine ≥ ``threshold``
+    to it — the deterministic "keep the canonical representative of each
+    ε-ball" policy (smallest id = the representative, so survivors are
+    unique and order-independent).
+
+    Input must already carry a cell assignment (``cell_col``) — compose
+    with :func:`train_centroids` + :func:`_nearest_cells`, k-means
+    (operators/clustering.kmeans), or any partitioning; the whole point
+    of SemDeDup is that clustering first makes the pair space per-cell
+    quadratic instead of corpus-quadratic. Returns every input id with
+    its cell and a ``kept`` flag (1 = survivor).
+
+    Scale shape: one equi-join on cell id (candidate pairs) + one
+    aggregation — no corpus cross product. Per-cell cost is |cell|²/2
+    pair evaluations; size cells accordingly (k ≈ √n cells keeps cells
+    ~√n). A pathological hot cell has the same remedy as the LSH verify
+    path — pre-split it with :func:`embedding_near_dups`-style salting
+    or recurse the clustering one level; transitive-chain semantics
+    (components instead of greedy balls) are available by feeding the
+    pair list into graph.connected_components.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(cell_col).alias("__cell"),
+        F.col(vec_col).alias("__v"),
+    )
+    a = base.select(
+        F.col("__id").alias("__ida"),
+        F.col("__cell"),
+        F.col("__v").alias("__va"),
+        norm(F.col("__v")).alias("__na"),
+    )
+    b_side = base.select(
+        F.col("__id").alias("__idb"),
+        F.col("__cell"),
+        F.col("__v").alias("__vb"),
+        norm(F.col("__v")).alias("__nb"),
+    )
+    dropped = (
+        a.join(b_side, "__cell")
+        .where(F.col("__idb") < F.col("__ida"))
+        .where(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
+        .select(F.col("__ida").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        base.join(dropped, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").alias(cell_col),
+            F.when(F.col("__dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
+
+
 def dequantize_dot(codes_a: Column, scale_a: Column, codes_b: Column, scale_b: Column) -> Column:
     """Approximate dot product from quantized codes: integer dot
     (exact, overflow-safe for 8-bit codes up to ~2^46 dims) times the two

@@ -781,3 +781,147 @@ def r5_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type"], {"train": 0.8, "val": 0.1, "test": 0.1}, "event_id"
     )
     return out.groupBy("event_type", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_SQL = f"""
+    WITH vecd AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label, i, avg(x) AS c FROM flat GROUP BY label, i),
+    cvec AS (SELECT label AS cell, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.v, c.cell,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) ** 2)) AS dist
+      FROM vecd e CROSS JOIN cvec c
+    ),
+    a AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT x.vec_id
+      FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id
+      WHERE list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))) >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, a.cell,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM a LEFT JOIN dropped d USING (vec_id)
+    """
+
+
+@register(
+    "d_semantic_dedup",
+    sql=_SEMDEDUP_SQL,
+    tags=("dedup", "semantic", "similarity"),
+    doc="SemDeDup-style semantic deduplication (similarity.semantic_dedup, "
+    "arXiv:2303.09540): assign every embedding to its nearest centroid "
+    "cell (broadcast codebook), then within each cell drop any vector "
+    "with a smaller-id neighbor at cosine >= tau — pair space is "
+    "per-cell quadratic, never corpus-quadratic; the oracle replays the "
+    "cell assignment AND the drop policy exactly",
+)
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        _nearest_cells,
+        semantic_dedup,
+        train_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = train_centroids(emb, "label").select(
+        F.col("label").alias("__cell"), "cv"
+    )
+    assigned = _nearest_cells(
+        emb.select("vec_id", "embedding"), cent, "vec_id", "embedding", 1
+    ).withColumnRenamed("__cell", "cell")
+    return semantic_dedup(
+        assigned, "vec_id", "embedding", "cell", threshold=_SEMDEDUP_TAU
+    )
+
+
+@register(
+    "a_hll_distinct",
+    sql="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct
+    FROM events GROUP BY event_type
+    """,
+    tags=("A2", "sketch", "rollup"),
+    doc="mergeable HLL distinct rollup (relational.hll_distinct_rollup): "
+    "per-(event_type, day) DataSketches HLL sketches unioned up to "
+    "event_type — the 100 TB pattern where daily ~1.5 KB sketches are "
+    "persisted once and every coarser grain is a sketch union, never a "
+    "raw-value rescan. The oracle is EXACT count(distinct): at the "
+    "oracle's scale every group sits in the sketch's sparse-exact regime "
+    "(cardinality << 0.75*2^lg_k), so estimate == exact is the contract "
+    "being checked; the estimating regime is covered by the tolerance "
+    "property test (tests/test_plans.py::test_hll_estimate_tolerance)",
+)
+def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import hll_distinct_rollup
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return hll_distinct_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id", lg_k=12
+    )
+
+
+_HIST_BUCKETS = 10
+
+
+@register(
+    "a_histogram",
+    sql=f"""
+    WITH b AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem
+    ),
+    tagged AS (
+      SELECT CASE WHEN b.hi = b.lo THEN 0
+                  ELSE least({_HIST_BUCKETS - 1},
+                             CAST(floor((l.l_extendedprice - b.lo)
+                                        / ((b.hi - b.lo) / {_HIST_BUCKETS}))
+                                  AS INTEGER))
+             END AS bucket,
+             b.lo, b.hi
+      FROM lineitem l CROSS JOIN b
+    )
+    SELECT bucket,
+           round(lo + bucket * ((hi - lo) / {_HIST_BUCKETS}), 4) AS lo,
+           round(lo + (bucket + 1) * ((hi - lo) / {_HIST_BUCKETS}), 4) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tagged GROUP BY bucket, tagged.lo, tagged.hi
+    """,
+    tags=("A-profile", "histogram"),
+    doc="equi-width histogram (relational.equi_width_histogram) over "
+    "l_extendedprice: bounds pass + broadcast-crossJoin bucket pass, both "
+    "map-side-combined — the standard data-profiling primitive; identical "
+    "IEEE bucket arithmetic on both engines",
+)
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import equi_width_histogram
+
+    li = table(spark, sf_dir, "lineitem")
+    out = equi_width_histogram(li, "l_extendedprice", _HIST_BUCKETS)
+    return out.select(
+        "bucket",
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+        "n",
+    )

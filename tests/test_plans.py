@@ -262,3 +262,60 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+# --- sketch + histogram operators -------------------------------------------
+
+
+def test_hll_estimate_tolerance(spark):
+    """Beyond the sparse-exact regime the HLL estimate must track the true
+    cardinality within the published error bound (~1.04/sqrt(2^lg_k);
+    assert a loose 3-sigma ~5% at lg_k=12 for 200k distincts)."""
+    from sdg_big_data_spark.operators.relational import hll_distinct_rollup
+
+    n = 200_000
+    df = spark.range(n).selectExpr("id % 4 as g", "id as v")
+    out = hll_distinct_rollup(df, ["g"], [], "v", lg_k=12)
+    est = out.collect()[0]["approx_distinct"]
+    assert abs(est - n) / n < 0.05
+
+
+def test_hll_union_merges_partial_sketches(spark):
+    """Mergeability — the property countDistinct lacks: the union of
+    per-half sketches estimates the SAME value as one sketch over the
+    whole data (identical sketch state, not merely close)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(50_000).selectExpr(
+        "case when id < 25000 then 'a' else 'b' end as half", "id % 30000 as v"
+    )
+    whole = df.agg(F.hll_sketch_agg("v", F.lit(12)).alias("s")).select(
+        F.hll_sketch_estimate("s").alias("e")
+    ).collect()[0]["e"]
+    merged = (
+        df.groupBy("half")
+        .agg(F.hll_sketch_agg("v", F.lit(12)).alias("s"))
+        .agg(F.hll_union_agg("s").alias("s"))
+        .select(F.hll_sketch_estimate("s").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert whole == merged
+
+
+def test_histogram_counts_cover_all_rows(spark):
+    from sdg_big_data_spark.operators.relational import equi_width_histogram
+
+    df = spark.range(1000).selectExpr("cast(id as double) as x")
+    out = equi_width_histogram(df, "x", 7).collect()
+    assert sum(r["n"] for r in out) == 1000
+    assert len(out) == 7
+    buckets = sorted(r["bucket"] for r in out)
+    assert buckets == list(range(7))
+
+
+def test_histogram_degenerate_single_value(spark):
+    from sdg_big_data_spark.operators.relational import equi_width_histogram
+
+    df = spark.range(5).selectExpr("cast(42 as double) as x")
+    out = equi_width_histogram(df, "x", 4).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["n"] == 5

@@ -287,3 +287,42 @@ def test_two_stage_quantized_retrieve_then_rescore(spark, emb):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(t) for t in truth.values())
     assert hits / total >= 0.8  # int8 first pass rarely loses a true top-5
+
+
+# --- semantic dedup ---------------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted_neighbors(spark):
+    """Plant two exact-duplicate groups in separate cells; the smallest id
+    of each dup group survives, everything else in the group drops, and
+    unrelated vectors are untouched."""
+    from sdg_big_data_spark.operators.similarity import semantic_dedup
+
+    base = [1.0] + [0.0] * 7
+    other = [0.0] * 7 + [1.0]
+    rows = [
+        # cell 0: ids 10, 11, 12 identical (near-dups); 13 orthogonal
+        (10, base, 0), (11, base, 0), (12, base, 0), (13, other, 0),
+        # cell 1: ids 20, 21 identical; 22 orthogonal
+        (20, base, 1), (21, base, 1), (22, other, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, cell int"
+    )
+    out = semantic_dedup(df, threshold=0.99)
+    kept = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert kept == {10: 1, 11: 0, 12: 0, 13: 1, 20: 1, 21: 0, 22: 1}
+
+
+def test_semantic_dedup_is_cell_local(spark):
+    """Identical vectors in DIFFERENT cells never see each other — the
+    clustering bounds the pair space (recall is the clustering's job)."""
+    from sdg_big_data_spark.operators.similarity import semantic_dedup
+
+    v = [1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v, 0), (2, v, 1)],
+        schema="vec_id long, embedding array<float>, cell int",
+    )
+    out = semantic_dedup(df, threshold=0.9)
+    assert {r["kept"] for r in out.collect()} == {1}
