@@ -71,6 +71,10 @@ HEADLINE = [
     "j_interval_join",
     "t_bpe_merges",
     "ev_calibration",
+    "d_semantic_dedup",
+    "a_hll_distinct",
+    "a_theta_overlap",
+    "a_histogram",
 ]
 
 

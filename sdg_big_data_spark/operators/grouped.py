@@ -203,18 +203,24 @@ def batched_group_apply(
     def run(batches):
         carry: pd.DataFrame | None = None
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty batch: carry rides to the next one
             if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
             last = pdf[key_col].iloc[-1]
             complete = pdf[pdf[key_col] != last]
             carry = pdf[pdf[key_col] == last]
             if len(complete):
-                yield pd.concat(
-                    [fn(g) for _, g in complete.groupby(key_col, sort=False)],
-                    ignore_index=True,
-                )
+                # drop empty per-group results before concat (pandas warns on
+                # — and will change dtype inference for — empty/all-NA parts)
+                parts = [
+                    out
+                    for _, g in complete.groupby(key_col, sort=False)
+                    for out in (fn(g),)
+                    if len(out)
+                ]
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
         if carry is not None and len(carry):
             yield fn(carry)
 

@@ -212,3 +212,107 @@ def equi_width_histogram(
         .groupBy("bucket", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def theta_set_overlap(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-set overlap between two slices via DataSketches Theta
+    sketches — the set-EXPRESSION sketch HLL cannot provide: one pass
+    builds a sketch per slice, then ``theta_intersection`` /
+    ``theta_union`` / ``theta_difference`` answer |A∩B|, |A∪B|, |A∖B|
+    without ever materializing either side's distinct set.
+
+    The 100 TB decontamination/audience question — "how many of the
+    training corpus's fingerprints / users appear in the benchmark /
+    other cohort" — at sketch cost: slices are sketched in the SAME
+    aggregation (conditional inputs, nulls ignored), so the base data is
+    read once, and the ~k·8-byte sketches compose associatively across
+    partitions, days, or corpora. Exact while each slice's cardinality
+    stays under the sketch's nominal entries (2^lg_k retained hashes);
+    beyond that, relative error ~1/√2^lg_k.
+
+    Returns one row: (n_a, n_b, n_intersection, n_union, n_only_a) as
+    long estimates.
+    """
+    v = F.col(value_col)
+    s = F.col(side_col)
+    sk_a = F.expr(
+        f"theta_sketch_agg(__va, {lg_k})"
+    )
+    sk_b = F.expr(
+        f"theta_sketch_agg(__vb, {lg_k})"
+    )
+    staged = df.select(
+        F.when(s == side_a, v).alias("__va"),
+        F.when(s == side_b, v).alias("__vb"),
+    )
+    sketches = staged.agg(sk_a.alias("__sa"), sk_b.alias("__sb"))
+    return sketches.select(
+        F.expr("theta_sketch_estimate(__sa)").alias("n_a"),
+        F.expr("theta_sketch_estimate(__sb)").alias("n_b"),
+        F.expr("theta_sketch_estimate(theta_intersection(__sa, __sb))").alias(
+            "n_intersection"
+        ),
+        F.expr("theta_sketch_estimate(theta_union(__sa, __sb))").alias("n_union"),
+        F.expr("theta_sketch_estimate(theta_difference(__sa, __sb))").alias(
+            "n_only_a"
+        ),
+    )
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    fine_cols: Sequence[str],
+    rollup_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    k: int = 200,
+) -> DataFrame:
+    """Mergeable quantile rollup via DataSketches KLL (double): one
+    sketch per fine grain, merged up to ``rollup_cols``, quantiles read
+    off the merged sketch.
+
+    The same persist-once / roll-up-forever economics as
+    :func:`hll_distinct_rollup`, for ORDER statistics: exact grouped
+    percentiles re-sort raw values for every new grain, while KLL
+    sketches merge associatively with a proven rank-error bound
+    (~1.65% at k=200, single-sided), so daily sketches answer weekly /
+    monthly / all-time p50/p99 without touching raw data again.
+    Returns ``rollup_cols + n + q_<pct>...`` columns.
+
+    Spark exposes only the pairwise ``kll_sketch_merge_double``, so the
+    rollup folds it over the collected fine-grain sketch list — sound
+    because the fine grains per rollup group are dimension-counted (days
+    per month, not rows) and each sketch is ~k doubles. Merge order
+    follows collect_list's task order, so ESTIMATES (not the rank
+    guarantee) can differ across runs — inherent to every distributed
+    mergeable-quantile design.
+    """
+    fine = df.groupBy(*fine_cols).agg(
+        F.expr(f"kll_sketch_agg_double({value_col}, {k})").alias("__sk")
+    )
+    merged = fine.groupBy(*rollup_cols).agg(
+        F.collect_list("__sk").alias("__sks")
+    ).select(
+        *rollup_cols,
+        F.expr(
+            "aggregate(slice(__sks, 2, greatest(size(__sks) - 1, 0)), "
+            "__sks[0], (acc, s) -> kll_sketch_merge_double(acc, s))"
+        ).alias("__sk"),
+    )
+    cols = [
+        F.expr("kll_sketch_get_n_double(__sk)").alias("n"),
+        *[
+            F.expr(f"kll_sketch_get_quantile_double(__sk, CAST({q} AS DOUBLE))").alias(
+                f"q_{str(q).replace('.', '_')}"
+            )
+            for q in quantiles
+        ],
+    ]
+    return merged.select(*rollup_cols, *cols)

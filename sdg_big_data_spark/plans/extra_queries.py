@@ -925,3 +925,37 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hi", 4).alias("hi"),
         "n",
     )
+
+
+@register(
+    "a_theta_overlap",
+    sql="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM a
+                 WHERE o_custkey IN (SELECT o_custkey FROM b))
+                AS BIGINT) AS n_intersection,
+           CAST((SELECT count(*) FROM (SELECT o_custkey FROM a
+                                       UNION SELECT o_custkey FROM b))
+                AS BIGINT) AS n_union,
+           CAST((SELECT count(*) FROM a
+                 WHERE o_custkey NOT IN (SELECT o_custkey FROM b))
+                AS BIGINT) AS n_only_a
+    """,
+    tags=("A2", "sketch", "set-overlap"),
+    doc="Theta-sketch distinct-set overlap (relational.theta_set_overlap): "
+    "|A|, |B|, |A∩B|, |A∪B|, |A∖B| of two slices' distinct customer sets "
+    "from ONE base-data pass (conditional sketch inputs) — the "
+    "decontamination / cohort-overlap question at sketch cost, set "
+    "algebra HLL cannot do. Oracle is exact set arithmetic: at the "
+    "oracle's scale both slices sit under the sketch's nominal entries "
+    "(2^lg_k), where Theta estimates are exact; the estimating regime is "
+    "covered by tests/test_plans.py::test_theta_overlap_tolerance",
+)
+def a_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import theta_set_overlap
+
+    orders = table(spark, sf_dir, "orders")
+    return theta_set_overlap(orders, "o_custkey", "o_orderstatus", "F", "O")

@@ -69,6 +69,13 @@ def get_spark(
     - ``spark.sql.files.maxPartitionBytes=128m``: bounded scan partitions so
       a 100 TB read fans out to ~800k tasks instead of OOM-sized splits.
     - ``parquet.aggregatePushdown``: MIN/MAX/COUNT served from footer stats.
+    - Runtime bloom-filter join pruning
+      (``spark.sql.optimizer.runtime.bloomFilter.enabled``) is ON by
+      Spark 4 default and deliberately left alone: a selective dim-side
+      filter injects a bloom prefilter into the fact-side scan of
+      shuffle joins (creation side ≤ 10 MB, probe scan ≥ 10 GB — i.e.
+      exactly the 100 TB shapes, never the local fixtures), which is the
+      idiomatic form of a hand-built bloom semi-join operator.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (

@@ -29,6 +29,12 @@ PROBES = [
     "t_bpe_merges",
     "ev_ndcg",
     "j_interval_join",
+    # round 3b: float cell-assignment tie-breaks, sketch estimates over a
+    # day derivation (timezone-sensitive fine grain), histogram bounds
+    "d_semantic_dedup",
+    "a_hll_distinct",
+    "a_histogram",
+    "a_theta_overlap",
 ]
 
 

@@ -319,3 +319,33 @@ def test_histogram_degenerate_single_value(spark):
     df = spark.range(5).selectExpr("cast(42 as double) as x")
     out = equi_width_histogram(df, "x", 4).collect()
     assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["n"] == 5
+
+
+def test_theta_overlap_tolerance(spark):
+    """Beyond the exact regime, theta set-operation estimates stay within
+    a loose relative band (intersection error compounds — allow 10%)."""
+    from sdg_big_data_spark.operators.relational import theta_set_overlap
+
+    df = spark.range(200_000).selectExpr(
+        "case when id < 100000 then 'a' else 'b' end as side",
+        # a: 0..99999, b: 50000..149999 -> true intersection 50000
+        "case when id < 100000 then id else id - 50000 end as v",
+    )
+    r = theta_set_overlap(df, "v", "side", "a", "b").collect()[0]
+    assert abs(r["n_a"] - 100_000) / 100_000 < 0.05
+    assert abs(r["n_intersection"] - 50_000) / 50_000 < 0.10
+    assert abs(r["n_union"] - 150_000) / 150_000 < 0.05
+
+
+def test_kll_rollup_rank_error(spark):
+    """Merged-sketch quantiles respect the KLL rank-error bound: the
+    returned p50/p99 must sit within ~2% RANK distance of the true
+    quantile of 0..n-1 (value == rank for this fixture)."""
+    from sdg_big_data_spark.operators.relational import kll_quantile_rollup
+
+    n = 100_000
+    df = spark.range(n).selectExpr("id % 16 as g", "cast(id as double) as x")
+    r = kll_quantile_rollup(df, ["g"], [], "x", [0.5, 0.99]).collect()[0]
+    assert r["n"] == n
+    assert abs(r["q_0_5"] - 0.5 * n) / n < 0.02
+    assert abs(r["q_0_99"] - 0.99 * n) / n < 0.02
