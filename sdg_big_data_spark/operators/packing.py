@@ -65,3 +65,55 @@ def pack_plan(
         (start % capacity).cast("long").alias("bin_offset"),
         F.floor((cum - 1) / capacity).cast("long").alias("last_bin"),
     )
+
+
+def chunk_plan(
+    docs: DataFrame,
+    capacity: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking plan — the RAG / long-context
+    splitter: chunk i covers tokens [i·(C−O), min(i·(C−O)+C, n)) for
+    capacity C and overlap O < C, so consecutive chunks share O tokens
+    and every token is covered. Documents with n ≤ C yield one chunk;
+    empty documents yield none.
+
+    Unlike :func:`pack_plan` (which concatenates documents ACROSS a
+    shard), chunking is per-document arithmetic — a pure NARROW
+    projection + explode, no shuffle at any corpus size; the chunk count
+    per doc is 1 + ceil((n−C)/(C−O)). Returns
+    (id, chunk_id, tok_start, tok_end, n_chunk_tokens).
+    """
+    if not 0 <= overlap < capacity:
+        raise ValueError("need 0 <= overlap < capacity")
+    step = capacity - overlap
+    n = F.col("__n")
+    m = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= capacity, F.lit(1))
+        .otherwise(
+            (F.floor((n - capacity + step - 1) / F.lit(step)) + 1).cast("int")
+        )
+    )
+    staged = docs.select(
+        F.col(id_col), F.size(T.tokenize(F.col(text_col))).alias("__n")
+    ).where(F.col("__n") > 0)
+    start = F.col("chunk_id").cast("long") * step
+    return (
+        staged.select(
+            id_col,
+            "__n",
+            F.explode(F.sequence(F.lit(0), m - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            start.alias("tok_start"),
+            F.least(start + capacity, F.col("__n").cast("long")).alias("tok_end"),
+            (
+                F.least(start + capacity, F.col("__n").cast("long")) - start
+            ).alias("n_chunk_tokens"),
+        )
+    )

@@ -365,127 +365,147 @@ def embedding_near_dups(
         "__bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes)
     ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__bkt")
     if arrow_verify:
-        import numpy as np
-        import pandas as pd
+        return _bucket_pairs_arrow(b, threshold, max_bucket_rows)
+    return _bucket_pairs_join(b, threshold)
 
-        from ..session import ship_package
 
-        ship_package(df.sparkSession)
+def _bucket_pairs_arrow(
+    b: DataFrame, threshold: float, max_bucket_rows: int | None
+) -> DataFrame:
+    """Per-bucket Arrow/numpy pairwise cosine verify over a frame with
+    columns (__id, __v, __bkt) — the shared verify engine of
+    :func:`embedding_near_dups` (buckets = LSH sketches) and
+    :func:`semantic_dedup` (buckets = cluster cells), including the
+    hot-bucket salting decomposition documented on embedding_near_dups.
+    Emits (id_a < id_b, cos) pairs with cos >= threshold, bit-identical
+    to the SQL fold (sequential-order cumsum)."""
+    import numpy as np
+    import pandas as pd
 
-        def _empty() -> "pd.DataFrame":
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
-            )
+    from ..session import ship_package
 
-        def _pairs(ids_a, V_a, ids_b, V_b, ia, ib) -> "pd.DataFrame":
-            # Sequential-order sums (cumsum's last column == the left fold)
-            # keep bit-parity with the SQL/DuckDB form.
-            nrm_a = np.sqrt(np.cumsum(V_a * V_a, axis=1)[:, -1])
-            nrm_b = np.sqrt(np.cumsum(V_b * V_b, axis=1)[:, -1])
-            dots = np.cumsum(V_a[ia] * V_b[ib], axis=1)[:, -1]
-            cos = dots / (nrm_a[ia] * nrm_b[ib])
-            keep = cos >= threshold
-            lo = np.minimum(ids_a[ia[keep]], ids_b[ib[keep]])
-            hi = np.maximum(ids_a[ia[keep]], ids_b[ib[keep]])
-            return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[keep]})
+    ship_package(b.sparkSession)
 
-        def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-            n = len(pdf)
-            if n < 2:
-                return _empty()
-            pdf = pdf.sort_values("__id")
-            ids = pdf["__id"].to_numpy()
-            V = np.array(list(pdf["__v"]), dtype=np.float64)
-            ia, ib = np.triu_indices(n, k=1)
-            return _pairs(ids, V, ids, V, ia, ib)
-
-        if max_bucket_rows is None:
-            return b.groupBy("__bkt").applyInPandas(
-                verify, schema="id_a long, id_b long, cos double"
-            )
-
-        from ..cachescope import scoped_cache
-
-        b = scoped_cache(b)  # feeds the size probe AND the verify pass
-        sizes = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__nb"))
-        # Adaptive: the size table is <= 2^n_planes rows — probe its max
-        # (one partial-agg pass that also materializes the cache) and keep
-        # the plain one-task-per-bucket plan when nothing is hot; only a
-        # skewed corpus pays the fan-out's join/explode overhead.
-        max_nb = sizes.agg(F.max("__nb")).collect()[0][0] or 0
-        if max_nb <= max_bucket_rows:
-            return b.groupBy("__bkt").applyInPandas(
-                verify, schema="id_a long, id_b long, cos double"
-            )
-        salted = (
-            # ≤ 2^n_planes buckets → the size table is always broadcastable
-            b.join(F.broadcast(sizes), "__bkt")
-            .withColumn(
-                "__s",
-                F.greatest(
-                    F.lit(1),
-                    F.ceil(F.col("__nb") / F.lit(max_bucket_rows)),
-                ).cast("int"),
-            )
-            .withColumn(
-                "__salt", F.pmod(F.hash(F.col("__id")), F.col("__s")).cast("int")
-            )
+    def _empty() -> "pd.DataFrame":
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos": "float64"}
         )
-        task_t = "array<struct<sa:int,sb:int,role:string>>"
-        # Row with salt t joins tasks (t, j≥t) as side 'a' and (i<t, t) as
-        # side 'b'; the diagonal task (t, t) appears once, side 'a' only —
-        # so every unordered pair is generated in exactly one task.
-        tasks = F.concat(
+
+    def _pairs(ids_a, V_a, ids_b, V_b, ia, ib) -> "pd.DataFrame":
+        # Sequential-order sums (cumsum's last column == the left fold)
+        # keep bit-parity with the SQL/DuckDB form.
+        nrm_a = np.sqrt(np.cumsum(V_a * V_a, axis=1)[:, -1])
+        nrm_b = np.sqrt(np.cumsum(V_b * V_b, axis=1)[:, -1])
+        dots = np.cumsum(V_a[ia] * V_b[ib], axis=1)[:, -1]
+        cos = dots / (nrm_a[ia] * nrm_b[ib])
+        keep = cos >= threshold
+        lo = np.minimum(ids_a[ia[keep]], ids_b[ib[keep]])
+        hi = np.maximum(ids_a[ia[keep]], ids_b[ib[keep]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[keep]})
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return _empty()
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        V = np.array(list(pdf["__v"]), dtype=np.float64)
+        ia, ib = np.triu_indices(n, k=1)
+        return _pairs(ids, V, ids, V, ia, ib)
+
+    if max_bucket_rows is None:
+        return b.groupBy("__bkt").applyInPandas(
+            verify, schema="id_a long, id_b long, cos double"
+        )
+
+    from ..cachescope import scoped_cache
+
+    b = scoped_cache(b)  # feeds the size probe AND the verify pass
+    sizes = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__nb"))
+    # Adaptive: the size table is <= 2^n_planes rows — probe its max
+    # (one partial-agg pass that also materializes the cache) and keep
+    # the plain one-task-per-bucket plan when nothing is hot; only a
+    # skewed corpus pays the fan-out's join/explode overhead.
+    max_nb = sizes.agg(F.max("__nb")).collect()[0][0] or 0
+    if max_nb <= max_bucket_rows:
+        return b.groupBy("__bkt").applyInPandas(
+            verify, schema="id_a long, id_b long, cos double"
+        )
+    salted = (
+        # ≤ 2^n_planes buckets → the size table is always broadcastable
+        b.join(F.broadcast(sizes), "__bkt")
+        .withColumn(
+            "__s",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__nb") / F.lit(max_bucket_rows)),
+            ).cast("int"),
+        )
+        .withColumn(
+            "__salt", F.pmod(F.hash(F.col("__id")), F.col("__s")).cast("int")
+        )
+    )
+    task_t = "array<struct<sa:int,sb:int,role:string>>"
+    # Row with salt t joins tasks (t, j≥t) as side 'a' and (i<t, t) as
+    # side 'b'; the diagonal task (t, t) appears once, side 'a' only —
+    # so every unordered pair is generated in exactly one task.
+    tasks = F.concat(
+        F.transform(
+            F.sequence(F.col("__salt"), F.col("__s") - 1),
+            lambda j: F.struct(
+                F.col("__salt").alias("sa"),
+                j.cast("int").alias("sb"),
+                F.lit("a").alias("role"),
+            ),
+        ),
+        F.when(
+            F.col("__salt") > 0,
             F.transform(
-                F.sequence(F.col("__salt"), F.col("__s") - 1),
-                lambda j: F.struct(
-                    F.col("__salt").alias("sa"),
-                    j.cast("int").alias("sb"),
-                    F.lit("a").alias("role"),
+                F.sequence(F.lit(0), F.col("__salt") - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("sa"),
+                    F.col("__salt").alias("sb"),
+                    F.lit("b").alias("role"),
                 ),
             ),
-            F.when(
-                F.col("__salt") > 0,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__salt") - 1),
-                    lambda i: F.struct(
-                        i.cast("int").alias("sa"),
-                        F.col("__salt").alias("sb"),
-                        F.lit("b").alias("role"),
-                    ),
-                ),
-            ).otherwise(F.array().cast(task_t)),
-        )
-        fanned = salted.select(
-            "__id", "__v", "__bkt", F.explode(tasks).alias("__t")
-        ).select(
-            "__id",
-            "__v",
-            "__bkt",
-            F.col("__t.sa").alias("__sa"),
-            F.col("__t.sb").alias("__sb"),
-            F.col("__t.role").alias("__role"),
-        )
+        ).otherwise(F.array().cast(task_t)),
+    )
+    fanned = salted.select(
+        "__id", "__v", "__bkt", F.explode(tasks).alias("__t")
+    ).select(
+        "__id",
+        "__v",
+        "__bkt",
+        F.col("__t.sa").alias("__sa"),
+        F.col("__t.sb").alias("__sb"),
+        F.col("__t.role").alias("__role"),
+    )
 
-        def verify_task(pdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf["__sa"].iat[0] == pdf["__sb"].iat[0]:
-                return verify(pdf)  # diagonal task: triangular pairs
-            a = pdf[pdf["__role"] == "a"].sort_values("__id")
-            c = pdf[pdf["__role"] == "b"].sort_values("__id")
-            if not len(a) or not len(c):
-                return _empty()
-            ids_a = a["__id"].to_numpy()
-            ids_b = c["__id"].to_numpy()
-            V_a = np.array(list(a["__v"]), dtype=np.float64)
-            V_b = np.array(list(c["__v"]), dtype=np.float64)
-            ia, ib = np.meshgrid(
-                np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij"
-            )
-            return _pairs(ids_a, V_a, ids_b, V_b, ia.ravel(), ib.ravel())
-
-        return fanned.groupBy("__bkt", "__sa", "__sb").applyInPandas(
-            verify_task, schema="id_a long, id_b long, cos double"
+    def verify_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["__sa"].iat[0] == pdf["__sb"].iat[0]:
+            return verify(pdf)  # diagonal task: triangular pairs
+        a = pdf[pdf["__role"] == "a"].sort_values("__id")
+        c = pdf[pdf["__role"] == "b"].sort_values("__id")
+        if not len(a) or not len(c):
+            return _empty()
+        ids_a = a["__id"].to_numpy()
+        ids_b = c["__id"].to_numpy()
+        V_a = np.array(list(a["__v"]), dtype=np.float64)
+        V_b = np.array(list(c["__v"]), dtype=np.float64)
+        ia, ib = np.meshgrid(
+            np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij"
         )
+        return _pairs(ids_a, V_a, ids_b, V_b, ia.ravel(), ib.ravel())
+
+    return fanned.groupBy("__bkt", "__sa", "__sb").applyInPandas(
+        verify_task, schema="id_a long, id_b long, cos double"
+    )
+
+
+def _bucket_pairs_join(b: DataFrame, threshold: float) -> DataFrame:
+    """Pure-DataFrame bucket self-join + per-pair interpreted fold verify
+    over (__id, __v, __bkt) — zero Python dependency; loses to the Arrow
+    path at high pair counts."""
     x = b.select(
         F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"),
@@ -553,6 +573,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cell_col: str = "cell",
     threshold: float = 0.95,
+    arrow_verify: bool = True,
+    max_cell_rows: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): within each cluster cell, a vector is DROPPED when
@@ -568,40 +590,31 @@ def semantic_dedup(
     quadratic instead of corpus-quadratic. Returns every input id with
     its cell and a ``kept`` flag (1 = survivor).
 
-    Scale shape: one equi-join on cell id (candidate pairs) + one
-    aggregation — no corpus cross product. Per-cell cost is |cell|²/2
-    pair evaluations; size cells accordingly (k ≈ √n cells keeps cells
-    ~√n). A pathological hot cell has the same remedy as the LSH verify
-    path — pre-split it with :func:`embedding_near_dups`-style salting
-    or recurse the clustering one level; transitive-chain semantics
-    (components instead of greedy balls) are available by feeding the
-    pair list into graph.connected_components.
+    Scale shape: candidate pairs come from the SAME per-bucket Arrow
+    verify engine as :func:`embedding_near_dups` (buckets = cells,
+    vectors cross Arrow once, pairwise cosines vectorized in numpy with
+    sequential-order cumsum — bit-identical to the SQL fold), including
+    its hot-cell salting decomposition (``max_cell_rows``); no corpus
+    cross product anywhere. Size cells so k ≈ √n keeps per-cell work
+    ~n; transitive-chain semantics (components instead of greedy balls)
+    are available by feeding the pair list into
+    graph.connected_components. ``arrow_verify=False`` keeps the
+    zero-Python bucket self-join + interpreted fold.
     """
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(cell_col).alias("__cell"),
         F.col(vec_col).alias("__v"),
     )
-    a = base.select(
-        F.col("__id").alias("__ida"),
-        F.col("__cell"),
-        F.col("__v").alias("__va"),
-        norm(F.col("__v")).alias("__na"),
-    )
-    b_side = base.select(
-        F.col("__id").alias("__idb"),
-        F.col("__cell"),
-        F.col("__v").alias("__vb"),
-        norm(F.col("__v")).alias("__nb"),
-    )
+    keyed = base.select("__id", "__v", F.col("__cell").alias("__bkt"))
+    if arrow_verify:
+        pairs = _bucket_pairs_arrow(keyed, threshold, max_cell_rows)
+    else:
+        pairs = _bucket_pairs_join(keyed, threshold)
+    # pairs emit id_a < id_b with cos >= threshold, so "has a smaller-id
+    # near neighbor in my cell" is exactly "appears as id_b"
     dropped = (
-        a.join(b_side, "__cell")
-        .where(F.col("__idb") < F.col("__ida"))
-        .where(
-            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-            >= threshold
-        )
-        .select(F.col("__ida").alias("__id"))
+        pairs.select(F.col("id_b").alias("__id"))
         .distinct()
         .withColumn("__dropped", F.lit(1))
     )

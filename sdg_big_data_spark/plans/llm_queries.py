@@ -455,3 +455,41 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round("contamination", 6).alias("contamination"),
     )
+
+
+@register(
+    "t_chunk_plan",
+    sql=f"""
+    WITH c AS (
+      SELECT doc_id, len({_SQL_TOKS.format(c="text")}) AS n
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= 32 THEN 1
+                  ELSE CAST(floor((n - 32 + 24 - 1) / 24) AS BIGINT) + 1
+             END AS n_chunks
+      FROM c WHERE n > 0
+    ),
+    e AS (
+      SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_id FROM m
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * 24 AS BIGINT) AS tok_start,
+           CAST(least(chunk_id * 24 + 32, n) AS BIGINT) AS tok_end,
+           CAST(least(chunk_id * 24 + 32, n) - chunk_id * 24 AS BIGINT)
+             AS n_chunk_tokens
+    FROM e
+    """,
+    tags=("packing", "chunking", "curation"),
+    doc="sliding-window document chunking plan (packing.chunk_plan): chunk "
+    "i covers tokens [i*(C-O), i*(C-O)+C) with C=32, O=8 — the RAG / "
+    "long-context splitter. Pure narrow projection + explode: zero "
+    "shuffle at any corpus size (vs pack_plan's cross-document prefix "
+    "sum); exact integer window arithmetic, oracle replays it verbatim",
+)
+def t_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_plan
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_plan(docs, capacity=32, overlap=8)

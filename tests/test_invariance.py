@@ -35,6 +35,7 @@ PROBES = [
     "a_hll_distinct",
     "a_histogram",
     "a_theta_overlap",
+    "t_chunk_plan",
 ]
 
 

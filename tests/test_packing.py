@@ -61,3 +61,38 @@ def test_grouped_prefix_sum_plans_range_partition_not_group_window(spark):
 
     win_parts = re.findall(r"hashpartitioning\((\w+)[#,]", plan)
     assert all(p != "g" for p in win_parts) or "__pid" in plan
+
+
+# --- chunk_plan -------------------------------------------------------------
+
+
+def test_chunk_plan_tiles_every_token(spark):
+    """Chunk windows must cover [0, n) with exactly `overlap` shared
+    tokens between consecutive chunks, and the final chunk must end at n."""
+    from sdg_big_data_spark.operators.packing import chunk_plan
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(75))),  # 75 tokens -> 3 chunks
+         (2, "one two three"),                        # n <= C -> 1 chunk
+         (3, "")],                                    # empty -> no chunks
+        schema="doc_id long, text string",
+    )
+    out = chunk_plan(docs, capacity=32, overlap=8)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["tok_start"], r["tok_end"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, 0, 32), (1, 1, 24, 56), (1, 2, 48, 75),
+        (2, 0, 0, 3),
+    ]
+
+
+def test_chunk_plan_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from sdg_big_data_spark.operators.packing import chunk_plan
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_plan(docs, capacity=8, overlap=8)
