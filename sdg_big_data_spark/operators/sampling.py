@@ -167,6 +167,53 @@ def group_fixed_n(
     )
 
 
+def weighted_bernoulli_sample(
+    df: DataFrame, key_col: str, weight_col: str, scale: float
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample — keep probability
+    ``min(1, w/scale)`` per row. The data-mixing primitive ("keep
+    documents proportionally to quality score"): a high-quality doc is
+    kept with probability → 1, a low one proportionally down-weighted.
+
+    Membership is a pure row property (portable hash uniform vs. the
+    row's own weight), so it is stable across partitionings, reruns and
+    engines — and the comparison is a single IEEE double divide on each
+    side, bit-identical in Spark and any SQL oracle. One narrow filter;
+    pushed to the scan when both columns are stored.
+    """
+    u = hash_bucket(F.col(key_col)) / F.lit(float(_MOD))
+    return df.where(u < F.col(weight_col) / F.lit(float(scale)))
+
+
+def weighted_fixed_k(
+    df: DataFrame, k: int, key_col: str, weight_col: str
+) -> DataFrame:
+    """Deterministic weighted sample of EXACTLY ``k`` rows without
+    replacement — exponential-race keys (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir", Inf. Proc. Letters
+    97(5); equivalently the -ln(u)/w form of their u^(1/w) keys): row i
+    draws ``e_i = -ln(u_i)/w_i ~ Exp(w_i)`` with ``u_i`` from the
+    portable hash, and the k smallest keys are the weighted sample.
+
+    Scale shape: ``orderBy().limit(k)`` plans TakeOrdered — a per-
+    partition k-heap plus one k-row merge on the driver, never a global
+    sort. Deterministic and oracle-replayable: hash + ln + divide are
+    the same IEEE arithmetic in any engine; ``key_col`` tiebreak pins
+    the order even under (astronomically unlikely) key collisions.
+    Rows with weight <= 0 are excluded (they'd win with Inf keys under
+    a sign flip and are semantically "never sample").
+    """
+    u = (hash_bucket(F.col(key_col)) + F.lit(1)) / F.lit(float(_MOD))
+    ekey = -F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__ek", ekey)
+        .orderBy(F.col("__ek").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__ek")
+    )
+
+
 def stratified_split(
     df: DataFrame,
     group_cols: list[str],

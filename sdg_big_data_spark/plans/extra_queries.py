@@ -959,3 +959,54 @@ def a_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = table(spark, sf_dir, "orders")
     return theta_set_overlap(orders, "o_custkey", "o_orderstatus", "F", "O")
+
+
+@register(
+    "r6_weighted_bernoulli",
+    sql="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ((doc_id % 4294967296) * 2654435761 % 4294967296) / 4294967296.0
+          < n_chars / 4000.0
+    """,
+    tags=("sampling-weighted", "data-mixing"),
+    doc="deterministic weighted Bernoulli sample "
+    "(sampling.weighted_bernoulli_sample): keep probability min(1, w/scale) "
+    "per row — the quality-proportional keep for data mixing. Membership is "
+    "a pure row property (portable hash vs the row's own weight, one IEEE "
+    "double compare both engines), stable across partitionings and reruns; "
+    "a single narrow filter pushed to the scan",
+)
+def r6_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_bernoulli_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_bernoulli_sample(docs, "doc_id", "n_chars", 4000.0)
+
+
+@register(
+    "r7_weighted_topk",
+    sql="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               ORDER BY -ln((((doc_id % 4294967296) * 2654435761
+                              % 4294967296) + 1) / 4294967296.0)
+                        / n_chars ASC,
+                        doc_id ASC) AS rn
+      FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 50
+    """,
+    tags=("sampling-weighted", "data-mixing"),
+    doc="weighted sample of exactly k rows without replacement "
+    "(sampling.weighted_fixed_k): exponential-race keys -ln(u)/w "
+    "(Efraimidis & Spirakis 2006) on the portable hash uniform; k smallest "
+    "keys win. Plans TakeOrdered (per-partition k-heap + k-row merge), "
+    "never a global sort; same IEEE ln/divide both engines",
+)
+def r7_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_fixed_k
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_fixed_k(docs, 50, "doc_id", "n_chars")
