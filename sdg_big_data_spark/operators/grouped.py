@@ -491,6 +491,59 @@ def label_home_work_dynamic(
     )
 
 
+def ewma(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-group exponentially-weighted moving average — the recursive
+    smoother ``y_t = α·x_t + (1-α)·y_{t-1}`` (``y_1 = x_1``; pandas
+    ``ewm(adjust=False)`` semantics), the time-series filter the news
+    sentiment panel smooths with before indexing
+    (`news-analytics/code/2_sentiment_analysis.py` panel post-processing;
+    the Stata side's `tssmooth` family).
+
+    Runs as ``applyInPandas`` per group with an explicit float loop: the
+    recursion is inherently sequential WITHIN a group, and per-entity
+    series are bounded (same contract as stop detection F2 — a user's
+    history, a country's daily panel), so one group per Arrow task is the
+    scale shape, parallel across the millions of groups. The loop does
+    ``a*x + b*y`` in exactly that IEEE order, so an oracle can replay it
+    bit-identically with a recursive CTE — no tolerance needed.
+
+    For genuinely unbounded groups the affine decomposition
+    (segment-local recursion + β^t-scaled carry, the prefix-sum shape)
+    distributes, at the cost of reordered float ops; bounded-group is the
+    honest default and matches every reference workload.
+    """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    a, b = float(alpha), 1.0 - float(alpha)
+    out_fields = [
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ]
+    schema = ", ".join(out_fields + [f"`{out_col}` double"])
+    vcol = value_col
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        y = None
+        out = []
+        for x in pdf[vcol].to_numpy():
+            x = float(x)
+            y = x if y is None else a * x + b * y
+            out.append(y)
+        pdf = pdf.copy()
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+
+
 def cap_group_size(
     df: DataFrame, key_col: str, order_col: str, max_rows: int
 ) -> DataFrame:

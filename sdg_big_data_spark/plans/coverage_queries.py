@@ -987,3 +987,61 @@ def m_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(meta, every_s=2.0).select(
         "item_id", "duration_s", "frame_index", "frame_ts"
     )
+
+
+@register(
+    "f_array_family",
+    sql="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS dim,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> x * x)), (a, x) -> a + x), 6)
+             AS sq_norm,
+           CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+           round(list_sort(v)[-1], 6) AS vmax,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), v[1:8]),
+                   (a, x) -> a + x), 6) AS head8_sum,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(v) + 1),
+                                  i -> v[i] * v[len(v) + 1 - i])),
+                   (a, x) -> a + x), 6) AS rev_dot
+    FROM v
+    """,
+    tags=("scalar-array", "higher-order"),
+    doc="higher-order array function family (SURVEY §2.9 array/struct): "
+    "transform / aggregate(fold) / filter / array_sort / slice / zip_with "
+    "over the embedding vectors, all JVM-side lambda expressions (zero "
+    "Python). Oracle replays the same left folds with list_reduce over a "
+    "prepended init, so the float accumulation order is identical",
+)
+def f_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    zero = F.lit(0.0)
+    return emb.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(
+            F.aggregate("v", zero, lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.element_at(F.array_sort("v"), -1), 6).alias("vmax"),
+        F.round(
+            F.aggregate(F.slice("v", 1, 8), zero, lambda acc, x: acc + x), 6
+        ).alias("head8_sum"),
+        F.round(
+            F.aggregate(
+                F.zip_with("v", F.reverse("v"), lambda a, b: a * b),
+                zero,
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("rev_dot"),
+    )

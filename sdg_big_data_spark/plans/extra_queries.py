@@ -1010,3 +1010,128 @@ def r7_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return weighted_fixed_k(docs, 50, "doc_id", "n_chars")
+
+
+@register(
+    "g_funnel",
+    sql="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_view_click_purchase
+    """,
+    tags=("funnel", "sequence"),
+    doc="ordered conversion funnel (view -> click -> purchase, strictly "
+    "increasing timestamps): ONE shuffle — per-user sorted event array + "
+    "a higher-order aggregate() fold carrying (t1,t2,t3) stage state "
+    "through the sequence, entirely JVM-side. The oracle states the same "
+    "semantics as three min-after-min passes; the fold computes them in "
+    "one corpus pass where the SQL form rescans per stage",
+)
+def g_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timeutil import epoch_micros
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", epoch_micros("ts").alias("t"), "event_type"
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), F.col("event_type").alias("et")))
+        ).alias("evs")
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+
+    def step(acc, e):
+        t1 = F.when(
+            acc["t1"].isNull() & (e["et"] == "view"), e["t"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t2"].isNull()
+            & acc["t1"].isNotNull()
+            & (e["et"] == "click")
+            & (e["t"] > acc["t1"]),
+            e["t"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull()
+            & acc["t2"].isNotNull()
+            & (e["et"] == "purchase")
+            & (e["t"] > acc["t2"]),
+            e["t"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    st = arr.select(F.aggregate("evs", init, step).alias("s"))
+    return st.agg(
+        F.count(F.col("s.t1")).alias("n_view"),
+        F.count(F.col("s.t2")).alias("n_view_click"),
+        F.count(F.col("s.t3")).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "g_retention",
+    sql="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+      FROM events GROUP BY user_id
+    ), w AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', f.first_d) AS DATE) AS cohort_week,
+             CAST(datediff('day', date_trunc('week', f.first_d),
+                           date_trunc('week', CAST(e.ts AS DATE))) // 7
+                  AS INT) AS week_offset
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w GROUP BY cohort_week, week_offset
+    """,
+    tags=("retention", "cohort"),
+    doc="weekly cohort retention matrix: cohort = Monday-truncated week "
+    "of a user's first event; cell (cohort, offset) = distinct users from "
+    "that cohort active offset weeks later. Two keyed aggregations on "
+    "user_id (first-touch, then matrix) — at 100 TB the first-touch "
+    "frame is user-dimension-sized and the join shuffles once on the "
+    "same key the agg just produced (no extra exchange under AQE)",
+)
+def g_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timeutil import _as_instant
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(_as_instant("ts")).alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    j = ev.join(first, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("first_d")).cast("date").alias("cohort_week"),
+        (
+            F.datediff(
+                F.date_trunc("week", F.col("d")).cast("date"),
+                F.date_trunc("week", F.col("first_d")).cast("date"),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return j.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )

@@ -341,3 +341,41 @@ def f1_day_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("t_start", F.col("dayidx") * 86400).alias("seg_start"),
         F.least("t_end", (F.col("dayidx") + 1) * 86400).alias("seg_end"),
     )
+
+
+@register(
+    "w_ewma",
+    sql="""
+    WITH RECURSIVE r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ), e AS (
+      SELECT user_id, event_id, rn, value AS y FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_id, r.rn,
+             CAST(0.3 AS DOUBLE) * r.value + CAST(0.7 AS DOUBLE) * e.y
+      FROM r JOIN e ON r.user_id = e.user_id AND r.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, round(y, 6) AS ewma FROM e
+    """,
+    tags=("W7", "time-series"),
+    doc="per-group exponential moving average (grouped.ewma): the "
+    "recursive smoother y_t = a*x_t + (1-a)*y_{t-1} (y_1 = x_1), "
+    "applyInPandas per entity (bounded-series contract, same as F2) with "
+    "the float loop doing a*x + b*y in exactly the oracle's IEEE order — "
+    "the recursive CTE replays it bit-identically, no tolerance. "
+    "Unbounded-group alternative (affine segment carry) documented in "
+    "the operator",
+)
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped import ewma
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_seconds("ts").alias("t"), "value"
+    )
+    out = ewma(ev, ["user_id"], ["t", "event_id"], "value", 0.3)
+    return out.select(
+        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
+    )

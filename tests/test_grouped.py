@@ -204,3 +204,50 @@ def test_recluster_batched_equals_grouped(spark, pings):
     a = sorted(map(tuple, recluster_stops(stops).collect()))
     b = sorted(map(tuple, recluster_stops_batched(stops).collect()))
     assert a == b
+
+
+class TestEwma:
+    def test_matches_pandas_ewm(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from sdg_big_data_spark.operators.grouped import ewma
+
+        rng = np.random.RandomState(7)
+        pdf = pd.DataFrame(
+            {
+                "g": np.repeat([1, 2, 3], 40),
+                "t": np.tile(np.arange(40), 3),
+                "x": rng.randn(120),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = (
+            ewma(df, ["g"], ["t"], "x", 0.25)
+            .orderBy("g", "t")
+            .select("ewma")
+            .toPandas()["ewma"]
+            .to_numpy()
+        )
+        exp = (
+            pdf.sort_values(["g", "t"])
+            .groupby("g")["x"]
+            .transform(lambda s: s.ewm(alpha=0.25, adjust=False).mean())
+            .to_numpy()
+        )
+        assert np.allclose(got, exp, atol=1e-12)
+
+    def test_partition_invariant(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from sdg_big_data_spark.operators.grouped import ewma
+
+        pdf = pd.DataFrame(
+            {"g": [1] * 50 + [2] * 50, "t": list(range(50)) * 2,
+             "x": np.linspace(-1, 1, 100)}
+        )
+        df = spark.createDataFrame(pdf)
+        a = ewma(df, ["g"], ["t"], "x", 0.5).orderBy("g", "t").collect()
+        b = ewma(df.repartition(17), ["g"], ["t"], "x", 0.5).orderBy("g", "t").collect()
+        assert a == b
