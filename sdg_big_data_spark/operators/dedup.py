@@ -341,3 +341,77 @@ def contamination_overlap(
         .otherwise(F.lit(0.0))
         .alias("contamination"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the token-window form of
+    exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499). The reference's
+    dedup surface stops at whole-document fingerprints; span-level dedup
+    is what catches boilerplate (licenses, headers, templated paragraphs)
+    repeated INSIDE otherwise-distinct documents.
+
+    Strategy (suffix-array-free — Spark-native):
+
+    1. roll an ``n``-token window over every document:
+       (id, pos, md5(window)) — a narrow map (tokenize once per row,
+       windows via positional n-grams), linear in corpus tokens;
+    2. one hash-shuffle: window-hash → count(DISTINCT doc); keep hashes
+       seen in ``>= min_docs`` documents. This replaces the suffix
+       array's global sort with a groupBy Catalyst map-side-combines;
+    3. join matched hashes back (equi-join on the 16-byte hash) and merge
+       each document's matched windows into MAXIMAL spans: windows cover
+       [pos, pos+n); a window starts a new span iff its pos exceeds the
+       running max end of all earlier windows (classic interval merge,
+       expressed as two keyed window functions — no per-doc Python).
+
+    Output: one row per maximal duplicated span —
+    (id, span_start, span_len, n_windows), token offsets 0-based.
+
+    Scale: both shuffles are linear in total windows (~tokens); nothing
+    is quadratic in documents or corpus size. At 100 TB the step-2
+    output (hashes repeated across docs) is boilerplate-sized, far
+    smaller than the corpus, so the step-3 join's build side stays
+    small; a skewed mega-hash (a license header in 10^8 docs) spreads
+    across tasks because the join key is (hash), not (doc).
+    """
+    from pyspark.sql.window import Window
+
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(T.ngrams(T.tokenize(F.col(text_col)), n)).alias(
+            "pos", "__gram"
+        ),
+    ).select(id_col, "pos", F.md5("__gram").alias("__h"))
+    wins = scoped_cache(wins)
+    dup_h = (
+        wins.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    matched = wins.join(dup_h, "__h").select(
+        id_col, "pos", (F.col("pos") + n).alias("__end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = matched.withColumn(
+        "__new",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "__grp",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy(id_col, "__grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("__end") - F.min("pos")).alias("span_len"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("__grp")

@@ -313,3 +313,92 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id", "n_tokens", F.size("__syms").alias("n_subtokens")
     )
+
+
+# --- d_span_dup -------------------------------------------------------------
+
+# Planted boilerplate (10 tokens, >= the 8-token window) appended to every
+# 5th document: the raw fixture text shares no 8-token spans across docs,
+# so an unplanted oracle would only ever prove "0 rows == 0 rows". Both
+# engines derive the identical planted text from doc_id.
+_SPAN_SUFFIX = (
+    "this boilerplate license header is shared across many documents verbatim"
+)
+_SPAN_N = 8
+
+_SPAN_SRC_SQL = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' {_SPAN_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents
+"""
+
+_SPAN_WIN_SQL = f"""
+    WITH src AS ({_SPAN_SRC_SQL}),
+    toks AS (SELECT doc_id, {{toks}} AS t FROM src),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(t[i:i+{_SPAN_N - 1}], ' ')) AS h
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(t) - {_SPAN_N} + 2)) AS i
+      ) r
+      WHERE len(t) >= {_SPAN_N}
+    ),
+    dup AS (
+      SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    m AS (
+      SELECT w.doc_id, w.pos, w.pos + {_SPAN_N} AS e
+      FROM wins w JOIN dup USING (h)
+    ),
+    flg AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS nw
+      FROM m
+    ),
+    grp AS (
+      SELECT doc_id, pos, e,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flg
+    )
+    SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+           CAST(max(e) - min(pos) AS INTEGER) AS span_len,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, g
+"""
+
+
+@register(
+    "d_span_dup",
+    sql=_SPAN_WIN_SQL.format(toks=_TOKS),
+    tags=("dedup", "span", "curation"),
+    doc="cross-document duplicated-span detection "
+    "(dedup.duplicated_spans): the token-window form of exact substring "
+    "dedup (Lee et al., arXiv:2107.06499) — rolling 8-token window "
+    "hashes, one linear hash-shuffle for the >=2-docs gate, equi-join "
+    "back, interval-merge to maximal spans via two keyed windows. "
+    "Catches boilerplate repeated INSIDE otherwise-distinct documents, "
+    "which whole-document fingerprints cannot. Fixture plants a shared "
+    "10-token suffix on every 5th doc",
+)
+def d_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.duplicated_spans(
+        planted, "doc_id", "text", n=_SPAN_N, min_docs=2
+    )

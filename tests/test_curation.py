@@ -232,3 +232,61 @@ class TestBpeSegment:
         assert joined == "low</w>low</w>lower</w>"
         # the trained merges actually compressed: fewer symbols than chars
         assert len(out) < len("lowlowlower") + 3
+
+
+class TestDuplicatedSpans:
+    """dedup.duplicated_spans — token-window exact substring dedup."""
+
+    def _spans(self, spark, rows, n=3, min_docs=2):
+        from sdg_big_data_spark.operators import dedup
+
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = dedup.duplicated_spans(df, "id", "text", n=n, min_docs=min_docs)
+        return {
+            (r["id"], r["span_start"]): (r["span_len"], r["n_windows"])
+            for r in out.collect()
+        }
+
+    def test_planted_shared_span_found_with_maximal_merge(self, spark):
+        # docs 1 and 2 share "a b c d e" (5 tokens, n=3 -> 3 adjacent
+        # windows merging into ONE maximal 5-token span each)
+        got = self._spans(
+            spark,
+            [
+                (1, "x y a b c d e q r"),
+                (2, "a b c d e m n o p"),
+                (3, "entirely different words here now"),
+            ],
+        )
+        assert got == {(1, 2): (5, 3), (2, 0): (5, 3)}
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        # doc 1 has TWO separated shared spans -> two output rows
+        got = self._spans(
+            spark,
+            [
+                (1, "a b c zz1 zz2 zz3 zz4 d e f"),
+                (2, "a b c k1 k2 k3 k4 k5 d e f"),
+            ],
+        )
+        assert got == {
+            (1, 0): (3, 1),
+            (1, 7): (3, 1),
+            (2, 0): (3, 1),
+            (2, 8): (3, 1),
+        }
+
+    def test_within_doc_repeat_not_flagged_alone(self, spark):
+        # a span repeated inside ONE doc only: count(DISTINCT doc)=1 < 2
+        got = self._spans(spark, [(1, "a b c q a b c"), (2, "u v w x y z")])
+        assert got == {}
+
+    def test_min_docs_threshold(self, spark):
+        rows = [
+            (1, "a b c d"),
+            (2, "a b c e"),
+            (3, "a b c f"),
+        ]
+        assert self._spans(spark, rows, min_docs=4) == {}
+        got = self._spans(spark, rows, min_docs=3)
+        assert set(got) == {(1, 0), (2, 0), (3, 0)}
