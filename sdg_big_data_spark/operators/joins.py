@@ -245,3 +245,48 @@ def interval_join(
     )
     joined = ipts.join(iint, [*keys, "__b"])
     return joined.where((p >= s) & (p < e)).drop("__b")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int,
+    block_key,
+    how: str = "inner",
+    dist_col: str = "edit_dist",
+) -> DataFrame:
+    """Blocked fuzzy join — record linkage by edit distance.
+
+    The naive spelling ``left.join(right, levenshtein(a, b) <= k)`` is a
+    non-equi predicate: Catalyst plans BroadcastNestedLoop / cartesian
+    and evaluates |left| x |right| Levenshtein calls — dead at scale.
+    This is the standard two-phase record-linkage plan:
+
+    1. **block**: ``block_key`` (a ``Column -> Column`` function, e.g.
+       soundex, a prefix, a length bucket, the right-k digits of a
+       code) maps each side's match column to a coarse key; candidate
+       pairs are the equi-join on that key — a plain shuffled hash join.
+    2. **refine**: exact ``levenshtein(left_col, right_col) <= max_dist``
+       on candidates only.
+
+    Recall contract (standard for blocking): pairs whose block keys
+    differ are NEVER compared — choose a block function that true
+    matches cannot disagree on (or union several blocking passes).
+    Precision is exact: every emitted pair satisfies the distance bound.
+
+    Scale: cost is sum over blocks of |L_b| x |R_b| refinements, never
+    |L| x |R|; a hot block is an AQE skew-join split (or pre-salt with
+    :func:`salted_join` semantics). Output carries both input schemas
+    plus ``dist_col``.
+    """
+    lk = left.withColumn("__blk", block_key(F.col(left_col)))
+    rk = right.withColumn("__blk", block_key(F.col(right_col)))
+    d = F.levenshtein(F.col(left_col), F.col(right_col))
+    return (
+        lk.join(rk, "__blk", how)
+        .where(d <= max_dist)
+        .withColumn(dist_col, d)
+        .drop("__blk")
+    )

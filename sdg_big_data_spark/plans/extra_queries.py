@@ -1135,3 +1135,33 @@ def g_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("cohort_week", "week_offset").agg(
         F.count_distinct("user_id").alias("n_users")
     )
+
+
+@register(
+    "j_fuzzy_match",
+    sql="""
+    WITH l AS (SELECT c_custkey, c_name, right(c_name, 3) AS blk FROM customer),
+    r AS (SELECT s_suppkey, s_name, right(s_name, 3) AS blk FROM supplier)
+    SELECT l.c_custkey, l.c_name, r.s_suppkey, r.s_name,
+           levenshtein(l.c_name, r.s_name) AS edit_dist
+    FROM l JOIN r USING (blk)
+    WHERE levenshtein(l.c_name, r.s_name) <= 7
+    """,
+    tags=("fuzzy", "join", "record-linkage"),
+    doc="blocked fuzzy join (joins.fuzzy_join): record linkage by edit "
+    "distance — block on the last-3 chars (equi-join candidates), refine "
+    "with exact levenshtein <= 7. Two-phase plan replaces the "
+    "BroadcastNestedLoop a raw non-equi distance predicate would get; "
+    "per-block pair cost, never |L| x |R|",
+)
+def j_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return joins.fuzzy_join(
+        cust,
+        supp,
+        "c_name",
+        "s_name",
+        max_dist=7,
+        block_key=lambda c: F.substring(c, -3, 3),
+    ).select("c_custkey", "c_name", "s_suppkey", "s_name", "edit_dist")

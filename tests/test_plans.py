@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from sdg_big_data_spark.plans import catalog
 
@@ -349,3 +350,56 @@ def test_kll_rollup_rank_error(spark):
     assert r["n"] == n
     assert abs(r["q_0_5"] - 0.5 * n) / n < 0.02
     assert abs(r["q_0_99"] - 0.99 * n) / n < 0.02
+
+
+class TestFuzzyJoin:
+    """joins.fuzzy_join — blocked edit-distance record linkage."""
+
+    def _mk(self, spark):
+        left = spark.createDataFrame(
+            [(1, "smith"), (2, "smyth"), (3, "jones"), (4, "smithe")],
+            "lid long, lname string",
+        )
+        right = spark.createDataFrame(
+            [(10, "smith"), (11, "johns")], "rid long, rname string"
+        )
+        return left, right
+
+    def test_refine_bounds_distance(self, spark):
+        from sdg_big_data_spark.operators import joins
+
+        left, right = self._mk(spark)
+        # block on first char: smith/smyth/smithe vs smith; jones vs johns
+        out = joins.fuzzy_join(
+            left, right, "lname", "rname", max_dist=1,
+            block_key=lambda c: F.substring(c, 1, 1),
+        )
+        got = {(r["lname"], r["rname"], r["edit_dist"]) for r in out.collect()}
+        assert got == {("smith", "smith", 0), ("smyth", "smith", 1),
+                       ("smithe", "smith", 1)}
+
+    def test_blocking_skips_cross_block_pairs(self, spark):
+        from sdg_big_data_spark.operators import joins
+
+        left, right = self._mk(spark)
+        # block on length: "jones"(5) vs "johns"(5) compared; smithe(6)
+        # never compared to smith(5) even though dist 1
+        out = joins.fuzzy_join(
+            left, right, "lname", "rname", max_dist=2,
+            block_key=F.length,
+        )
+        got = {(r["lname"], r["rname"]) for r in out.collect()}
+        assert ("smithe", "smith") not in got
+        assert ("jones", "johns") in got
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from sdg_big_data_spark.operators import joins
+
+        left, right = self._mk(spark)
+        out = joins.fuzzy_join(
+            left, right, "lname", "rname", max_dist=2,
+            block_key=F.length,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan
+        assert "Cartesian" not in plan
