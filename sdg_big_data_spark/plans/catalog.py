@@ -54,6 +54,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_all() -> None:
     # Import side effects populate REGISTRY.
+    from . import cdc_queries  # noqa: F401
     from . import coverage_queries  # noqa: F401
     from . import curation_queries  # noqa: F401
     from . import eval_queries  # noqa: F401
