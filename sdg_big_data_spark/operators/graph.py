@@ -69,3 +69,84 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 3,
+    round_dp: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list → (node, rank).
+
+    The iterative-DataFrame formulation (the same loop shape as
+    :func:`connected_components`): each iteration is
+
+    - one equi-join shuffle (edge src → rank) producing contributions
+      ``rank/out_degree`` per out-edge,
+    - one groupBy(dst) shuffle summing them (map-side combined),
+    - a 1-row broadcast of the dangling-node mass (nodes without
+      out-edges donate their rank uniformly — the standard
+      stochastic-matrix fix, so total rank stays 1).
+
+    Fixed ``n_iter`` (no convergence probe) keeps the computation a
+    finite deterministic DAG — the DuckDB oracle replays it as
+    ``n_iter`` unrolled CTEs (same pattern as the BPE trainer's exact
+    oracle). Per-iteration ranks are rounded to ``round_dp`` decimals IN
+    BOTH ENGINES, pinning the float trajectory so summation-order
+    differences can't drift across iterations.
+
+    Scale: per-iteration cost is |edges| join + |edges| aggregate —
+    linear, shuffled on node id; ``localCheckpoint`` truncates lineage
+    each round (iterative-plan blow-up guard). Skewed in-degree (a hub
+    page) is an AQE skew split on the groupBy side.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m"))
+        )
+        contribs = (
+            e.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("__od")).alias("__c"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_total))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("__n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.col("__m") / F.col("__n")
+                    ),
+                    round_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -493,3 +493,95 @@ def t_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return chunk_plan(docs, capacity=32, overlap=8)
+
+
+# --- g_pagerank -------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITER = 3
+_PR_DP = 10
+
+
+def _pagerank_oracle_sql(n_iter: int = _PR_ITER) -> str:
+    """Unrolled-CTE PageRank oracle (same exact-replay pattern as the BPE
+    trainer's oracle): r0 = uniform, each r{i} applies one damped
+    power-iteration step with dangling-mass redistribution, rounded at
+    the SAME decimal the Spark operator rounds at so the float
+    trajectory is pinned in both engines."""
+    d = f"CAST({_PR_DAMP} AS DOUBLE)"
+    omd = f"CAST({1 - _PR_DAMP} AS DOUBLE)"
+    parts = [
+        """
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+             's' || CAST(l_suppkey AS VARCHAR)
+      FROM lineitem
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst FROM e
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+    od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+    r0 AS (
+      SELECT node, CAST(1 AS DOUBLE) / (SELECT nn FROM n) AS rank
+      FROM nodes
+    )"""
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    r{i} AS (
+      SELECT nodes.node,
+             round({omd} / (SELECT nn FROM n)
+               + {d} * (COALESCE(c.s, CAST(0 AS DOUBLE))
+                 + (SELECT COALESCE(sum(p.rank), CAST(0 AS DOUBLE))
+                    FROM {prev} p ANTI JOIN od ON p.node = od.src)
+                   / (SELECT nn FROM n)),
+               {_PR_DP}) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / od.od) AS s
+        FROM e JOIN od USING (src) JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst
+      ) c USING (node)
+    )""")
+        prev = f"r{i}"
+    # No final re-round: iteration ranks are already pinned at _PR_DP
+    # decimals in both engines; re-rounding at a coarser dp lands exactly
+    # on .5 boundaries of the _PR_DP grid, where Spark (BigDecimal
+    # shortest-repr, HALF_UP) and DuckDB (scaled C round on the raw
+    # binary double) legitimately disagree by 1e-(dp) — observed on 4 of
+    # ~2100 nodes at dp=8.
+    parts.append(f"""
+    SELECT node, rank FROM {prev}""")
+    return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
+
+
+@register(
+    "g_pagerank",
+    sql=_pagerank_oracle_sql(),
+    tags=("graph", "pagerank", "iterative"),
+    doc="fixed-iteration PageRank (graph.pagerank) over the bipartite "
+    "supplier<->part co-occurrence graph from lineitem — per iteration: "
+    "one edge-src join shuffle + one groupBy(dst) shuffle + a 1-row "
+    "dangling-mass broadcast; lineage truncated per round. Oracle = "
+    "the power iteration unrolled as CTEs with per-iteration rounding "
+    "pinning the float trajectory in both engines",
+)
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    edges = li.select(s.alias("src"), p.alias("dst")).unionByName(
+        li.select(p.alias("src"), s.alias("dst"))
+    )
+    ranks = graph.pagerank(
+        edges, damping=_PR_DAMP, n_iter=_PR_ITER, round_dp=_PR_DP
+    )
+    return ranks.select("node", "rank")

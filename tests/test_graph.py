@@ -84,3 +84,56 @@ def test_near_dup_components_strategy_keeps_one_per_cluster(spark, sf_dir):
     # greedy over-drops, never the reverse
     assert comp >= greedy
     assert comp <= all_ids
+
+
+class TestPageRank:
+    def _ranks(self, spark, edges, **kw):
+        from sdg_big_data_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+    def test_hand_computed_two_node_cycle(self, spark):
+        # a <-> b: symmetric, stationary at 0.5 each from the uniform
+        # start — every iteration must hold it there exactly
+        got = self._ranks(spark, [("a", "b"), ("b", "a")], n_iter=4)
+        assert got == {"a": 0.5, "b": 0.5}
+
+    def test_hub_ranks_highest(self, spark):
+        # symmetric star: leaves exchange mass with the hub only; the hub
+        # collects 3 full ranks per step and dominates (the one-out-edge
+        # form h->x oscillates period-2 and needs ~50 iters to settle)
+        got = self._ranks(
+            spark,
+            [("x", "h"), ("y", "h"), ("z", "h"),
+             ("h", "x"), ("h", "y"), ("h", "z")],
+            n_iter=10,
+        )
+        assert got["h"] == max(got.values())
+        assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+    def test_dangling_node_donates_uniformly(self, spark):
+        # a -> b, b dangling: without redistribution mass leaks; with it,
+        # total stays 1 and numpy replay matches exactly
+        import numpy as np
+
+        got = self._ranks(spark, [("a", "b")], n_iter=3, round_dp=12)
+        d, n = 0.85, 2
+        r = np.array([0.5, 0.5])  # [a, b]
+        for _ in range(3):
+            m = r[1]  # b has no out-edges
+            contrib = np.array([0.0, r[0]])  # a -> b
+            r = np.round((1 - d) / n + d * (contrib + m / n), 12)
+        assert abs(got["a"] - r[0]) < 1e-12 and abs(got["b"] - r[1]) < 1e-12
+
+    def test_partition_count_invariance(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        from sdg_big_data_spark.operators.graph import pagerank
+
+        r1 = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+        r2 = {
+            r["node"]: r["rank"]
+            for r in pagerank(df.repartition(7), n_iter=3).collect()
+        }
+        assert r1 == r2
