@@ -403,3 +403,62 @@ class TestFuzzyJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoop" not in plan
         assert "Cartesian" not in plan
+
+
+class TestRuntimeBloomFilterPruning:
+    """The session leaves Spark 4's runtime bloom-filter join pruning ON
+    (session.py docstring): a selective dim-side filter injects a bloom
+    prefilter into the fact side of a shuffle join BEFORE the shuffle —
+    the idiomatic engine-level form of a hand-built bloom semi-join.
+    Its size thresholds (creation <= 10 MB, probe scan >= 10 GB) target
+    exactly the 100 TB shapes and never local fixtures, so this gate
+    lowers them to prove the rewrite fires and pushes the filter below
+    the Exchange."""
+
+    def test_fires_and_prunes_before_shuffle(self, spark, tmp_path):
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                "10GB",
+            )
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "0",
+            )
+            # force a shuffle join: broadcast joins don't need the bloom
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+            fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+            spark.range(0, 100_000).withColumn(
+                "k", F.col("id") % 1000
+            ).write.parquet(fact_p)
+            spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+                "flag", F.col("k") % 97
+            ).write.parquet(dim_p)
+
+            fact = spark.read.parquet(fact_p)
+            dim = spark.read.parquet(dim_p).where(F.col("flag") == 0)
+            j = fact.join(dim, "k")
+
+            opt = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in opt and "might_contain" in opt
+            # the might_contain filter must sit on the fact SCAN side,
+            # i.e. appear in the executed plan below the join
+            ex = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in ex
+            # and the join result is still exact
+            assert j.count() == fact.where((F.col("k") % 97) == 0).count()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
