@@ -640,3 +640,169 @@ def dequantize_dot(codes_a: Column, scale_a: Column, codes_b: Column, scale_b: C
         lambda acc, x: acc + x,
     )
     return int_dot.cast("double") * scale_a * scale_b
+
+
+# --- product quantization ---------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization sub-codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the ``dim`` vector
+    into ``m`` contiguous subspaces of ``dim/m`` and learn one codebook
+    per subspace. Returns (subspace, cell, cv) with ``cv`` the
+    sub-centroid array.
+
+    Codebook source mirrors the IVF path (`train_centroids`): per-label
+    sub-vector means — ONE posexplode + groupBy pass over the corpus
+    (shuffle payload = m × cells × dim/m partial sums, map-side
+    combined). Swap in per-subspace k-means (`clustering.kmeans` on a
+    sliced frame) offline for unlabeled corpora; any
+    (subspace, cell, cv) frame slots into encode/search unchanged.
+    """
+    sub = dim // m
+    flat = corpus.select(
+        F.col(label_col).alias("cell"), F.posexplode(vec_col).alias("pos", "x")
+    )
+    return (
+        flat.groupBy(
+            "cell",
+            (F.col("pos") / sub).cast("int").alias("subspace"),
+            (F.col("pos") % sub).alias("sp"),
+        )
+        .agg(F.avg(F.col("x").cast("double")).alias("v"))
+        .groupBy("subspace", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sp", "v"))),
+                lambda s: s["v"],
+            ).alias("cv")
+        )
+    )
+
+
+def collect_pq_codebooks(cb: DataFrame) -> list[list[tuple[int, list[float]]]]:
+    """Driver-side materialization of a (subspace, cell, cv) codebook
+    frame: ``out[j] = [(cell_id, subcentroid), ...]`` sorted by cell.
+    Codebooks are dimension-sized by construction (m × cells × dim/m
+    floats — a few KB), the same contract as broadcasting a dimension
+    table."""
+    rows = cb.collect()
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["subspace"], []).append(
+            (r["cell"], [float(x) for x in r["cv"]])
+        )
+    return [sorted(by_sub[j]) for j in sorted(by_sub)]
+
+
+def _sub_dist(vec: Column, j: int, sub: int, centroid: list[float]) -> Column:
+    sl = F.slice(_to_double(vec), j * sub + 1, sub)
+    lits = F.array(*[F.lit(c) for c in centroid])
+    return F.aggregate(
+        F.zip_with(sl, lits, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector as ``m`` sub-codebook cell ids → the PQ code
+    array (here 4 ints standing in for the packed uint8s — 64x smaller
+    than the 64-float vector, the memory lever that lets a 100 TB
+    embedding corpus fit an ANN index in cluster RAM).
+
+    MAP-ONLY: the codebook rides into the plan as literals (same
+    expression-level broadcast as `clustering.assign_clusters`), so
+    encoding is one narrow projection — no shuffle, no join, full
+    whole-stage codegen. Argmin per subspace with deterministic
+    lowest-cell tiebreak."""
+    sub = len(codebooks[0][0][1])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        best_cell = F.lit(cb[0][0])
+        best_d = _sub_dist(F.col(vec_col), j, sub, cb[0][1])
+        for cell, cent in cb[1:]:
+            d = _sub_dist(F.col(vec_col), j, sub, cent)
+            closer = d < best_d
+            best_cell = F.when(closer, F.lit(cell)).otherwise(best_cell)
+            best_d = F.when(closer, d).otherwise(best_d)
+        codes.append(best_cell)
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    k: int = 5,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: approximate squared L2 from each query
+    to each ENCODED corpus vector as the sum over subspaces of
+    ||q_j − codebook_j[code_j]||². The corpus side touches only the
+    m-int code column — the full vectors never load.
+
+    Expression form: per subspace, a least-of-k lookup
+    ``element_at(array(d(q,c_0), …, d(q,c_k−1)), code_j)`` over the
+    broadcast query row. At this catalog's query counts that is exact
+    and codegen'd; the classic per-query LUT memoization (compute the
+    m×k table once per query, then O(m) adds per corpus row) drops in
+    as a `mapInPandas` batch kernel when |queries| is large — the plan
+    shape (broadcast queries, narrow corpus pass, per-query top-k
+    window) is identical.
+    """
+    sub = len(codebooks[0][0][1])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    pairs = codes.select(
+        F.col(id_col).alias("neighbor_id"), code_col
+    ).crossJoin(F.broadcast(q))
+    dist = F.lit(0.0)
+    for j, cb in enumerate(codebooks):
+        cells = [c for c, _ in cb]
+        # cell ids may be sparse; map code -> position in the dist array
+        lut = F.array(
+            *[_sub_dist(F.col("__qv"), j, sub, cent) for _, cent in cb]
+        )
+        pos = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cells]),
+                F.array(*[F.lit(i + 1) for i in range(len(cells))]),
+            ),
+            F.element_at(F.col(code_col), j + 1),
+        )
+        dist = dist + F.element_at(lut, pos)
+    if round_dp is not None:
+        # rank on the ROUNDED distance: sub-distance summation order
+        # differs across engines by ~1 ulp, and ranking on raw floats
+        # would let that flip the order of genuinely-tied pairs (e.g.
+        # identical codes); rounding collapses ulp noise before the
+        # deterministic id tiebreak
+        dist = F.round(dist, round_dp)
+    scored = pairs.where(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "adc_dist", dist
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

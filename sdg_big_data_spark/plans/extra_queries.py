@@ -1165,3 +1165,119 @@ def j_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=7,
         block_key=lambda c: F.substring(c, -3, 3),
     ).select("c_custkey", "c_name", "s_suppkey", "s_name", "edit_dist")
+
+
+# --- product quantization (e_pq_encode / e_pq_topk) -------------------------
+
+_PQ_CB_CTE = """
+    flat AS (
+      SELECT label AS cell,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT cell, CAST((i - 1) // 16 AS INTEGER) AS subspace,
+             (i - 1) % 16 AS sp, avg(x) AS v
+      FROM flat GROUP BY cell, CAST((i - 1) // 16 AS INTEGER), (i - 1) % 16
+    ),
+    cb AS (
+      SELECT subspace, cell, list(v ORDER BY sp) AS cv
+      FROM cent GROUP BY subspace, cell
+    ),
+    vecd AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT e.vec_id, c.subspace, c.cell,
+             list_sum(list_transform(range(1, 17),
+               t -> (e.v[c.subspace * 16 + t] - c.cv[t]) ** 2)) AS dist
+      FROM vecd e CROSS JOIN cb c
+    ),
+    code AS (
+      SELECT vec_id, subspace, cell FROM (
+        SELECT vec_id, subspace, cell,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY dist ASC, cell ASC) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    codearr AS (
+      SELECT vec_id, list(cell ORDER BY subspace) AS pq_code
+      FROM code GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "e_pq_encode",
+    sql=f"""
+    WITH {_PQ_CB_CTE}
+    SELECT vec_id, pq_code FROM codearr
+    """,
+    tags=("similarity", "pq", "quantization"),
+    doc="product quantization encode (similarity.train_pq_codebooks + "
+    "pq_encode, Jegou et al. 2011): 4 subspaces x 16 dims, per-cell "
+    "sub-centroid codebooks from one posexplode pass; encoding is a "
+    "MAP-ONLY projection (codebook as expression literals, argmin per "
+    "subspace, lowest-cell tiebreak) — 64 floats -> 4 small ints, the "
+    "64x memory lever that fits a 100 TB embedding corpus' ANN index "
+    "in cluster RAM",
+)
+def e_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cbs = similarity.collect_pq_codebooks(
+        similarity.train_pq_codebooks(emb, m=4, dim=64)
+    )
+    return similarity.pq_encode(emb, cbs).select("vec_id", "pq_code")
+
+
+@register(
+    "e_pq_topk",
+    sql=f"""
+    WITH {_PQ_CB_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecd WHERE vec_id < 5),
+    pair AS (
+      SELECT ca.vec_id AS neighbor_id, ca.pq_code, q.query_id, q.qv
+      FROM codearr ca CROSS JOIN q
+      WHERE ca.vec_id <> q.query_id
+    ),
+    pd AS (
+      SELECT p.query_id, p.neighbor_id, c.subspace,
+             list_sum(list_transform(range(1, 17),
+               t -> (p.qv[c.subspace * 16 + t] - c.cv[t]) ** 2)) AS sd
+      FROM pair p JOIN cb c ON c.cell = p.pq_code[c.subspace + 1]
+    ),
+    dist AS (
+      SELECT query_id, neighbor_id,
+             round(CAST(sum(sd) AS DOUBLE), 4) AS adc_dist
+      FROM pd GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC)
+               AS rank
+      FROM dist
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "pq", "ann"),
+    doc="PQ asymmetric-distance top-k (similarity.pq_adc_topk): approx "
+    "L2 from each query to ENCODED vectors — per-subspace codebook "
+    "lookup summed over 4 subspaces; the corpus side touches only the "
+    "4-int code column, never the full vectors. Ranked on the rounded "
+    "distance (ulp-stable across engines) with id tiebreak",
+)
+def e_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cbs = similarity.collect_pq_codebooks(
+        similarity.train_pq_codebooks(emb, m=4, dim=64)
+    )
+    codes = similarity.pq_encode(emb, cbs).select("vec_id", "pq_code")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.pq_adc_topk(codes, queries, cbs, k=5, round_dp=4)
+    return out.select("query_id", "neighbor_id", "rank", "adc_dist")

@@ -326,3 +326,99 @@ def test_semantic_dedup_is_cell_local(spark):
     )
     out = semantic_dedup(df, threshold=0.9)
     assert {r["kept"] for r in out.collect()} == {1}
+
+
+class TestProductQuantization:
+    """PQ codebooks / encode / ADC top-k (similarity.train_pq_codebooks,
+    pq_encode, pq_adc_topk)."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        # 4 well-separated clusters in 16-dim: PQ with per-label
+        # codebooks must reconstruct cluster membership exactly
+        rng = np.random.default_rng(11)
+        centers = rng.normal(0, 10, (4, 16))
+        rows = []
+        for i in range(200):
+            lab = i % 4
+            v = centers[lab] + rng.normal(0, 0.1, 16)
+            rows.append((i, int(lab), [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+
+    def _codebooks(self, spark, clustered, m=4, dim=16):
+        from sdg_big_data_spark.operators import similarity
+
+        return similarity.collect_pq_codebooks(
+            similarity.train_pq_codebooks(clustered, m=m, dim=dim)
+        )
+
+    def test_encode_recovers_cluster_labels(self, spark, clustered):
+        from sdg_big_data_spark.operators import similarity
+
+        cbs = self._codebooks(spark, clustered)
+        out = similarity.pq_encode(clustered, cbs).collect()
+        # tight clusters: every subspace code == true label
+        for r in out:
+            assert r["pq_code"] == [r["label"]] * 4
+
+    def test_encode_is_map_only(self, spark, clustered):
+        from sdg_big_data_spark.operators import similarity
+
+        cbs = self._codebooks(spark, clustered)
+        plan = (
+            similarity.pq_encode(clustered, cbs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # codebook rides as literals
+        assert "Join" not in plan
+
+    def test_adc_topk_finds_same_cluster(self, spark, clustered):
+        from sdg_big_data_spark.operators import similarity
+
+        cbs = self._codebooks(spark, clustered)
+        codes = similarity.pq_encode(clustered, cbs).select(
+            "vec_id", "pq_code"
+        )
+        queries = clustered.where(F.col("vec_id") < 4)
+        out = similarity.pq_adc_topk(codes, queries, cbs, k=5).collect()
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in clustered.select("vec_id", "label").collect()
+        }
+        assert len(out) == 4 * 5
+        for r in out:
+            # every retrieved neighbor shares the query's cluster
+            assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+
+    def test_adc_distance_matches_numpy_lut(self, spark, clustered):
+        import numpy as np
+
+        from sdg_big_data_spark.operators import similarity
+
+        cbs = self._codebooks(spark, clustered)
+        codes_df = similarity.pq_encode(clustered, cbs)
+        queries = clustered.where(F.col("vec_id") == 0)
+        out = similarity.pq_adc_topk(
+            codes_df.select("vec_id", "pq_code"), queries, cbs, k=3
+        ).collect()
+        qv = np.array(
+            clustered.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        )
+        codes = {r["vec_id"]: r["pq_code"] for r in codes_df.collect()}
+        cb = {
+            (j, c): np.array(cent)
+            for j, book in enumerate(cbs)
+            for c, cent in book
+        }
+        for r in out:
+            expect = sum(
+                float(
+                    np.sum(
+                        (qv[j * 4: (j + 1) * 4] - cb[(j, codes[r["neighbor_id"]][j])]) ** 2
+                    )
+                )
+                for j in range(4)
+            )
+            assert abs(r["adc_dist"] - expect) < 1e-9
