@@ -75,6 +75,13 @@ HEADLINE = [
     "a_hll_distinct",
     "a_theta_overlap",
     "a_histogram",
+    # round-3 additions (set widened before the r3 anchor run):
+    "d_span_dup",
+    "g_pagerank",
+    "e_pq_topk",
+    "s_merge_upsert",
+    "s_scd2",
+    "j_fuzzy_match",
 ]
 
 

@@ -156,3 +156,65 @@ def s_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").cast("long").alias("version"),
         F.col("valid_to"),
     )
+
+
+# --- inc_agg_state ----------------------------------------------------------
+# Three "runs" of events (split by event_id % 3) each produce mergeable
+# per-type aggregate state; merging + finalizing must equal the direct
+# aggregate over the full table — proving a persisted rollup can absorb
+# a new batch with one batch-sized pass, never a history rescan.
+
+_AGG_STATE_SQL = """
+    WITH st AS (
+      SELECT event_type,
+             count(value) AS cnt,
+             sum(value) AS s,
+             min(value) AS mn,
+             max(value) AS mx,
+             sum(value * value) AS ss
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           cnt AS n,
+           round(CAST(s AS DOUBLE), 2) AS total,
+           round(CAST(s / cnt AS DOUBLE), 6) AS mean,
+           round(CAST(mn AS DOUBLE), 6) AS vmin,
+           round(CAST(mx AS DOUBLE), 6) AS vmax,
+           round(CAST(sqrt((ss - s * s / cnt) / (cnt - 1)) AS DOUBLE), 6)
+             AS stddev
+    FROM st
+"""
+
+
+@register(
+    "inc_agg_state",
+    sql=_AGG_STATE_SQL,
+    tags=("incremental", "rollup", "state"),
+    doc="incremental rollup maintenance (incremental.agg_state / "
+    "merge_agg_states / finalize_agg): three event 'runs' each emit "
+    "mergeable (cnt,sum,min,max,sumsq) state; merge + finalize equals "
+    "the direct full-table aggregate — a persisted 100 TB rollup "
+    "absorbs a nightly batch with one batch-sized pass + state-sized "
+    "merge instead of a history rescan (the exact-aggregate sibling of "
+    "the HLL/Theta/KLL sketch rollups)",
+)
+def inc_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import incremental as inc
+
+    events = table(spark, sf_dir, "events")
+    runs = [
+        events.where(F.col("event_id") % 3 == i).select("event_type", "value")
+        for i in range(3)
+    ]
+    states = [inc.agg_state(r, ["event_type"], "value") for r in runs]
+    merged = inc.merge_agg_states(*states, keys=["event_type"])
+    fin = inc.finalize_agg(merged, ["event_type"])
+    return fin.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("mean", 6).alias("mean"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("stddev", 6).alias("stddev"),
+    )

@@ -92,3 +92,63 @@ def test_available_now_stream(spark, tmp_path):
         spark, src, lambda s: s.where(F.col("value") > 15.0), dst, chk, schema=df.schema
     )
     assert spark.read.parquet(dst).count() == 1
+
+
+class TestMergeableAggState:
+    """agg_state / merge_agg_states / finalize_agg — incremental rollup
+    maintenance without history rescans."""
+
+    def test_merged_splits_equal_direct(self, spark):
+        from pyspark.sql import functions as F
+
+        from sdg_big_data_spark.streaming import incremental as inc
+
+        df = spark.range(1000).select(
+            (F.col("id") % 4).alias("k"),
+            (F.col("id") * 0.37 - 100).alias("v"),
+        )
+        parts = [df.where(F.col("v") < -50), df.where(F.col("v") >= -50)]
+        states = [inc.agg_state(p, ["k"], "v") for p in parts]
+        merged = inc.finalize_agg(
+            inc.merge_agg_states(*states, keys=["k"]), ["k"]
+        )
+        direct = inc.finalize_agg(inc.agg_state(df, ["k"], "v"), ["k"])
+        m = {r["k"]: r for r in merged.collect()}
+        d = {r["k"]: r for r in direct.collect()}
+        assert set(m) == set(d)
+        for k in d:
+            assert m[k]["n"] == d[k]["n"]
+            assert m[k]["vmin"] == d[k]["vmin"]
+            assert m[k]["vmax"] == d[k]["vmax"]
+            assert abs(m[k]["total"] - d[k]["total"]) < 1e-6
+            assert abs(m[k]["stddev"] - d[k]["stddev"]) < 1e-9
+
+    def test_merge_is_associative_and_handles_new_keys(self, spark):
+        from pyspark.sql import functions as F
+
+        from sdg_big_data_spark.streaming import incremental as inc
+
+        a = spark.createDataFrame([(1, 2.0), (1, 4.0)], "k long, v double")
+        b = spark.createDataFrame([(2, 10.0)], "k long, v double")  # new key
+        c = spark.createDataFrame([(1, 6.0), (2, 20.0)], "k long, v double")
+        sa, sb, sc = (inc.agg_state(x, ["k"], "v") for x in (a, b, c))
+        left = inc.merge_agg_states(
+            inc.merge_agg_states(sa, sb, keys=["k"]), sc, keys=["k"]
+        )
+        right = inc.merge_agg_states(
+            sa, inc.merge_agg_states(sb, sc, keys=["k"]), keys=["k"]
+        )
+        fl = {r["k"]: r for r in inc.finalize_agg(left, ["k"]).collect()}
+        fr = {r["k"]: r for r in inc.finalize_agg(right, ["k"]).collect()}
+        assert fl.keys() == fr.keys() == {1, 2}
+        assert fl[1]["n"] == 3 and fl[1]["mean"] == 4.0
+        assert fl[2]["n"] == 2 and fl[2]["total"] == 30.0
+        for k in fl:
+            assert fl[k]["stddev"] == fr[k]["stddev"]
+
+    def test_single_value_group_has_null_stddev(self, spark):
+        from sdg_big_data_spark.streaming import incremental as inc
+
+        df = spark.createDataFrame([(1, 5.0)], "k long, v double")
+        out = inc.finalize_agg(inc.agg_state(df, ["k"], "v"), ["k"]).collect()
+        assert out[0]["stddev"] is None  # n-1 guard, not a NaN/div0
