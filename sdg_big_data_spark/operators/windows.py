@@ -453,3 +453,55 @@ def cumulative_share_scalable(
     )
     out = out.drop("__tot")
     return out.drop(tmp_grp) if not gcols else out
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    period: int,
+    half_window: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a keyed regular
+    series: ``value = trend + seasonal + resid``.
+
+    - ``trend``: centered moving average over ``2*half_window+1`` rows
+      (edge rows average whatever is in frame — min_periods=1
+      semantics, matching `centered_ma`);
+    - ``seasonal``: per-(key, phase) mean of the detrended series,
+      re-centered so the ``period`` seasonal offsets sum to zero per
+      key (phase = 0-based row position mod ``period``);
+    - ``resid``: the remainder.
+
+    Plan: ONE keyed window shuffle serves row-number + trend; the
+    seasonal table is a (keys × period)-sized aggregate — broadcast
+    back onto the series (dimension-sized by construction). Total: one
+    wide shuffle of the series + one tiny agg, independent of series
+    length per key. The reference smooths with the same centered-MA
+    trend (`wbgps/analysis.py:283-285`); the seasonal split is the
+    standard classical-decomposition extension.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    staged = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "trend",
+            F.avg(value_col).over(w.rowsBetween(-half_window, half_window)),
+        )
+        .withColumn("__phase", (F.col("__rn") - 1) % period)
+    )
+    seas = (
+        staged.groupBy(*key_cols, "__phase")
+        .agg(F.avg(F.col(value_col) - F.col("trend")).alias("__sraw"))
+    )
+    wk = Window.partitionBy(*key_cols)
+    seas = seas.withColumn(
+        "seasonal", F.col("__sraw") - F.avg("__sraw").over(wk)
+    ).drop("__sraw")
+    out = staged.join(F.broadcast(seas), [*key_cols, "__phase"])
+    return out.withColumn(
+        "resid", F.col(value_col) - F.col("trend") - F.col("seasonal")
+    ).drop("__rn", "__phase")

@@ -379,3 +379,90 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", F.round("ewma", 6).alias("ewma")
     )
+
+
+@register(
+    "w_seasonal_decompose",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT event_type, day, v,
+             avg(v) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+             (row_number() OVER (PARTITION BY event_type ORDER BY day) - 1)
+               % 7 AS phase
+      FROM daily
+    ),
+    seas_raw AS (
+      SELECT event_type, phase, avg(v - trend) AS sraw
+      FROM staged GROUP BY event_type, phase
+    ),
+    seas AS (
+      SELECT event_type, phase,
+             sraw - avg(sraw) OVER (PARTITION BY event_type) AS seasonal
+      FROM seas_raw
+    )
+    SELECT s.event_type, s.day,
+           round(s.v, 4) AS v,
+           round(s.trend, 4) AS trend,
+           round(x.seasonal, 4) AS seasonal,
+           round(s.v - s.trend - x.seasonal, 4) AS resid
+    FROM staged s JOIN seas x
+      ON s.event_type = x.event_type AND s.phase = x.phase
+    """,
+    tags=("time-series", "decompose", "W7"),
+    doc="classical additive seasonal decomposition "
+    "(windows.seasonal_decompose): centered-MA trend (the reference's "
+    "analysis.py:283-285 smoother), per-phase zero-centered weekly "
+    "seasonal, residual — one keyed window shuffle + a (keys x 7) "
+    "broadcast seasonal table",
+)
+def w_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("value").alias("v"))
+    )
+    out = windows.seasonal_decompose(
+        daily, ["event_type"], ["day"], "v", period=7, half_window=3
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.round("v", 4).alias("v"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("resid", 4).alias("resid"),
+    )
+
+
+@register(
+    "w_ntile_deciles",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(10) OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+    """,
+    tags=("ntile", "window", "bucketing"),
+    doc="equal-count decile bucketing per group (ntile) — the "
+    "feature-binning / monotone-calibration primitive; deterministic "
+    "via the unique-key tiebreak in the ordering",
+)
+def w_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -383,3 +383,40 @@ def test_grouped_prefix_sum_handles_null_group_keys(spark):
     b = {(r["id"], r["c"]) for r in ref.collect()}
     assert a == b
     assert all(c is not None for _, c in a)
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    """Linear trend + exact weekly pattern, zero noise: in the interior
+    (edges distort the centered MA) the 7-row MA reproduces the linear
+    trend exactly and the phase means recover the seasonal offsets, so
+    residuals vanish."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.operators.windows import seasonal_decompose
+
+    pattern = [3.0, -1.0, 2.0, -2.5, 0.5, -1.5, -0.5]  # sums to 0
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        ("a", d0 + dt.timedelta(days=i), 10.0 + 0.5 * i + pattern[i % 7])
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = seasonal_decompose(
+        df, ["k"], ["day"], "v", period=7, half_window=3
+    ).collect()
+    by_day = {r["day"]: r for r in out}
+    assert len(by_day) == 70
+    interior = [r for r in out if d0 + dt.timedelta(days=3) <= r["day"] <= d0 + dt.timedelta(days=66)]
+    assert len(interior) == 64
+    for r in interior:
+        i = (r["day"] - d0).days
+        # centered 7-row MA of (linear + zero-sum weekly) == the linear part
+        assert abs(r["trend"] - (10.0 + 0.5 * i)) < 1e-9
+    # seasonal offsets: equal within phase, zero-sum across phases
+    seas = {}
+    for r in out:
+        seas.setdefault((r["day"] - d0).days % 7, set()).add(round(r["seasonal"], 9))
+    assert all(len(v) == 1 for v in seas.values())
+    assert abs(sum(next(iter(v)) for v in seas.values())) < 1e-7
