@@ -231,3 +231,54 @@ def mixture_weights(
         rate.alias("rate"),
         F.floor(rate * F.col("src_tokens")).cast("long").alias("expected_tokens"),
     )
+
+
+# RE2-compatible (no lookarounds/backrefs) so the DuckDB oracle runs the
+# IDENTICAL patterns — same contract as the PII patterns above.
+_URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = "\\?([^#]*)"
+_URL_TRACKING_RE = "^(utm_[A-Za-z0-9_]*|gclid|fbclid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form — the key the web-corpus dedup ladder groups
+    on BEFORE any content hashing (the same page is crawled under
+    scheme-case, www-, port-, tracking-param and fragment variants that
+    defeat an exact-string group-by):
+
+    - scheme + host lowercased, leading ``www.`` and default ports
+      (:80/:443) stripped;
+    - path kept case-sensitive (per RFC 3986 only scheme/host are
+      case-insensitive), trailing slashes trimmed;
+    - query params: tracking params (utm_*, gclid, fbclid) removed,
+      the rest SORTED (param order is not identity), empty query
+      dropped;
+    - fragment always dropped.
+
+    One narrow projection of regexp/array built-ins — zero shuffle at
+    any corpus size; the dedup group-by downstream shuffles the (short)
+    canonical key only.
+    """
+    scheme = F.lower(F.regexp_extract(url, _URL_SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    path = F.regexp_extract(url, _URL_PATH_RE, 1)
+    path = F.regexp_replace(path, "/+$", "")
+    q = F.regexp_extract(url, _URL_QUERY_RE, 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(_URL_TRACKING_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -402,3 +402,85 @@ def d_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(
         planted, "doc_id", "text", n=_SPAN_N, min_docs=2
     )
+
+
+# --- t_url_canonical --------------------------------------------------------
+# Planted URL variants (like the PII fixture): every doc derives a messy
+# URL from doc_id — scheme/host case noise, www., default port, tracking
+# params, unsorted params, fragment. Canonicalization must collapse the
+# doc_id%7 x doc_id%3 grid to its true identity.
+
+_URL_EXPR_SQL = """
+      'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+        || '.com:443/Shop/Item' || CAST(doc_id % 3 AS VARCHAR)
+        || '/?utm_source=s' || CAST(doc_id AS VARCHAR)
+        || '&ref=' || CAST(doc_id % 5 AS VARCHAR)
+        || '&utm_medium=email#sec' || CAST(doc_id % 2 AS VARCHAR)
+"""
+
+_URL_CANON_SQL = f"""
+    WITH src AS (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents),
+    parsed AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+          '^www\\.', ''), ':(80|443)$', '') AS host,
+        regexp_replace(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+          AS path,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+          p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))), '&') AS qs
+      FROM src
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path
+               || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+               AS canonical_url
+      FROM parsed
+    )
+    SELECT doc_id, canonical_url,
+           count(*) OVER (PARTITION BY canonical_url) AS n_same
+    FROM canon
+"""
+
+
+@register(
+    "t_url_canonical",
+    sql=_URL_CANON_SQL,
+    tags=("url", "dedup", "curation"),
+    doc="URL canonicalization (quality.canonicalize_url): lowercase "
+    "scheme/host, strip www./default ports/fragment, drop tracking "
+    "params, SORT the rest — the group key of the web-corpus dedup "
+    "ladder; a pure narrow regexp/array projection, zero shuffle; "
+    "n_same counts crawl variants collapsing to one identity",
+)
+def t_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.quality import canonicalize_url
+
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com:443/Shop/Item"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("/?utm_source=s"),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_medium=email#sec"),
+        (F.col("doc_id") % 2).cast("string"),
+    )
+    canon = docs.select(
+        "doc_id", canonicalize_url(url).alias("canonical_url")
+    )
+    return canon.withColumn(
+        "n_same", F.count(F.lit(1)).over(W.partitionBy("canonical_url"))
+    )

@@ -290,3 +290,46 @@ class TestDuplicatedSpans:
         assert self._spans(spark, rows, min_docs=4) == {}
         got = self._spans(spark, rows, min_docs=3)
         assert set(got) == {(1, 0), (2, 0), (3, 0)}
+
+
+class TestCanonicalizeUrl:
+    def _canon(self, spark, urls):
+        from sdg_big_data_spark.operators.quality import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [
+            r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+        ]
+
+    def test_variants_collapse(self, spark):
+        variants = [
+            "HTTPS://WWW.Example.com:443/a/b/?utm_source=x&id=1#frag",
+            "https://example.com/a/b?id=1",
+            "https://EXAMPLE.com:443/a/b/?id=1&utm_medium=email",
+            "https://www.example.com/a/b/?fbclid=zzz&id=1",
+        ]
+        got = self._canon(spark, variants)
+        assert set(got) == {"https://example.com/a/b?id=1"}
+
+    def test_param_order_is_not_identity(self, spark):
+        got = self._canon(
+            spark,
+            ["http://h.com/p?b=2&a=1", "http://h.com:80/p?a=1&b=2"],
+        )
+        assert got[0] == got[1] == "http://h.com/p?a=1&b=2"
+
+    def test_path_case_preserved_and_distinct(self, spark):
+        got = self._canon(
+            spark, ["http://h.com/Path", "http://h.com/path"]
+        )
+        assert got == ["http://h.com/Path", "http://h.com/path"]
+
+    def test_no_shuffle_in_plan(self, spark):
+        from sdg_big_data_spark.operators.quality import canonicalize_url
+
+        df = spark.createDataFrame([("http://a.com/x?y=1",)], "url string")
+        plan = (
+            df.select(canonicalize_url(F.col("url")).alias("c"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
