@@ -112,6 +112,20 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row",
+    schema: str | None = None,
+) -> DataFrame:
+    """S-family — XML scan (Spark 4 built-in, the merged spark-xml).
+    ``row_tag`` names the repeating element treated as a row; an explicit
+    DDL ``schema`` skips the inference scan (XML inference reads the
+    whole input once — always pass a schema at scale)."""
+    reader = spark.read.option("rowTag", row_tag).format("xml")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

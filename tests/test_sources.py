@@ -195,3 +195,65 @@ def test_optimize_zorder_clusters_both_dims(spark, tmp_path):
     assert z_area < 0.75 * p_area
     # and the data survived intact
     assert spark.read.parquet(path).count() == 200_000
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from sdg_big_data_spark.sources.readers import read_xml
+
+    p = str(tmp_path / "x.xml")
+    with open(p, "w") as f:
+        f.write(
+            "<rows>"
+            "<row><k>1</k><name>ann</name></row>"
+            "<row><k>2</k><name>bob</name></row>"
+            "</rows>"
+        )
+    df = read_xml(spark, p, row_tag="row")
+    assert sorted((r["k"], r["name"]) for r in df.collect()) == [
+        (1, "ann"),
+        (2, "bob"),
+    ]
+    # explicit schema skips inference (the at-scale contract)
+    df2 = read_xml(spark, p, row_tag="row", schema="k long, name string")
+    assert df2.schema.simpleString() == "struct<k:bigint,name:string>"
+
+
+class TestSyntheticEventsSource:
+    def _read(self, spark, **opts):
+        from sdg_big_data_spark.sources import custom
+
+        custom.register(spark)
+        r = spark.read.format("synthetic_events")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    def test_deterministic_and_complete(self, spark):
+        df = self._read(spark, n_rows=100, n_partitions=4, seed=7)
+        rows = sorted(map(tuple, df.collect()))
+        assert len(rows) == 100
+        assert [r[0] for r in rows] == list(range(100))
+        # rerun bit-identical
+        again = sorted(map(tuple, self._read(spark, n_rows=100, n_partitions=4, seed=7).collect()))
+        assert rows == again
+
+    def test_partition_count_does_not_change_content(self, spark):
+        a = sorted(map(tuple, self._read(spark, n_rows=64, n_partitions=2).collect()))
+        b = sorted(map(tuple, self._read(spark, n_rows=64, n_partitions=16).collect()))
+        assert a == b
+        # and the fan-out is real: 16 requested -> 16 planned partitions
+        df = self._read(spark, n_rows=64, n_partitions=16)
+        assert df.rdd.getNumPartitions() == 16
+
+    def test_schema_and_value_domains(self, spark):
+        df = self._read(spark, n_rows=50, n_users=10)
+        assert df.schema.simpleString() == (
+            "struct<event_id:bigint,user_id:bigint,"
+            "event_type:string,value:double>"
+        )
+        from sdg_big_data_spark.sources.custom import EVENT_TYPES
+
+        for r in df.collect():
+            assert 0 <= r["user_id"] < 10
+            assert r["event_type"] in EVENT_TYPES
+            assert 0.0 <= r["value"] < 100.0
