@@ -725,20 +725,35 @@ def pq_encode(
 
     MAP-ONLY: the codebook rides into the plan as literals (same
     expression-level broadcast as `clustering.assign_clusters`), so
-    encoding is one narrow projection — no shuffle, no join, full
-    whole-stage codegen. Argmin per subspace with deterministic
-    lowest-cell tiebreak."""
+    encoding is one narrow projection — no shuffle, no join. Argmin per
+    subspace = the distance ARRAY evaluated once under a `let` binding,
+    then ``array_position(arr, array_min(arr))`` — first match = lowest
+    cell on ties (codebooks are cell-sorted), matching the oracle's
+    ``ORDER BY dist, cell``. The folded ``when(d < best)`` chain was
+    measured at 52 s for 2k rows at sf0.1: each step references both
+    subtrees twice, so the expression tree (and the interpreted
+    aggregate folds inside it) grows 2^k per subspace; the array form
+    evaluates exactly m×k folds per row."""
+    from ..functions.text import let
+
+    def argmin_code(d_arr: Column, cells_arr: Column) -> Column:
+        # one-arg lambda ONLY: a two-arg lambda is treated by transform
+        # as its (element, index) form and hijacks the second parameter
+        return let(
+            d_arr,
+            lambda a: F.element_at(
+                cells_arr, F.array_position(a, F.array_min(a)).cast("int")
+            ),
+        )
+
     sub = len(codebooks[0][0][1])
     codes = []
     for j, cb in enumerate(codebooks):
-        best_cell = F.lit(cb[0][0])
-        best_d = _sub_dist(F.col(vec_col), j, sub, cb[0][1])
-        for cell, cent in cb[1:]:
-            d = _sub_dist(F.col(vec_col), j, sub, cent)
-            closer = d < best_d
-            best_cell = F.when(closer, F.lit(cell)).otherwise(best_cell)
-            best_d = F.when(closer, d).otherwise(best_d)
-        codes.append(best_cell)
+        d_arr = F.array(
+            *[_sub_dist(F.col(vec_col), j, sub, cent) for _, cent in cb]
+        )
+        cells_arr = F.array(*[F.lit(c) for c, _ in cb])
+        codes.append(argmin_code(d_arr, cells_arr))
     return df.withColumn(code_col, F.array(*codes))
 
 
@@ -757,29 +772,34 @@ def pq_adc_topk(
     ||q_j − codebook_j[code_j]||². The corpus side touches only the
     m-int code column — the full vectors never load.
 
-    Expression form: per subspace, a least-of-k lookup
-    ``element_at(array(d(q,c_0), …, d(q,c_k−1)), code_j)`` over the
-    broadcast query row. At this catalog's query counts that is exact
-    and codegen'd; the classic per-query LUT memoization (compute the
-    m×k table once per query, then O(m) adds per corpus row) drops in
-    as a `mapInPandas` batch kernel when |queries| is large — the plan
-    shape (broadcast queries, narrow corpus pass, per-query top-k
-    window) is identical.
+    The classic PQ LUT memoization, expressed in the plan: the m×k
+    sub-distance table is MATERIALIZED AS COLUMNS ON THE QUERY FRAME
+    (one evaluation per query row) BEFORE the broadcast crossJoin, so
+    per (query, corpus-row) pair the only work is m ``element_at``
+    lookups + adds. Inlining the table into the join expression instead
+    re-evaluates every aggregate fold per pair — measured 79 s vs ~1 s
+    at sf0.1 (interpreted higher-order functions, no CSE across rows) —
+    the difference between O(queries·m·k·sub + pairs·m) and
+    O(pairs·m·k·sub).
     """
     sub = len(codebooks[0][0][1])
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
+    # one LUT column per subspace, evaluated once per QUERY row
+    for j, cb in enumerate(codebooks):
+        q = q.withColumn(
+            f"__lut{j}",
+            F.array(*[_sub_dist(F.col("__qv"), j, sub, cent) for _, cent in cb]),
+        )
+    q = q.drop("__qv")
     pairs = codes.select(
         F.col(id_col).alias("neighbor_id"), code_col
     ).crossJoin(F.broadcast(q))
     dist = F.lit(0.0)
     for j, cb in enumerate(codebooks):
         cells = [c for c, _ in cb]
-        # cell ids may be sparse; map code -> position in the dist array
-        lut = F.array(
-            *[_sub_dist(F.col("__qv"), j, sub, cent) for _, cent in cb]
-        )
+        # cell ids may be sparse; map code -> position in the LUT array
         pos = F.element_at(
             F.map_from_arrays(
                 F.array(*[F.lit(c) for c in cells]),
@@ -787,7 +807,7 @@ def pq_adc_topk(
             ),
             F.element_at(F.col(code_col), j + 1),
         )
-        dist = dist + F.element_at(lut, pos)
+        dist = dist + F.element_at(F.col(f"__lut{j}"), pos)
     if round_dp is not None:
         # rank on the ROUNDED distance: sub-distance summation order
         # differs across engines by ~1 ulp, and ranking on raw floats
@@ -801,8 +821,10 @@ def pq_adc_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
+    drop_luts = [f"__lut{j}" for j in range(len(codebooks))]
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
+        .drop(*drop_luts)
     )
