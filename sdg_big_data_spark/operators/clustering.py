@@ -41,15 +41,23 @@ def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
 def assign_clusters(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
-    """Nearest-centroid id (0..k-1) per row, as a single projection:
-    least-of-k distance expressions, deterministic lowest-id tiebreak."""
+    """Nearest-centroid id (0..k-1) per row, as a single projection.
+
+    Argmin = the k distances evaluated ONCE into an array (let-bound),
+    then ``array_position(arr, array_min(arr)) - 1`` — first match =
+    lowest id on ties. The folded ``when(d < best)`` chain references
+    both subtrees twice per step, so its expression tree (and the
+    interpreted aggregate folds inside) grows 2^k — measured 50x slower
+    at k=10 on the PQ encoder before the same fix
+    (operators/similarity.pq_encode)."""
+    from ..functions.text import let
+
     v = F.col(vec_col)
-    dists = [_sq_dist_to(v, c) for c in centroids]
-    best_id, best_d = F.lit(0), dists[0]
-    for i in range(1, len(centroids)):
-        closer = dists[i] < best_d
-        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
-        best_d = F.when(closer, dists[i]).otherwise(best_d)
+    d_arr = F.array(*[_sq_dist_to(v, c) for c in centroids])
+    best_id = let(
+        d_arr,
+        lambda a: (F.array_position(a, F.array_min(a)) - 1).cast("int"),
+    )
     return df.withColumn("cluster_id", best_id)
 
 
