@@ -98,6 +98,18 @@ def run_once(spark, name: str, fn) -> float:
 
     release_caches()
     spark.catalog.clearCache()
+    # clearCache() does NOT release localCheckpoint blocks; iterative
+    # operators register theirs with cachescope, but sweep anything
+    # unregistered too — accumulated checkpoint storage was measured to
+    # slow later queries ~2x across a full bench run
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in set(jmap.keySet().toArray()):
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist()
+    except Exception:
+        pass
     return elapsed
 
 

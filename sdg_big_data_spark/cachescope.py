@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
 
+# (spark, rdd-ids) of localCheckpoint blocks operators leave behind for
+# their caller (e.g. the final labels/ranks frame of an iterative graph
+# algorithm). clearCache()/unpersist() do NOT release checkpointed RDDs;
+# these ids are swept by release_caches via the JVM persistent-RDD map.
+_LIVE_CKPT: list[tuple[object, frozenset]] = []
+
 
 def scoped_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` + register for later release."""
@@ -34,12 +40,20 @@ def scoped_cache(df: DataFrame) -> DataFrame:
     return cached
 
 
+def register_checkpoint_ids(spark, ids) -> None:
+    """Register localCheckpoint RDD ids for later release (operators
+    that hand a checkpoint-backed frame to their caller)."""
+    if ids:
+        _LIVE_CKPT.append((spark, frozenset(ids)))
+
+
 def live_cache_count() -> int:
     return len(_LIVE)
 
 
 def release_caches(blocking: bool = False) -> int:
-    """Unpersist every registered cache; returns how many were dropped."""
+    """Unpersist every registered cache + checkpoint; returns how many
+    were dropped."""
     n = 0
     while _LIVE:
         df = _LIVE.pop()
@@ -47,6 +61,17 @@ def release_caches(blocking: bool = False) -> int:
             df.unpersist(blocking)
         except Exception:
             pass  # session already stopped — nothing to release
+        n += 1
+    while _LIVE_CKPT:
+        spark, ids = _LIVE_CKPT.pop()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for i in ids:
+                rdd = jmap.get(i)
+                if rdd is not None:
+                    rdd.unpersist()
+        except Exception:
+            pass
         n += 1
     return n
 
@@ -58,6 +83,7 @@ def cache_scope(blocking: bool = False):
     compose correctly. Wrap any entry point that materializes operator
     results (pipelines, benchmarks, report builders)."""
     mark = len(_LIVE)
+    ckpt_mark = len(_LIVE_CKPT)
     try:
         yield
     finally:
@@ -65,5 +91,15 @@ def cache_scope(blocking: bool = False):
             df = _LIVE.pop()
             try:
                 df.unpersist(blocking)
+            except Exception:
+                pass
+        while len(_LIVE_CKPT) > ckpt_mark:
+            spark, ids = _LIVE_CKPT.pop()
+            try:
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for i in ids:
+                    rdd = jmap.get(i)
+                    if rdd is not None:
+                        rdd.unpersist()
             except Exception:
                 pass
