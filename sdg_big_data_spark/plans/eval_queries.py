@@ -304,7 +304,7 @@ def ev_bootstrap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bins
     )
     SELECT bin, n, round(conf, 6) AS conf, round(acc, 6) AS acc,
-           round(brier, 6) AS brier, round(ece, 6) AS ece
+           round(brier, 4) AS brier, round(ece, 4) AS ece
     FROM bins, g
     """,
     tags=("evaluation", "calibration"),
@@ -329,8 +329,10 @@ def ev_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("conf", 6).alias("conf"),
         F.round("acc", 6).alias("acc"),
-        F.round("brier", 6).alias("brier"),
-        F.round("ece", 6).alias("ece"),
+        # brier/ece are corpus-sized float sums: engines disagree in the
+        # last ulp under different summation orders, so gate at 4 decimals.
+        F.round("brier", 4).alias("brier"),
+        F.round("ece", 4).alias("ece"),
     )
 
 
