@@ -110,18 +110,23 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 3,
     round_dp: int = 10,
+    assume_distinct: bool = False,
+    broadcast_nodes_max: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list → (node, rank).
 
     The iterative-DataFrame formulation (the same loop shape as
-    :func:`connected_components`): each iteration is
+    :func:`connected_components`). Edge weights ``1/out_degree`` are
+    joined ONCE before the loop, so each iteration is just
 
-    - one equi-join shuffle (edge src → rank) producing contributions
-      ``rank/out_degree`` per out-edge,
-    - one groupBy(dst) shuffle summing them (map-side combined),
+    - one (edge → rank) equi-join producing ``rank * w`` contributions,
+    - one groupBy(dst) sum (map-side combined),
     - a 1-row broadcast of the dangling-node mass (nodes without
       out-edges donate their rank uniformly — the standard
-      stochastic-matrix fix, so total rank stays 1).
+      stochastic-matrix fix, so total rank stays 1). The dangling node
+      SET is static, so it is computed once before the loop — and when
+      it is empty (every node has out-edges, e.g. symmetrized graphs)
+      the per-iteration mass aggregation is skipped entirely.
 
     Fixed ``n_iter`` (no convergence probe) keeps the computation a
     finite deterministic DAG — the DuckDB oracle replays it as
@@ -130,50 +135,74 @@ def pagerank(
     BOTH ENGINES, pinning the float trajectory so summation-order
     differences can't drift across iterations.
 
-    Scale: per-iteration cost is |edges| join + |edges| aggregate —
-    linear, shuffled on node id; ``localCheckpoint`` truncates lineage
-    each round (iterative-plan blow-up guard). Skewed in-degree (a hub
-    page) is an AQE skew split on the groupBy side.
+    Physical strategy: the rank frame is |nodes|-sized — orders of
+    magnitude smaller than |edges| on real graphs. When |nodes| ≤
+    ``broadcast_nodes_max`` the rank side of the per-iteration join is
+    explicitly broadcast, so the EDGE frame never re-shuffles: each
+    iteration is a map-side join over the stationary edge partitions
+    plus one |nodes|-group aggregate. (The explicit hint matters
+    because checkpointed inputs carry no size stats — without it the
+    planner sort-merge-joins the edge frame every round.) Above the
+    threshold the same loop runs as shuffle joins on node id —
+    per-iteration cost linear in |edges|, skewed in-degree (a hub page)
+    split by AQE. ``assume_distinct=True`` skips the edge-dedup shuffle
+    when the caller already guarantees unique (src, dst) pairs.
+    ``localCheckpoint`` truncates lineage each round (iterative-plan
+    blow-up guard).
     """
     spark = edges.sparkSession
-    e, e_ids = _tracked_checkpoint(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e, e_ids = _tracked_checkpoint(e)
     nodes, node_ids = _tracked_checkpoint(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    n_nodes = nodes.count()
+    small = n_nodes <= broadcast_nodes_max
+    hint = F.broadcast if small else (lambda df: df)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
-    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    # edge weights are rank-independent: join them once, outside the loop
+    ew, ew_ids = _tracked_checkpoint(
+        e.join(hint(outdeg), "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("__od")).alias("__w")
+        )
+    )
+    # the dangling-node SET is static; only its mass changes per round
+    dang, dang_ids = _tracked_checkpoint(
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_anti")
+    )
+    has_dangling = dang.limit(1).count() > 0
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
     )
     rank_ids: set[int] = set()
     for _ in range(n_iter):
-        dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m"))
-        )
+        if has_dangling:
+            dangling = ranks.join(hint(dang), "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m")
+            )
+        else:
+            dangling = spark.range(1).select(F.lit(0.0).alias("__m"))
         contribs = (
-            e.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            ew.join(hint(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("__od")).alias("__c"))
+            .agg(F.sum(F.col("rank") * F.col("__w")).alias("__c"))
             .withColumnRenamed("dst", "node")
         )
         new_ranks, new_ids = _tracked_checkpoint(
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(n_total))
+            nodes.join(hint(contribs), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 F.round(
-                    (1.0 - damping) / F.col("__n")
+                    (1.0 - damping) / F.lit(float(n_nodes))
                     + damping
                     * (
                         F.coalesce(F.col("__c"), F.lit(0.0))
-                        + F.col("__m") / F.col("__n")
+                        + F.col("__m") / F.lit(float(n_nodes))
                     ),
                     round_dp,
                 ).alias("rank"),
@@ -183,6 +212,8 @@ def pagerank(
         ranks, rank_ids = new_ranks, new_ids
     _unpersist_ids(spark, e_ids)
     _unpersist_ids(spark, node_ids)
+    _unpersist_ids(spark, ew_ids)
+    _unpersist_ids(spark, dang_ids)
     from ..cachescope import register_checkpoint_ids
 
     register_checkpoint_ids(spark, rank_ids)

@@ -576,12 +576,22 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     li = table(spark, sf_dir, "lineitem")
+    # dedup the raw co-occurrence pairs as INTS (one ~|lineitem| shuffle of
+    # 8-byte keys), then mint the string node ids and mirror — both
+    # directions of a distinct pair set are still distinct, so the
+    # operator's own dedup shuffle (over 2x the rows of concatenated
+    # strings) is skipped via assume_distinct
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
     s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
     p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
-    edges = li.select(s.alias("src"), p.alias("dst")).unionByName(
-        li.select(p.alias("src"), s.alias("dst"))
+    edges = pairs.select(s.alias("src"), p.alias("dst")).unionByName(
+        pairs.select(p.alias("src"), s.alias("dst"))
     )
     ranks = graph.pagerank(
-        edges, damping=_PR_DAMP, n_iter=_PR_ITER, round_dp=_PR_DP
+        edges,
+        damping=_PR_DAMP,
+        n_iter=_PR_ITER,
+        round_dp=_PR_DP,
+        assume_distinct=True,
     )
     return ranks.select("node", "rank")

@@ -137,3 +137,35 @@ class TestPageRank:
             for r in pagerank(df.repartition(7), n_iter=3).collect()
         }
         assert r1 == r2
+
+    def test_shuffle_path_matches_broadcast_path(self, spark):
+        # broadcast_nodes_max=0 forces the billion-node shuffle-join plan;
+        # ranks must be bit-identical to the broadcast fast path (both
+        # with and without dangling nodes)
+        from sdg_big_data_spark.operators.graph import pagerank
+
+        for edges in (
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+            [("a", "b"), ("b", "c")],  # c dangling
+        ):
+            df = spark.createDataFrame(edges, "src string, dst string")
+            fast = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+            slow = {
+                r["node"]: r["rank"]
+                for r in pagerank(df, n_iter=3, broadcast_nodes_max=0).collect()
+            }
+            assert fast == slow
+
+    def test_assume_distinct_matches_dedup(self, spark):
+        from sdg_big_data_spark.operators.graph import pagerank
+
+        dup = [("a", "b"), ("a", "b"), ("b", "a"), ("b", "c"), ("b", "c")]
+        uniq = [("a", "b"), ("b", "a"), ("b", "c")]
+        d1 = spark.createDataFrame(dup, "src string, dst string")
+        d2 = spark.createDataFrame(uniq, "src string, dst string")
+        r1 = {r["node"]: r["rank"] for r in pagerank(d1, n_iter=3).collect()}
+        r2 = {
+            r["node"]: r["rank"]
+            for r in pagerank(d2, n_iter=3, assume_distinct=True).collect()
+        }
+        assert r1 == r2
