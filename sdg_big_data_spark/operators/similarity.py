@@ -701,13 +701,25 @@ def collect_pq_codebooks(cb: DataFrame) -> list[list[tuple[int, list[float]]]]:
     return [sorted(by_sub[j]) for j in sorted(by_sub)]
 
 
-def _sub_dist(vec: Column, j: int, sub: int, centroid: list[float]) -> Column:
+def _sub_dist_arr(
+    vec: Column, j: int, sub: int, cents: list[list[float]]
+) -> Column:
+    """Array of squared L2 distances from subspace ``j`` of ``vec`` to
+    EVERY sub-centroid, as one expression: the whole codebook rides in as
+    a single nested-array literal and a single ``transform`` computes all
+    cells. One literal + 3 lambda resolutions per subspace, vs one
+    fold-expression per cell — with m × cells copies, per-cell folds made
+    driver-side plan construction/analysis the dominant term of the PQ
+    pipeline (~3 s at sf0.1 before any job ran)."""
     sl = F.slice(_to_double(vec), j * sub + 1, sub)
-    lits = F.array(*[F.lit(c) for c in centroid])
-    return F.aggregate(
-        F.zip_with(sl, lits, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    cb = F.lit([[float(x) for x in c] for c in cents])
+    return F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(sl, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
     )
 
 
@@ -749,10 +761,8 @@ def pq_encode(
     sub = len(codebooks[0][0][1])
     codes = []
     for j, cb in enumerate(codebooks):
-        d_arr = F.array(
-            *[_sub_dist(F.col(vec_col), j, sub, cent) for _, cent in cb]
-        )
-        cells_arr = F.array(*[F.lit(c) for c, _ in cb])
+        d_arr = _sub_dist_arr(F.col(vec_col), j, sub, [cent for _, cent in cb])
+        cells_arr = F.lit([int(c) for c, _ in cb])
         codes.append(argmin_code(d_arr, cells_arr))
     return df.withColumn(code_col, F.array(*codes))
 
@@ -783,30 +793,37 @@ def pq_adc_topk(
     O(pairs·m·k·sub).
     """
     sub = len(codebooks[0][0][1])
+    qv = F.col(vec_col)
+    # one LUT column per subspace, evaluated once per QUERY row — built in
+    # a SINGLE select (every withColumn re-analyzes the whole plan
+    # eagerly; chaining m of them over these wide expression trees was
+    # measured as seconds of driver time before any job ran)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        *[
+            _sub_dist_arr(qv, j, sub, [cent for _, cent in cb]).alias(
+                f"__lut{j}"
+            )
+            for j, cb in enumerate(codebooks)
+        ],
     )
-    # one LUT column per subspace, evaluated once per QUERY row
-    for j, cb in enumerate(codebooks):
-        q = q.withColumn(
-            f"__lut{j}",
-            F.array(*[_sub_dist(F.col("__qv"), j, sub, cent) for _, cent in cb]),
-        )
-    q = q.drop("__qv")
     pairs = codes.select(
         F.col(id_col).alias("neighbor_id"), code_col
     ).crossJoin(F.broadcast(q))
     dist = F.lit(0.0)
     for j, cb in enumerate(codebooks):
-        cells = [c for c, _ in cb]
-        # cell ids may be sparse; map code -> position in the LUT array
-        pos = F.element_at(
-            F.map_from_arrays(
-                F.array(*[F.lit(c) for c in cells]),
-                F.array(*[F.lit(i + 1) for i in range(len(cells))]),
-            ),
-            F.element_at(F.col(code_col), j + 1),
-        )
+        cells = [int(c) for c, _ in cb]
+        if cells == list(range(len(cells))):
+            # dense 0..k-1 cell ids: the code IS the LUT position
+            pos = F.element_at(F.col(code_col), j + 1) + 1
+        else:
+            # sparse cell ids; map code -> position in the LUT array
+            pos = F.element_at(
+                F.map_from_arrays(
+                    F.lit(cells), F.lit(list(range(1, len(cells) + 1)))
+                ),
+                F.element_at(F.col(code_col), j + 1),
+            )
         dist = dist + F.element_at(F.col(f"__lut{j}"), pos)
     if round_dp is not None:
         # rank on the ROUNDED distance: sub-distance summation order
@@ -821,10 +838,8 @@ def pq_adc_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    drop_luts = [f"__lut{j}" for j in range(len(codebooks))]
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
-        .drop(*drop_luts)
     )
