@@ -36,6 +36,10 @@ PROBES = [
     "a_histogram",
     "a_theta_overlap",
     "t_chunk_plan",
+    # round 3c: iterative broadcast-hinted rank propagation, PQ argmin
+    # tie-breaks through the transform-literal codebook path
+    "g_pagerank",
+    "e_pq_topk",
 ]
 
 
