@@ -154,25 +154,31 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e, e_ids = _tracked_checkpoint(e)
+    # ONE materialization of the edge set, already weighted: the dedup
+    # exchange feeding both the out-degree aggregate and the join side is
+    # computed once (ReusedExchange) inside a single checkpoint job, and
+    # nodes/out-degrees below re-derive from the in-memory ew blocks —
+    # checkpointing the raw edge frame separately paid a second full
+    # materialization for nothing
+    ew, ew_ids = _tracked_checkpoint(
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("__od")), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("__od")).alias("__w"))
+    )
     nodes, node_ids = _tracked_checkpoint(
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
     )
     n_nodes = nodes.count()
     small = n_nodes <= broadcast_nodes_max
     hint = F.broadcast if small else (lambda df: df)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
-    # edge weights are rank-independent: join them once, outside the loop
-    ew, ew_ids = _tracked_checkpoint(
-        e.join(hint(outdeg), "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("__od")).alias("__w")
-        )
-    )
     # the dangling-node SET is static; only its mass changes per round
     dang, dang_ids = _tracked_checkpoint(
-        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_anti")
+        nodes.join(
+            ew.select("src").distinct(),
+            nodes["node"] == F.col("src"),
+            "left_anti",
+        )
     )
     has_dangling = dang.limit(1).count() > 0
     ranks = nodes.select(
@@ -210,7 +216,6 @@ def pagerank(
         )
         _unpersist_ids(spark, rank_ids)  # superseded iteration state
         ranks, rank_ids = new_ranks, new_ids
-    _unpersist_ids(spark, e_ids)
     _unpersist_ids(spark, node_ids)
     _unpersist_ids(spark, ew_ids)
     _unpersist_ids(spark, dang_ids)
