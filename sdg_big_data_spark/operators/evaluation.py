@@ -375,6 +375,60 @@ def calibration(
     )
 
 
+def roc_points(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """ROC curve points — at every distinct score threshold t, the
+    (FPR, TPR) of the classifier "predict positive iff score ≥ t".
+    Returns one row per distinct score:
+    (score, cum_tp, cum_fp, tpr, fpr), ordered implicitly by score.
+
+    The curve behind the AUC scalar (:func:`auc` integrates it;
+    this materializes it for threshold selection / plotting — the
+    reference picks its indicator cutoffs by inspecting exactly these
+    rank-vs-precision tradeoffs, `12-model_training_eval.Rmd:59-75`).
+
+    Scale shape (same as `quality.ks_statistic`): one groupBy(score)
+    shuffle collapses the corpus to per-score (tp, fp) counts, then BOTH
+    running sums ride one `grouped_prefix_sum` pass (range shuffle +
+    narrow Arrow cumsum + broadcast offsets — no single-partition sort
+    at any score cardinality); totals broadcast back. TPR/FPR are
+    ratios of exact integers, so they are bit-identical across engines.
+    """
+    from .windows import grouped_prefix_sum
+
+    y = F.col(label_col).cast("long")
+    per_score = (
+        df.select(F.col(score_col).alias("__s"), y.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("__p"),
+            (F.count(F.lit(1)) - F.sum("__y")).alias("__n"),
+        )
+    )
+    cum = grouped_prefix_sum(
+        per_score.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("__s").desc()],
+        ["__p", "__n"],
+        ["cum_tp", "cum_fp"],
+    )
+    totals = per_score.agg(
+        F.sum("__p").alias("__tp"), F.sum("__n").alias("__tn")
+    )
+    return cum.crossJoin(F.broadcast(totals)).select(
+        F.col("__s").alias("score"),
+        # the Arrow cumsum stage carries float64; counts are exact
+        # integers well under 2^53, so the cast back is lossless
+        F.col("cum_tp").cast("long").alias("cum_tp"),
+        F.col("cum_fp").cast("long").alias("cum_fp"),
+        (F.col("cum_tp") / F.col("__tp")).alias("tpr"),
+        (F.col("cum_fp") / F.col("__tn")).alias("fpr"),
+    )
+
+
 def ndcg_at_k(
     df: DataFrame,
     label_col: str,

@@ -337,6 +337,60 @@ def ev_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_roc_points",
+    sql="""
+    WITH s AS (
+      SELECT CAST((event_id * 2654435761) % 1000 AS DOUBLE)
+               / CAST(1000 AS DOUBLE) AS p,
+             CASE WHEN (event_id * 1299709 + 7) % 1000
+                       < (event_id * 2654435761) % 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    per AS (
+      SELECT p AS score,
+             CAST(sum(y) AS BIGINT) AS p_cnt,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_cnt
+      FROM s GROUP BY p
+    ),
+    c AS (
+      SELECT score,
+             CAST(sum(p_cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cum_tp,
+             CAST(sum(n_cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cum_fp
+      FROM per
+    ),
+    t AS (
+      SELECT CAST(sum(p_cnt) AS BIGINT) AS tp,
+             CAST(sum(n_cnt) AS BIGINT) AS tn
+      FROM per
+    )
+    SELECT score, cum_tp, cum_fp,
+           CAST(cum_tp AS DOUBLE) / tp AS tpr,
+           CAST(cum_fp AS DOUBLE) / tn AS fpr
+    FROM c, t
+    """,
+    tags=("evaluation", "roc"),
+    doc="ROC curve materialization (evaluation.roc_points): per distinct "
+    "score threshold the cumulative TP/FP and TPR/FPR — the curve the "
+    "AUC scalar integrates, used for cutoff selection. One groupBy(score) "
+    "corpus collapse + both running sums on one scalable prefix-sum pass "
+    "(no single-partition sort at any score cardinality); TPR/FPR are "
+    "exact-integer ratios, bit-identical across engines",
+)
+def ev_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h1 = (F.col("event_id") * F.lit(2654435761)) % 1000
+    h2 = (F.col("event_id") * F.lit(1299709) + 7) % 1000
+    scores = ev.select(
+        (h1.cast("double") / F.lit(1000.0)).alias("p"),
+        (h2 < h1).cast("int").alias("y"),
+    )
+    return evaluation.roc_points(scores, "y", "p").select(
+        "score", "cum_tp", "cum_fp", "tpr", "fpr"
+    )
+
+
+@register(
     "dq_ks_drift",
     sql="""
     WITH t AS (

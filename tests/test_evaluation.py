@@ -226,3 +226,37 @@ def test_ks_statistic_known_cases(spark):
     df = spark.createDataFrame(rows, schema="v double, side string")
     r = ks_statistic(df, "v", "side", "a", "b").collect()[0]
     assert r["ks"] == pytest.approx(0.5)
+
+
+def test_roc_points_hand_computed(spark):
+    # scores 0.9,0.8,0.7,0.6 with labels 1,0,1,0 → thresholds desc:
+    #   t=0.9: tp=1 fp=0 → tpr=0.5 fpr=0.0
+    #   t=0.8: tp=1 fp=1 → tpr=0.5 fpr=0.5
+    #   t=0.7: tp=2 fp=1 → tpr=1.0 fpr=0.5
+    #   t=0.6: tp=2 fp=2 → tpr=1.0 fpr=1.0
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0)], "score double, y int"
+    )
+    rows = {
+        r["score"]: r
+        for r in evaluation.roc_points(df, "y", "score").collect()
+    }
+    assert (rows[0.9]["tpr"], rows[0.9]["fpr"]) == (0.5, 0.0)
+    assert (rows[0.8]["tpr"], rows[0.8]["fpr"]) == (0.5, 0.5)
+    assert (rows[0.7]["tpr"], rows[0.7]["fpr"]) == (1.0, 0.5)
+    assert (rows[0.6]["tpr"], rows[0.6]["fpr"]) == (1.0, 1.0)
+    assert rows[0.6]["cum_tp"] == 2 and rows[0.6]["cum_fp"] == 2
+
+
+def test_roc_points_ties_grouped(spark):
+    # tied scores collapse to ONE threshold row carrying both rows' counts
+    df = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.1, 1)], "score double, y int"
+    )
+    rows = {
+        r["score"]: r
+        for r in evaluation.roc_points(df, "y", "score").collect()
+    }
+    assert len(rows) == 2
+    assert rows[0.5]["cum_tp"] == 1 and rows[0.5]["cum_fp"] == 1
+    assert rows[0.1]["cum_tp"] == 2 and rows[0.1]["cum_fp"] == 1
