@@ -117,3 +117,35 @@ def chunk_plan(
             ).alias("n_chunk_tokens"),
         )
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the step between curation
+    and :func:`pack_plan`: pretraining wants documents in a pseudorandom
+    order that is (a) reproducible run-to-run, (b) changeable per epoch
+    (new ``salt``), and (c) computable without a driver-side permutation.
+
+    Every row gets the engine-portable ``portable_hash60(salt:id)`` sort
+    key and its EXACT global position under (key, id) via the scalable
+    ``global_rank`` (range shuffle + shuffle-free local rank + broadcast
+    offsets — no single-partition sort at any corpus size). Feeding the
+    rank into ``pack_plan``'s order (or using it as the write sort key)
+    yields the epoch's shuffled layout.
+    """
+    from .dedup import portable_hash60
+    from .windows import global_rank
+
+    keyed = df.withColumn(
+        "__sk",
+        portable_hash60(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ),
+    )
+    return global_rank(
+        keyed, ["__sk", id_col], ascending=True, rank_col=rank_col
+    ).drop("__sk")

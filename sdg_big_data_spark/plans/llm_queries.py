@@ -337,6 +337,33 @@ def t_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_shuffle_order",
+    sql="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                      doc_id ASC
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+    tags=("packing", "data-mixing", "shuffle"),
+    doc="deterministic epoch-stable corpus shuffle (packing.shuffle_order): "
+    "every doc gets its exact global position under the engine-portable "
+    "portable_hash60(salt:id) pseudorandom order — reproducible "
+    "run-to-run, re-randomized per epoch by the salt, computed on the "
+    "scalable global_rank (range shuffle + shuffle-free local rank + "
+    "broadcast offsets; never a single-partition sort). Feeds pack_plan "
+    "or the write sort key for the epoch's training layout",
+)
+def t_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import shuffle_order
+
+    docs = table(spark, sf_dir, "documents")
+    out = shuffle_order(docs, id_col="doc_id", salt="epoch1")
+    return out.select("doc_id", F.col("shuffle_rank").cast("long").alias("shuffle_rank"))
+
+
+@register(
     "d_dup_clusters",
     sql=f"""
     WITH RECURSIVE sig AS ({_minhash_sql()}),

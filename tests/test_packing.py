@@ -96,3 +96,33 @@ def test_chunk_plan_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_plan(docs, capacity=8, overlap=8)
+
+
+def test_shuffle_order_is_exact_permutation(spark):
+    from sdg_big_data_spark.operators.packing import shuffle_order
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    out = shuffle_order(docs, id_col="doc_id", salt="e0")
+    ranks = sorted(r["shuffle_rank"] for r in out.collect())
+    assert ranks == list(range(1, 101))  # dense 1..N, no gaps/dupes
+
+
+def test_shuffle_order_salt_changes_order_but_stays_deterministic(spark):
+    from sdg_big_data_spark.operators.packing import shuffle_order
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(200)], "doc_id long, text string"
+    )
+    a1 = {r["doc_id"]: r["shuffle_rank"] for r in shuffle_order(docs, salt="e0").collect()}
+    a2 = {r["doc_id"]: r["shuffle_rank"] for r in shuffle_order(docs, salt="e0").collect()}
+    b = {r["doc_id"]: r["shuffle_rank"] for r in shuffle_order(docs, salt="e1").collect()}
+    assert a1 == a2  # reproducible
+    assert a1 != b  # epoch re-randomizes
+    # partition-count invariant (the scalable-rank contract)
+    c = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_order(docs.repartition(7), salt="e0").collect()
+    }
+    assert a1 == c
