@@ -316,3 +316,32 @@ def kll_quantile_rollup(
         ],
     ]
     return merged.select(*rollup_cols, *cols)
+
+
+def grouped_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str | Column,
+    y_col: str | Column,
+) -> DataFrame:
+    """Per-group OLS trend of ``y`` on ``x`` — slope, intercept, r², n —
+    the panel-regression primitive behind the reference's indicator
+    trend analysis (its Stata post-processing fits time trends per
+    country panel; `news-analytics/code/3_sentiment_global.do` models
+    the same panels parametrically).
+
+    Built-in ``regr_slope/regr_intercept/regr_r2/regr_count`` — JVM-side
+    single-pass moment aggregates (map-side combined, one shuffle of
+    5 doubles per group), the same scale shape as `a_corr_covar`.
+    Rows where either side is NULL are excluded pairwise (SQL REGR_*
+    semantics in both engines).
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    xd, yd = x.cast("double"), y.cast("double")
+    return df.groupBy(*group_cols).agg(
+        F.regr_count(yd, xd).cast("long").alias("n"),
+        F.regr_slope(yd, xd).alias("slope"),
+        F.regr_intercept(yd, xd).alias("intercept"),
+        F.regr_r2(yd, xd).alias("r2"),
+    )

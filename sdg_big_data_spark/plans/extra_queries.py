@@ -1281,3 +1281,139 @@ def e_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     out = similarity.pq_adc_topk(codes, queries, cbs, k=5, round_dp=4)
     return out.select("query_id", "neighbor_id", "rank", "adc_dist")
+
+
+@register(
+    "a_trend_ols",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             (CAST(year(l_shipdate) AS BIGINT) - 1992) * 12
+               + (CAST(month(l_shipdate) AS BIGINT) - 1) AS mi,
+             round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               AS rev
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT flag, CAST(regr_count(rev, mi) AS BIGINT) AS n,
+           round(CAST(regr_slope(rev, mi) AS DOUBLE), 2) AS slope,
+           round(CAST(regr_intercept(rev, mi) AS DOUBLE), 2) AS intercept,
+           round(CAST(regr_r2(rev, mi) AS DOUBLE), 6) AS r2
+    FROM m GROUP BY flag
+    """,
+    tags=("aggregation", "regression", "trend"),
+    doc="per-group OLS time trend (relational.grouped_trend): monthly "
+    "revenue per returnflag regressed on the month index — "
+    "slope/intercept/r2/n from the built-in REGR_* single-pass moment "
+    "aggregates (JVM-side, map-side combined; the panel collapses to "
+    "#groups x #months rows BEFORE the regression, so the regression "
+    "shuffle is dimension-sized at any corpus scale). The reference "
+    "fits the same per-panel time trends in its Stata post-processing",
+)
+def a_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import grouped_trend
+
+    li = table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            (
+                (F.year("l_shipdate").cast("long") - 1992) * 12
+                + (F.month("l_shipdate").cast("long") - 1)
+            ).alias("mi"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+    )
+    out = grouped_trend(monthly, ["flag"], "mi", "rev")
+    return out.select(
+        "flag",
+        "n",
+        F.round("slope", 2).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+@register(
+    "t_ngram_chi2",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_contains({_SQL_TOKS.format(c="text")}, 'spark') AS is_target,
+             unnest({_SQL_TOKS.format(c="text")}) AS tok
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
+             CAST(count(*) AS DOUBLE) AS n_all
+      FROM toks
+    ),
+    cnt AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+             CAST(count(*) AS DOUBLE) AS ab
+      FROM toks GROUP BY tok
+    )
+    SELECT tok, CAST(a AS BIGINT) AS c_t, CAST(ab AS BIGINT) AS c_all,
+           round(
+             n_all * pow(a * (n_all - n_t - (ab - a)) - (ab - a) * (n_t - a), 2)
+               / (n_t * (n_all - n_t) * ab * (n_all - ab)),
+             4
+           ) AS chi2
+    FROM cnt, tot
+    WHERE a >= 5 AND ab < n_all
+    ORDER BY chi2 DESC, tok ASC
+    LIMIT 20
+    """,
+    tags=("text", "chi2", "association"),
+    doc="chi-square token association (the statistically-grounded sibling "
+    "of f7's lift, same active-learning keyword-discovery role as "
+    "count_kskipngrams.py): per token the 2x2 chi2 of occurrence in "
+    "target-doc tokens vs the rest — two aggregates over one token "
+    "explode, totals broadcast back; integer-count inputs make the "
+    "double formula engine-portable",
+)
+def t_ngram_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    docs = docs.select(tokenize(F.col("text")).alias("toks"))
+    toks = docs.select(
+        F.array_contains(F.col("toks"), "spark").alias("is_target"),
+        F.explode("toks").alias("tok"),
+    )
+    toks = scoped_cache(toks)
+    tot = toks.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("double")
+        .alias("n_t"),
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.count(F.lit(1)).cast("double").alias("ab"),
+    )
+    a, ab, n_t, n_all = F.col("a"), F.col("ab"), F.col("n_t"), F.col("n_all")
+    chi2 = (
+        n_all
+        * F.pow(a * (n_all - n_t - (ab - a)) - (ab - a) * (n_t - a), 2)
+        / (n_t * (n_all - n_t) * ab * (n_all - ab))
+    )
+    return (
+        cnt.where(a >= 5)
+        .crossJoin(F.broadcast(tot))
+        .where(ab < n_all)
+        .select(
+            "tok",
+            a.cast("long").alias("c_t"),
+            ab.cast("long").alias("c_all"),
+            F.round(chi2, 4).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), F.col("tok").asc())
+        .limit(20)
+    )
