@@ -82,6 +82,10 @@ HEADLINE = [
     "s_merge_upsert",
     "s_scd2",
     "j_fuzzy_match",
+    "ev_roc_points",
+    "t_shuffle_order",
+    "a_trend_ols",
+    "t_ngram_chi2",
 ]
 
 

@@ -1,0 +1,119 @@
+"""Event-sequence analytics — ordered-funnel conversion and Markov
+transition counts over per-entity event streams.
+
+Why they're here: the engine's event table (and any clickstream /
+interaction log feeding a training pipeline) is consumed as SEQUENCES —
+"who reached step k", "what follows what" — and both questions have
+shuffle-minimal DataFrame forms that need no per-user Python:
+
+- :func:`funnel` — one groupBy(user) collapses each user's history to a
+  sorted (ts, type) array, then the sequential step times are pure array
+  expressions (filter + array_min per step). ONE corpus shuffle total,
+  assuming the standard bounded-per-entity-history contract (the same
+  assumption every per-user grouped-map in the mobility pipeline makes,
+  operators/grouped.py).
+- :func:`transitions` — one keyed window (lead over (user, ts)) + one
+  dimension-sized groupBy(from, to) aggregate. The transition matrix is
+  |event-type|² rows — broadcastable downstream.
+
+Both are deterministic under a total per-user order (ts with a unique
+tiebreaker column) and exactly SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: for each user, the earliest time of
+    ``steps[0]``, then the earliest ``steps[1]`` STRICTLY AFTER it, and
+    so on. Returns one row per step: (step, step_name, n_users) with
+    n_users = users whose sequential chain reaches that step.
+
+    The per-user scan is expression-only: the history collapses to one
+    sorted (ts, type) array (groupBy + array_sort(collect_list) — the
+    single shuffle), then step k's time is
+    ``array_min(filter(events, type = step_k AND ts > t_{k-1}))``.
+    Strictly-after semantics make simultaneous events NOT satisfy the
+    next step (the conservative funnel definition, replayed identically
+    by the oracle's join chain).
+    """
+    evts = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__ts"),
+            F.col(type_col).alias("__t"),
+        )
+        .where(F.col("__t").isin(list(steps)))
+        .groupBy("__u")
+        .agg(F.array_sort(F.collect_list(F.struct("__ts", "__t"))).alias("__h"))
+    )
+    prev: Column | None = None
+    step_times = []
+    for s in steps:
+        matches = F.filter(
+            F.col("__h"),
+            (lambda p: (lambda e: (e["__t"] == s) & ((e["__ts"] > p) if p is not None else F.lit(True))))(prev),
+        )
+        t = F.array_min(F.transform(matches, lambda e: e["__ts"]))
+        step_times.append(t)
+        prev = t
+    per_user = evts.select(
+        *[t.alias(f"__s{i}") for i, t in enumerate(step_times)]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"__s{i}")).cast("long").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = None
+    for i, s in enumerate(steps):
+        r = counts.select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(s).alias("step_name"),
+            F.col(f"__n{i}").alias("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: list[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition counts + row-normalized
+    probabilities over per-user event streams: (from_type, to_type,
+    n, p) where p = n / Σ_to n.
+
+    One keyed window shuffle (lead over (user, order)) + one
+    #types²-row aggregate; the probability normalization is a window
+    over that dimension-sized frame. ``order_cols`` must totally order
+    each user's events (include a unique tiebreaker) for determinism.
+    """
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wt)).alias("p"),
+    )

@@ -1417,3 +1417,77 @@ def t_ngram_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), F.col("tok").asc())
         .limit(20)
     )
+
+
+@register(
+    "g_funnel",
+    sql="""
+    WITH u1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN u1 ON e.user_id = u1.user_id
+      WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN u2 ON e.user_id = u2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+    )
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+           CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click',
+           CAST((SELECT count(*) FROM u2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase',
+           CAST((SELECT count(*) FROM u3) AS BIGINT)
+    """,
+    tags=("sequence", "funnel"),
+    doc="ordered-funnel conversion (sequence.funnel): users reaching "
+    "view -> click -> purchase with each step STRICTLY after the "
+    "previous — per-user history collapses to one sorted array in a "
+    "single shuffle, step times are pure filter+array_min expressions "
+    "(no per-user Python, no join chain); the oracle replays the same "
+    "semantics as sequential min-after joins",
+)
+def g_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import funnel
+
+    ev = table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "g_transitions",
+    sql="""
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 9) AS p
+    FROM c
+    """,
+    tags=("sequence", "markov"),
+    doc="first-order Markov transition matrix (sequence.transitions): "
+    "(from, to, n, p) over per-user event streams under a total (ts, "
+    "event_id) order — one keyed window shuffle + one #types^2-row "
+    "aggregate; the sequence-modeling prep for any interaction log",
+)
+def g_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import transitions
+
+    ev = table(spark, sf_dir, "events")
+    out = transitions(ev, order_cols=["ts", "event_id"])
+    return out.select("from_type", "to_type", "n", F.round("p", 9).alias("p"))
