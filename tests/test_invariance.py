@@ -40,6 +40,11 @@ PROBES = [
     # tie-breaks through the transform-literal codebook path
     "g_pagerank",
     "e_pq_topk",
+    # round 3d: event-time sequence scans (strictly-after funnel chain,
+    # lead-window transition pairs) — both timezone-sensitive if the
+    # reader's UTC normalization ever regresses
+    "g_funnel",
+    "g_transitions",
 ]
 
 
