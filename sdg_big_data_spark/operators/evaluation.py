@@ -546,3 +546,41 @@ def select_compatible_config(
         .drop("__best_f1", "__best_std")
         .orderBy(F.col(f1_col).desc(), F.col("config_id").asc())
     )
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    label_col: str | Column,
+    score_col: str,
+) -> DataFrame:
+    """Per-segment AUROC — one (n_pos, n_neg, auc) row per group, the
+    grouped sibling of :func:`auc` (the reference's evaluation is
+    per-country throughout, `08-optimization.Rmd:218-231`).
+
+    Mann-Whitney with average-rank ties, per group: one keyed window
+    ranks within the segment, a second window over (group, score)
+    averages tied ranks, then a #groups-row aggregate. One shuffle on
+    the group key. Segments are evaluation slices (countries, model
+    versions) — dimension-bounded by construction; for one corpus-sized
+    segment use the global :func:`auc`, whose range-partitioned rank
+    never puts the whole table in one window partition.
+    """
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        *group_cols, label.cast("int").alias("__y"), F.col(score_col).alias("__s")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__s").asc())
+    ranked = base.withColumn("__r", F.row_number().over(w))
+    avg_r = ranked.withColumn(
+        "__ar", F.avg("__r").over(Window.partitionBy(*group_cols, "__s"))
+    )
+    np_, nn = F.sum("__y"), F.sum(1 - F.col("__y"))
+    return avg_r.groupBy(*group_cols).agg(
+        np_.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        (
+            (F.sum(F.col("__ar") * F.col("__y")) - np_ * (np_ + 1) / 2.0)
+            / (np_ * nn)
+        ).alias("auc"),
+    )

@@ -485,3 +485,54 @@ def ev_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg"),
         F.round("ndcg", 6).alias("ndcg"),
     )
+
+
+@register(
+    "ev_auc_by_group",
+    sql="""
+    WITH s AS (
+      SELECT event_type AS grp,
+             CAST((event_id * 2654435761) % 1000 AS DOUBLE)
+               / CAST(1000 AS DOUBLE) AS p,
+             CASE WHEN (event_id * 1299709 + 7) % 1000
+                       < (event_id * 2654435761) % 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    r AS (
+      SELECT grp, y,
+             avg(rn) OVER (PARTITION BY grp, p) AS ar
+      FROM (
+        SELECT grp, p, y,
+               row_number() OVER (PARTITION BY grp ORDER BY p ASC) AS rn
+        FROM s
+      )
+    )
+    SELECT grp,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+           round(
+             (sum(ar * y) - CAST(sum(y) AS DOUBLE) * (sum(y) + 1) / 2.0)
+               / (CAST(sum(y) AS DOUBLE) * (count(*) - sum(y))),
+             9
+           ) AS auc
+    FROM r GROUP BY grp
+    """,
+    tags=("evaluation", "auc", "grouped"),
+    doc="per-segment AUROC (evaluation.grouped_auc): Mann-Whitney with "
+    "average-rank ties per event_type slice — one keyed window shuffle "
+    "+ a #groups-row aggregate; the reference's per-country evaluation "
+    "shape. Deterministic: tied ranks are averaged per (group, score), "
+    "so row_number's arbitrary tie order cancels",
+)
+def ev_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h1 = (F.col("event_id") * F.lit(2654435761)) % 1000
+    h2 = (F.col("event_id") * F.lit(1299709) + 7) % 1000
+    scores = ev.select(
+        F.col("event_type").alias("grp"),
+        (h1.cast("double") / F.lit(1000.0)).alias("p"),
+        (h2 < h1).cast("int").alias("y"),
+    )
+    out = evaluation.grouped_auc(scores, ["grp"], "y", "p")
+    return out.select("grp", "n_pos", "n_neg", F.round("auc", 9).alias("auc"))

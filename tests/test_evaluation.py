@@ -260,3 +260,19 @@ def test_roc_points_ties_grouped(spark):
     assert len(rows) == 2
     assert rows[0.5]["cum_tp"] == 1 and rows[0.5]["cum_fp"] == 1
     assert rows[0.1]["cum_tp"] == 2 and rows[0.1]["cum_fp"] == 1
+
+
+def test_grouped_auc_matches_global_auc_per_slice(spark):
+    rows = [
+        ("a", 0.9, 1), ("a", 0.8, 0), ("a", 0.7, 1), ("a", 0.6, 0),
+        ("b", 0.9, 0), ("b", 0.5, 1), ("b", 0.5, 0), ("b", 0.1, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, score double, y int")
+    grouped = {
+        r["grp"]: r for r in evaluation.grouped_auc(df, ["grp"], "y", "score").collect()
+    }
+    for g in ("a", "b"):
+        glob = evaluation.auc(df.where(df.grp == g), "y", "score").collect()[0]
+        assert grouped[g]["n_pos"] == glob["n_pos"]
+        assert grouped[g]["n_neg"] == glob["n_neg"]
+        assert abs(grouped[g]["auc"] - glob["auc"]) < 1e-12
