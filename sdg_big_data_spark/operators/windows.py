@@ -280,6 +280,52 @@ def bfill(
     return out
 
 
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-key LINEAR interpolation of nulls in ``value_col`` against the
+    numeric ``order_col`` (pandas ``interpolate(method='values')``) — the
+    numeric sibling of :func:`gap_fill`'s categorical ffill/bfill:
+    interior null runs take the line between the nearest non-null
+    neighbors, leading/trailing runs clamp to the nearest observation.
+
+    One keyed window shuffle serving four frame aggregates over the same
+    ordering (last/first non-null value + its order position, both
+    directions); the interpolation itself is row-local arithmetic.
+    ``order_col`` must be numeric (epoch seconds, day index) and unique
+    per key for a well-defined line.
+    """
+    out_col = out_col or value_col
+    v, t = F.col(value_col), F.col(order_col)
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t.asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_obs = F.when(v.isNotNull(), t)
+    v0 = F.last(v, ignorenulls=True).over(wb)
+    t0 = F.last(t_obs, ignorenulls=True).over(wb)
+    v1 = F.first(v, ignorenulls=True).over(wf)
+    t1 = F.first(t_obs, ignorenulls=True).over(wf)
+    interp = F.when(v.isNotNull(), v.cast("double")).otherwise(
+        F.when(v0.isNull(), v1.cast("double"))
+        .when(v1.isNull(), v0.cast("double"))
+        .otherwise(
+            v0 + (v1 - v0) * (t - t0).cast("double") / (t1 - t0).cast("double")
+        )
+    )
+    return df.withColumn(out_col, interp)
+
+
 def gap_fill(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -466,3 +466,66 @@ def w_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@register(
+    "w_interpolate",
+    sql="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    nb AS (
+      SELECT user_id, event_id, t, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t ASC
+               ROWS UNBOUNDED PRECEDING) AS v0,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t ASC
+                     ROWS UNBOUNDED PRECEDING) AS t0,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t ASC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+      FROM s
+    )
+    SELECT user_id, event_id,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN v0 IS NULL THEN v1
+             WHEN v1 IS NULL THEN v0
+             ELSE v0 + (v1 - v0) * CAST(t - t0 AS DOUBLE)
+                    / CAST(t1 - t0 AS DOUBLE)
+           END, 6) AS v_interp
+    FROM nb
+    """,
+    tags=("window", "interpolation", "timeseries"),
+    doc="per-key linear time-interpolation (windows.interpolate_linear, "
+    "pandas interpolate(method='values') semantics): interior null runs "
+    "take the line between nearest non-null neighbors against the epoch "
+    "axis, edge runs clamp — the numeric sibling of W8's categorical "
+    "ffill/bfill. One keyed window shuffle serving all four "
+    "neighbor-lookup frames; nulls planted deterministically "
+    "(event_id % 7) so the fixture is oracle-replayable",
+)
+def w_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timeutil import epoch_micros
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        epoch_micros("ts").alias("t"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    out = windows.interpolate_linear(
+        s, ["user_id"], "t", "v", out_col="v_interp"
+    )
+    return out.select(
+        "user_id", "event_id", F.round("v_interp", 6).alias("v_interp")
+    )

@@ -420,3 +420,41 @@ def test_seasonal_decompose_recovers_planted_pattern(spark):
         seas.setdefault((r["day"] - d0).days % 7, set()).add(round(r["seasonal"], 9))
     assert all(len(v) == 1 for v in seas.values())
     assert abs(sum(next(iter(v)) for v in seas.values())) < 1e-7
+
+
+def test_interpolate_linear_matches_pandas(spark):
+    """Differential vs pandas interpolate(method='values'): interior null
+    runs on the line, leading runs bfilled, trailing runs ffilled."""
+    import numpy as np
+    import pandas as pd
+
+    from sdg_big_data_spark.operators.windows import interpolate_linear
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for key in ("a", "b", "c"):
+        ts = np.sort(rng.choice(np.arange(1000, 9000), size=40, replace=False))
+        vals = rng.uniform(-5, 5, size=40)
+        mask = rng.rand(40) < 0.35
+        for t, v, m in zip(ts, vals, mask):
+            rows.append((key, int(t), None if m else float(v)))
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"])
+
+    got = (
+        interpolate_linear(
+            spark.createDataFrame(pdf), ["k"], "t", "v", out_col="vi"
+        )
+        .select("k", "t", "vi")
+        .toPandas()
+        .set_index(["k", "t"])
+        .sort_index()["vi"]
+    )
+    want = (
+        pdf.set_index("t")
+        .groupby("k")["v"]
+        .apply(
+            lambda s: s.interpolate(method="values", limit_direction="both")
+        )
+        .sort_index()
+    )
+    assert np.allclose(got.values, want.values, atol=1e-9)
