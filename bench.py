@@ -86,6 +86,10 @@ HEADLINE = [
     "t_shuffle_order",
     "a_trend_ols",
     "t_ngram_chi2",
+    "g_funnel",
+    "g_transitions",
+    "w_interpolate",
+    "ev_auc_by_group",
 ]
 
 
