@@ -723,3 +723,50 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
+
+
+@register(
+    "a_unpivot_melt",
+    sql="""
+    WITH piv AS (
+      SELECT o_orderpriority,
+             round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
+             round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
+             round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, total
+    FROM piv
+    UNPIVOT (total FOR status IN (F, O, P))
+    """,
+    tags=("reshape", "unpivot"),
+    doc="long-reshape / melt (Spark's native unpivot, the inverse of "
+    "A5's pivot): the wide status columns fold back to (key, status, "
+    "total) rows — a pure NARROW projection-explosion, zero shuffle "
+    "beyond the feeding aggregate; UNPIVOT drops NULL cells in both "
+    "engines (here none exist: the pivot coalesces to 0)",
+)
+def a_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    orders = table(spark, sf_dir, "orders")
+    piv = relational.pivot_agg(
+        orders,
+        ["o_orderpriority"],
+        "o_orderstatus",
+        ["F", "O", "P"],
+        F.sum("o_totalprice"),
+    )
+    wide = piv.select(
+        "o_orderpriority",
+        *[
+            F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c)
+            for c in ("F", "O", "P")
+        ],
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="total",
+    )
