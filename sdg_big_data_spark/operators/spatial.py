@@ -242,3 +242,88 @@ def spatial_join_wkt(
     schema = coarse.drop("min_lat", "min_lon", "max_lat", "max_lon").schema
     out = coarse.drop("min_lat", "min_lon", "max_lat", "max_lon")
     return out.mapInPandas(lambda it: refine(it), schema=schema)
+
+
+def colocation_pairs(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    epoch_col: str = "t",
+    radius_deg: float = 0.002,
+    window_s: int = 600,
+) -> DataFrame:
+    """Spatio-temporal co-location: pairs of DISTINCT entities with
+    events within ``radius_deg`` (squared-degree ε-ball — exact
+    arithmetic, engine-portable; swap :func:`haversine_m` into the
+    refine for production metres) and within ``window_s`` seconds of
+    each other — the contact-tracing / co-visit join of the mobility
+    literature, aggregated to one row per entity pair:
+    (user_a, user_b, n_contacts, min_d2) with user_a < user_b.
+
+    Two-phase, never a theta join: both sides bucket to
+    (⌊lat/r⌋, ⌊lon/r⌋, ⌊t/w⌋); the probe side replicates to its
+    3×3×3 neighborhood (27 narrow key rows — cells sized = r, so any
+    pair within r and w differs by ≤1 per axis), the other side keeps
+    its exact bucket, and candidates come from a plain hash equi-join.
+    Each candidate pair arises from exactly ONE replica (the offset
+    matching the bucket delta), so no candidate dedup is needed;
+    ``id_a < id_b`` emits each event pair once, and the final
+    per-(pair) aggregate canonicalizes entity order with
+    least/greatest. A stadium-cell hotspot is an AQE skew split on the
+    join key; the replicas carry only (keys, id, entity, lat, lon, t).
+    """
+    base = events.select(
+        F.col(id_col).alias("__id"),
+        F.col(entity_col).alias("__e"),
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+        F.col(epoch_col).cast("long").alias("__t"),
+    )
+    cx = F.floor(F.col("__lat") / F.lit(radius_deg))
+    cy = F.floor(F.col("__lon") / F.lit(radius_deg))
+    tb = F.floor(F.col("__t") / F.lit(int(window_s)))
+    b = base.select("*", cx.alias("__cx"), cy.alias("__cy"), tb.alias("__tb"))
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    probe = (
+        b.withColumn("__dx", off)
+        .withColumn("__dy", off)
+        .withColumn("__dt", off)
+        .select(
+            (F.col("__cx") + F.col("__dx")).alias("__cx"),
+            (F.col("__cy") + F.col("__dy")).alias("__cy"),
+            (F.col("__tb") + F.col("__dt")).alias("__tb"),
+            F.col("__id").alias("id_a"),
+            F.col("__e").alias("ea"),
+            F.col("__lat").alias("lat_a"),
+            F.col("__lon").alias("lon_a"),
+            F.col("__t").alias("t_a"),
+        )
+    )
+    build = b.select(
+        "__cx", "__cy", "__tb",
+        F.col("__id").alias("id_b"),
+        F.col("__e").alias("eb"),
+        F.col("__lat").alias("lat_b"),
+        F.col("__lon").alias("lon_b"),
+        F.col("__t").alias("t_b"),
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
+        F.col("lon_a") - F.col("lon_b")
+    ) * (F.col("lon_a") - F.col("lon_b"))
+    pairs = (
+        probe.join(build, ["__cx", "__cy", "__tb"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("ea") != F.col("eb"))
+        .where(F.abs(F.col("t_a") - F.col("t_b")) <= window_s)
+        .withColumn("__d2", d2)
+        .where(F.col("__d2") <= F.lit(radius_deg) * F.lit(radius_deg))
+    )
+    return pairs.groupBy(
+        F.least("ea", "eb").alias("user_a"),
+        F.greatest("ea", "eb").alias("user_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_contacts"),
+        F.min("__d2").alias("min_d2"),
+    )

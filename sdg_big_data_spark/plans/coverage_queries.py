@@ -1045,3 +1045,67 @@ def f_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rev_dot"),
     )
+
+
+@register(
+    "sp_colocation",
+    sql="""
+    WITH pts AS (
+      SELECT event_id, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 97 AS DOUBLE) / CAST(2000 AS DOUBLE) AS lat,
+             CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    // 97) % 89 AS DOUBLE) / CAST(2000 AS DOUBLE) AS lon,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    pairs AS (
+      SELECT least(a.user_id, b.user_id) AS user_a,
+             greatest(a.user_id, b.user_id) AS user_b,
+             (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+      FROM pts a JOIN pts b
+        ON a.event_id < b.event_id
+       AND a.user_id <> b.user_id
+       AND abs(a.t - b.t) <= 600
+      WHERE (a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon)
+            <= CAST(0.002 AS DOUBLE) * CAST(0.002 AS DOUBLE)
+    )
+    SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_contacts,
+           round(min(d2), 9) AS min_d2
+    FROM pairs GROUP BY user_a, user_b
+    """,
+    tags=("spatial", "temporal", "colocation"),
+    doc="spatio-temporal co-location pairs (spatial.colocation_pairs — "
+    "the contact-tracing / co-visit join): distinct users with events "
+    "within a 0.002-degree squared-degree ball AND 600 s of each other, "
+    "aggregated per pair. Two-phase: (cell, cell, time-bucket) hash "
+    "equi-join with a 27-replica probe neighborhood replaces the "
+    "oracle's quadratic theta join — each candidate arises exactly "
+    "once, so no dedup pass; the quadratic form exists only as the "
+    "sf0.01 ground truth. Fixture venues hash from user_id "
+    "(portable_hash60), NOT event_id — locations must be independent "
+    "of the id sequence or time-close pairs are never spatially close",
+)
+def sp_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash60
+
+    ev = table(spark, sf_dir, "events")
+    h = portable_hash60(F.col("user_id").cast("string"))
+    # (h // 97) % 89 == (h % 8633) // 97 for h >= 0; the right side stays
+    # in exact small-int range (a double division of a 2^60 long would
+    # silently lose integer exactness above 2^53)
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        ((h % 97).cast("double") / 2000.0).alias("lat"),
+        (F.floor((h % 8633) / 97).cast("double") / 2000.0).alias("lon"),
+        epoch_seconds("ts").alias("t"),
+    )
+    out = spatial.colocation_pairs(
+        pts, radius_deg=0.002, window_s=600
+    )
+    return out.select(
+        "user_a", "user_b", "n_contacts", F.round("min_d2", 9).alias("min_d2")
+    )

@@ -137,3 +137,72 @@ def test_wkt_join_polygon_size_guard(spark):
     # under the cap the join runs fine
     out = spatial_join_wkt(pts, polys.limit(3), max_polygons=10)
     assert out.count() == 3
+
+
+class TestColocationPairs:
+    def _naive(self, rows, r, w):
+        out = {}
+        for i, (ida, ua, la, lo, t) in enumerate(rows):
+            for idb, ub, lb, lob, tb in rows[i + 1:]:
+                if ua == ub or abs(t - tb) > w:
+                    continue
+                d2 = (la - lb) ** 2 + (lo - lob) ** 2
+                if d2 <= r * r:
+                    k = (min(ua, ub), max(ua, ub))
+                    n, m = out.get(k, (0, float("inf")))
+                    out[k] = (n + 1, min(m, d2))
+        return out
+
+    def test_planted_contacts(self, spark):
+        from sdg_big_data_spark.operators.spatial import colocation_pairs
+
+        rows = [
+            # u1/u2 meet twice (same spot, 100s apart); u3 far away;
+            # u4 same spot as u1 but 2h later — time gate drops it
+            (1, 1, 0.0100, 0.0100, 1000),
+            (2, 2, 0.0101, 0.0101, 1100),
+            (3, 1, 0.0100, 0.0100, 5000),
+            (4, 2, 0.0100, 0.0102, 5050),
+            (5, 3, 0.5000, 0.5000, 1050),
+            (6, 4, 0.0100, 0.0100, 8600),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, lat double, lon double, t long"
+        )
+        got = {
+            (r["user_a"], r["user_b"]): (r["n_contacts"], r["min_d2"])
+            for r in colocation_pairs(df, radius_deg=0.002, window_s=600).collect()
+        }
+        want = self._naive(rows, 0.002, 600)
+        assert got.keys() == want.keys() == {(1, 2)}
+        assert got[(1, 2)][0] == want[(1, 2)][0] == 2
+
+    def test_matches_naive_on_random_fixture(self, spark):
+        import numpy as np
+
+        from sdg_big_data_spark.operators.spatial import colocation_pairs
+
+        rng = np.random.RandomState(3)
+        rows = [
+            (
+                int(i),
+                int(rng.randint(0, 25)),
+                float(rng.randint(0, 40)) / 1000.0,
+                float(rng.randint(0, 40)) / 1000.0,
+                int(rng.randint(0, 50_000)),
+            )
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, lat double, lon double, t long"
+        )
+        got = {
+            (r["user_a"], r["user_b"]): (r["n_contacts"], round(r["min_d2"], 12))
+            for r in colocation_pairs(df, radius_deg=0.003, window_s=2000).collect()
+        }
+        want = {
+            k: (v[0], round(v[1], 12))
+            for k, v in self._naive(rows, 0.003, 2000).items()
+        }
+        assert len(want) > 5  # fixture produces real mass
+        assert got == want  # banding finds EVERY pair the quadratic scan finds
