@@ -90,6 +90,7 @@ HEADLINE = [
     "g_transitions",
     "w_interpolate",
     "ev_auc_by_group",
+    "sp_colocation",
 ]
 
 
