@@ -45,6 +45,8 @@ PROBES = [
     # reader's UTC normalization ever regresses
     "g_funnel",
     "g_transitions",
+    # epoch-bucketed spatio-temporal banding
+    "sp_colocation",
 ]
 
 
