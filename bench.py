@@ -91,6 +91,7 @@ HEADLINE = [
     "w_interpolate",
     "ev_auc_by_group",
     "sp_colocation",
+    "sp_mobility_metrics",
 ]
 
 

@@ -327,3 +327,56 @@ def colocation_pairs(
         F.count(F.lit(1)).cast("long").alias("n_contacts"),
         F.min("__d2").alias("min_d2"),
     )
+
+
+def mobility_metrics(
+    points: DataFrame,
+    entity_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 0.01,
+) -> DataFrame:
+    """Per-entity mobility summary — the canonical metrics of the GPS
+    literature (González et al. 2008), beyond the reference's
+    stay-at-home/migration indicators:
+
+    - ``rog_deg`` — radius of gyration: RMS distance of the entity's
+      points from their centroid. Since
+      E[(x−μx)² + (y−μy)²] = Var(x) + Var(y), it is
+      ``sqrt(var_pop(lat) + var_pop(lon))`` — a SINGLE-PASS moment
+      aggregate (map-side combined), no centroid-join second pass.
+      Degree metric for engine portability; multiply by ~111 km/deg (or
+      recompute with :func:`haversine_m` against the centroid) for
+      metres.
+    - ``n_cells`` / ``entropy`` — distinct ``cell_deg`` grid cells
+      visited and the Shannon entropy (natural log) of the visit
+      distribution over them: the predictability measure.
+
+    Two dimension-bounded shuffles: one (entity, cell) count, one
+    per-entity aggregate.
+    """
+    cx = F.floor(F.col(lat_col) / cell_deg)
+    cy = F.floor(F.col(lon_col) / cell_deg)
+    per_cell = points.groupBy(
+        F.col(entity_col).alias("__e"), cx.alias("__cx"), cy.alias("__cy")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    # H = -Σ (c/N) ln(c/N) = ln(N) - Σ c·ln(c) / N — pure aggregates,
+    # no per-group share window
+    ent = per_cell.groupBy("__e").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            F.log(F.sum("__c").cast("double"))
+            - F.sum(F.col("__c").cast("double") * F.log(F.col("__c").cast("double")))
+            / F.sum("__c").cast("double")
+        ).alias("entropy"),
+    )
+    rog = points.groupBy(F.col(entity_col).alias("__e")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sqrt(
+            F.var_pop(F.col(lat_col).cast("double"))
+            + F.var_pop(F.col(lon_col).cast("double"))
+        ).alias("rog_deg"),
+    )
+    return rog.join(ent, "__e").select(
+        F.col("__e").alias(entity_col), "n_points", "rog_deg", "n_cells", "entropy"
+    )

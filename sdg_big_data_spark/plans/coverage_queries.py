@@ -1109,3 +1109,70 @@ def sp_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_a", "user_b", "n_contacts", F.round("min_d2", 9).alias("min_d2")
     )
+
+
+@register(
+    "sp_mobility_metrics",
+    sql="""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 97 AS DOUBLE) / 500
+               + CAST(event_id % 7 AS DOUBLE) * 0.003 AS lat,
+             CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 8633) // 97 AS DOUBLE) / 500
+               + CAST((event_id * 3) % 5 AS DOUBLE) * 0.004 AS lon
+      FROM events
+    ),
+    cells AS (
+      SELECT user_id, floor(lat / 0.005) AS cx, floor(lon / 0.005) AS cy,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM pts GROUP BY 1, 2, 3
+    ),
+    ent AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_cells,
+             ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+      FROM cells GROUP BY user_id
+    ),
+    rog AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+             sqrt(var_pop(lat) + var_pop(lon)) AS rog_deg
+      FROM pts GROUP BY user_id
+    )
+    SELECT r.user_id, n_points, round(rog_deg, 6) AS rog_deg,
+           n_cells, round(entropy, 6) AS entropy
+    FROM rog r JOIN ent e ON r.user_id = e.user_id
+    """,
+    tags=("spatial", "mobility", "metrics"),
+    doc="per-user mobility metrics (spatial.mobility_metrics, Gonzalez "
+    "et al. 2008): radius of gyration as sqrt(var_pop(lat)+var_pop(lon)) "
+    "— the moment identity makes it ONE map-side-combined pass, no "
+    "centroid-join — plus visited-cell count and Shannon entropy via "
+    "H = ln(N) - sum(c ln c)/N (pure aggregates). Fixture: 7x5 venue "
+    "grid per user, venues hashed from user_id, venue choice from "
+    "event_id",
+)
+def sp_mobility_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash60
+
+    ev = table(spark, sf_dir, "events")
+    h = portable_hash60(F.col("user_id").cast("string"))
+    pts = ev.select(
+        "user_id",
+        (
+            (h % 97).cast("double") / 500.0
+            + (F.col("event_id") % 7).cast("double") * 0.003
+        ).alias("lat"),
+        (
+            F.floor((h % 8633) / 97).cast("double") / 500.0
+            + (F.col("event_id") * 3 % 5).cast("double") * 0.004
+        ).alias("lon"),
+    )
+    out = spatial.mobility_metrics(pts, cell_deg=0.005)
+    return out.select(
+        "user_id",
+        "n_points",
+        F.round("rog_deg", 6).alias("rog_deg"),
+        "n_cells",
+        F.round("entropy", 6).alias("entropy"),
+    )

@@ -206,3 +206,28 @@ class TestColocationPairs:
         }
         assert len(want) > 5  # fixture produces real mass
         assert got == want  # banding finds EVERY pair the quadratic scan finds
+
+
+def test_mobility_metrics_hand_computed(spark):
+    import math
+
+    from sdg_big_data_spark.operators.spatial import mobility_metrics
+
+    # u1: 4 points, two cells (3:1 split); u2: all points one spot
+    rows = [
+        (1, 0.000, 0.000), (1, 0.001, 0.001), (1, 0.002, 0.000),
+        (1, 0.020, 0.020),
+        (2, 0.050, 0.050), (2, 0.050, 0.050),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, lat double, lon double")
+    got = {r["user_id"]: r for r in mobility_metrics(df, cell_deg=0.01).collect()}
+
+    lats = [r[1] for r in rows if r[0] == 1]
+    lons = [r[2] for r in rows if r[0] == 1]
+    var = lambda xs: sum((x - sum(xs) / len(xs)) ** 2 for x in xs) / len(xs)
+    assert abs(got[1]["rog_deg"] - math.sqrt(var(lats) + var(lons))) < 1e-12
+    assert got[1]["n_cells"] == 2
+    want_h = math.log(4) - (3 * math.log(3) + 1 * math.log(1)) / 4
+    assert abs(got[1]["entropy"] - want_h) < 1e-12
+    assert got[2]["rog_deg"] == 0.0 and got[2]["n_cells"] == 1
+    assert got[2]["entropy"] == 0.0
