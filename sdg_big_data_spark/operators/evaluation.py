@@ -584,3 +584,47 @@ def grouped_auc(
             / (np_ * nn)
         ).alias("auc"),
     )
+
+
+def ab_test(
+    df: DataFrame,
+    arm_col: str,
+    arm_a,
+    arm_b,
+    value_col: str | Column,
+) -> DataFrame:
+    """Two-sample A/B comparison of a numeric metric between two arms:
+    one row with per-arm (n, mean, var) and the Welch t statistic
+    t = (mean_a − mean_b) / sqrt(s²_a/n_a + s²_b/n_b) — the experiment
+    readout primitive (for a 0/1 conversion column the same statistic is
+    the unpooled two-proportion z).
+
+    ONE pass of conditional aggregation (map-side combined, 1-row
+    output) — never a per-arm collect; degrees of freedom via
+    Welch–Satterthwaite, left to the caller's CDF of choice (no scipy
+    dependency).
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    arm = F.col(arm_col)
+    va = F.when(arm == arm_a, v)
+    vb = F.when(arm == arm_b, v)
+    g = df.agg(
+        F.count(va).cast("long").alias("n_a"),
+        F.count(vb).cast("long").alias("n_b"),
+        F.avg(va).alias("mean_a"),
+        F.avg(vb).alias("mean_b"),
+        F.var_samp(va).alias("var_a"),
+        F.var_samp(vb).alias("var_b"),
+    )
+    se2a = F.col("var_a") / F.col("n_a")
+    se2b = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2a + se2b)
+    dof = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (F.col("n_a") - 1) + se2b * se2b / (F.col("n_b") - 1)
+    )
+    return g.select(
+        "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        t.alias("t_welch"), dof.alias("dof"),
+    )

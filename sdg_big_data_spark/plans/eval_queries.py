@@ -536,3 +536,58 @@ def ev_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = evaluation.grouped_auc(scores, ["grp"], "y", "p")
     return out.select("grp", "n_pos", "n_neg", F.round("auc", 9).alias("auc"))
+
+
+@register(
+    "ev_ab_test",
+    sql="""
+    WITH s AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             value + CASE WHEN user_id % 2 = 0 THEN 0.5 ELSE 0.0 END AS v
+      FROM events
+    ),
+    g AS (
+      SELECT CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
+             avg(CASE WHEN arm = 'A' THEN v END) AS mean_a,
+             avg(CASE WHEN arm = 'B' THEN v END) AS mean_b,
+             var_samp(CASE WHEN arm = 'A' THEN v END) AS var_a,
+             var_samp(CASE WHEN arm = 'B' THEN v END) AS var_b
+      FROM s
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+           round((mean_a - mean_b)
+                   / sqrt(var_a / n_a + var_b / n_b), 4) AS t_welch,
+           round(pow(var_a / n_a + var_b / n_b, 2)
+                   / (pow(var_a / n_a, 2) / (n_a - 1)
+                      + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS dof
+    FROM g
+    """,
+    tags=("evaluation", "ab-test"),
+    doc="two-sample A/B readout (evaluation.ab_test): per-arm n/mean/var "
+    "+ Welch t + Welch-Satterthwaite dof in ONE conditional-aggregation "
+    "pass (map-side combined, 1-row output); arms and a planted +0.5 "
+    "lift derive deterministically from user_id so the t is genuinely "
+    "nonzero and oracle-replayable",
+)
+def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        (
+            F.col("value")
+            + F.when(F.col("user_id") % 2 == 0, 0.5).otherwise(0.0)
+        ).alias("v"),
+    )
+    out = evaluation.ab_test(s, "arm", "A", "B", "v")
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("var_a", 6).alias("var_a"),
+        F.round("var_b", 6).alias("var_b"),
+        F.round("t_welch", 4).alias("t_welch"),
+        F.round("dof", 2).alias("dof"),
+    )

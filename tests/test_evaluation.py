@@ -276,3 +276,22 @@ def test_grouped_auc_matches_global_auc_per_slice(spark):
         assert grouped[g]["n_pos"] == glob["n_pos"]
         assert grouped[g]["n_neg"] == glob["n_neg"]
         assert abs(grouped[g]["auc"] - glob["auc"]) < 1e-12
+
+
+def test_ab_test_matches_numpy_welch(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    a = rng.normal(1.0, 2.0, 300)
+    b = rng.normal(0.7, 1.5, 200)
+    rows = [("A", float(x)) for x in a] + [("B", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    out = evaluation.ab_test(df, "arm", "A", "B", "v").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    t = (a.mean() - b.mean()) / np.sqrt(va / 300 + vb / 200)
+    dof = (va / 300 + vb / 200) ** 2 / (
+        (va / 300) ** 2 / 299 + (vb / 200) ** 2 / 199
+    )
+    assert out["n_a"] == 300 and out["n_b"] == 200
+    assert abs(out["t_welch"] - t) < 1e-9
+    assert abs(out["dof"] - dof) < 1e-6
