@@ -76,15 +76,21 @@ def funnel(
             for i in range(len(steps))
         ]
     )
-    rows = None
-    for i, s in enumerate(steps):
-        r = counts.select(
-            F.lit(i + 1).cast("long").alias("step"),
-            F.lit(s).alias("step_name"),
-            F.col(f"__n{i}").alias("n_users"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+    # one row per step via a single explode — a k-way union of selects
+    # over `counts` would re-run the whole per-user aggregation per
+    # branch (no subtree reuse across union arms; observed k x the
+    # corpus shuffle in the physical plan)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("__r")).select("__r.*")
 
 
 def transitions(
