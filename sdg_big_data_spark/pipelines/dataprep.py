@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cachescope import scoped_cache
 from ..functions import text
 from ..operators import dedup
 
@@ -81,7 +82,10 @@ def near_dup_removal(
     stop-word shingle shared by a million docs yields 10^12 rows before
     any candidate filter can apply. Here the work is
     O(Σ_pairs |shingles(a)|) — linear in candidate pairs."""
-    cand = dedup.minhash_lsh_candidates(docs, id_col, text_col)
+    # cand feeds three consumers (both id branches + the intersection
+    # walk); the operator caches its band frame, but the band self-join
+    # + distinct would still re-run per consumer without this
+    cand = scoped_cache(dedup.minhash_lsh_candidates(docs, id_col, text_col))
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
