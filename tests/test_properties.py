@@ -458,3 +458,44 @@ def test_interpolate_linear_matches_pandas(spark):
         .sort_index()
     )
     assert np.allclose(got.values, want.values, atol=1e-9)
+
+
+def test_as_of_join_matches_pandas_merge_asof(spark):
+    """Randomized differential vs pandas.merge_asof(direction='backward',
+    by=key): identical payload attachment including no-prior-row nulls
+    and the inclusive at-equal-timestamp case."""
+    import numpy as np
+    import pandas as pd
+
+    from sdg_big_data_spark.operators.joins import as_of_join
+
+    rng = np.random.RandomState(17)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5, 120),
+        "ts": rng.randint(0, 1000, 120),
+        "lid": np.arange(120),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 5, 60),
+        "ts": rng.choice(np.arange(0, 1000, 7), 60, replace=False),
+        "payload": rng.uniform(0, 1, 60).round(6),
+    })
+    # pandas requires sorted ts; dedup (k, ts) on the right so "latest at
+    # equal ts" is unambiguous in both engines
+    right = right.drop_duplicates(["k", "ts"])
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward",
+    ).set_index("lid")["payload"]
+    got_rows = as_of_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        keys=["k"], ts_col="ts", payload_cols=["payload"],
+    ).collect()
+    got = {r["lid"]: r["payload"] for r in got_rows}
+    assert len(got) == 120
+    for lid, w in want.items():
+        g = got[lid]
+        assert (pd.isna(w) and g is None) or (g is not None and abs(g - w) < 1e-12), (
+            lid, g, w
+        )
