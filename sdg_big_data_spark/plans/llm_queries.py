@@ -604,13 +604,16 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     # dedup the raw co-occurrence pairs as INTS (one ~|lineitem| shuffle of
-    # 8-byte keys), then mint the string node ids and mirror — both
-    # directions of a distinct pair set are still distinct, so the
-    # operator's own dedup shuffle (over 2x the rows of concatenated
-    # strings) is skipped via assume_distinct
+    # 8-byte keys), mirror, and run the whole iteration on LONG node ids
+    # (suppkey < 10^7; parts offset by 10^7 — disjoint by construction):
+    # every per-iteration join/aggregate then shuffles 8-byte keys instead
+    # of strings; the display ids ('s…'/'p…') are minted ONCE on the
+    # final |nodes|-row frame. Both directions of a distinct pair set are
+    # still distinct, so assume_distinct skips the operator's own dedup.
+    _OFF = 10_000_000
     pairs = li.select("l_suppkey", "l_partkey").distinct()
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.col("l_suppkey").cast("long")
+    p = F.col("l_partkey").cast("long") + _OFF
     edges = pairs.select(s.alias("src"), p.alias("dst")).unionByName(
         pairs.select(p.alias("src"), s.alias("dst"))
     )
@@ -621,4 +624,9 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_dp=_PR_DP,
         assume_distinct=True,
     )
-    return ranks.select("node", "rank")
+    node_str = F.when(
+        F.col("node") < _OFF, F.concat(F.lit("s"), F.col("node").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("p"), (F.col("node") - _OFF).cast("string"))
+    )
+    return ranks.select(node_str.alias("node"), "rank")
