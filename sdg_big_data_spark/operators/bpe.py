@@ -81,6 +81,7 @@ def train_bpe(
     text_col: str,
     n_merges: int,
     checkpoint_every: int = 16,
+    driver_vocab_max: int = 1_000_000,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE merges over the corpus.
 
@@ -88,17 +89,36 @@ def train_bpe(
     ``[(step, left_sym, right_sym, pair_freq), ...]`` and the final
     vocabulary frame ``(word, freq, enc)`` with merges applied.
 
-    The driver-side collect per round is ONE row (the winning pair) —
-    the same dimension-sized pull as a k-means centroid update, not a
-    corpus collect. Lineage over the vocab frame grows by one projection
-    per round, so every ``checkpoint_every`` rounds it is truncated with
-    ``localCheckpoint`` (the connected-components operator uses the same
-    discipline, operators/graph.py).
+    The corpus is touched once (the word-frequency shuffle). The merge
+    rounds then run over the VOCABULARY, and the physical strategy
+    follows its size:
+
+    - vocab ≤ ``driver_vocab_max`` rows: collect (word, freq) to the
+      driver — the same dimension-sized pull as a k-means centroid
+      update — and run the rounds as the pure-Python classical trainer
+      (identical pair statistics, identical tie-break, identical
+      left-to-right replace; the differential suite in ``test_bpe.py``
+      proves the equivalence). A distributed round costs one Spark job
+      (~0.3 s of scheduling) regardless of data, so k rounds over a
+      small vocab were pure fixed overhead.
+    - larger vocab: the distributed loop — per round one vocab-sized
+      pair-count aggregate and a 1-row collect of the winner; lineage
+      truncated every ``checkpoint_every`` rounds via ``localCheckpoint``
+      (the connected-components discipline, operators/graph.py).
     """
     from ..cachescope import scoped_cache
 
     vocab = word_vocab(docs, text_col).withColumn("enc", encode_word(F.col("word")))
     vocab = scoped_cache(vocab)
+    if vocab.count() <= driver_vocab_max:
+        rows = [(r["word"], int(r["freq"])) for r in vocab.collect()]
+        merges, enc_map = _train_bpe_local(rows, n_merges)
+        spark = docs.sparkSession
+        out = spark.createDataFrame(
+            [(w, f, enc_map[w]) for w, f in rows],
+            schema="word string, freq long, enc string",
+        )
+        return merges, out
 
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -129,6 +149,41 @@ def train_bpe(
         if step % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab
+
+
+def _train_bpe_local(
+    rows: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], dict[str, str]]:
+    """Driver-side merge rounds over a collected (word, freq) vocabulary —
+    bit-identical semantics to the distributed loop: the same adjacent-pair
+    statistics (overlapping occurrences each count), the same
+    (freq desc, left asc, right asc) tie-break, and the same literal
+    left-to-right ``|a||b|`` → ``|ab|`` replace (Python ``str.replace``
+    and Java/DuckDB ``replace`` share the non-overlapping l-to-r scan).
+    Returns (merges, {word: final_enc})."""
+    enc = {
+        w: SEP + (SEP + SEP).join(list(w) + [END_OF_WORD]) + SEP for w, _ in rows
+    }
+    freqs = dict(rows)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in freqs.items():
+            syms = enc[w][1:-1].split(SEP + SEP)
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, freq))
+        pat = SEP + left + SEP + SEP + right + SEP
+        rep = SEP + left + right + SEP
+        for w in enc:
+            enc[w] = enc[w].replace(pat, rep)
+    return merges, enc
 
 
 def subword_vocab(vocab: DataFrame) -> DataFrame:

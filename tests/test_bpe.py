@@ -122,3 +122,24 @@ def test_merge_exhaustion_stops_early(spark):
     # each word collapses to one symbol after its chars merge with </w>;
     # once every word is a single symbol there are no pairs left
     assert 0 < len(merges) < 50
+
+
+def test_driver_path_matches_distributed_path(spark):
+    """driver_vocab_max=0 forces the distributed loop; the default takes
+    the driver fast path — merge tables and final encodings must be
+    identical (same pair stats, tie-break, replace order)."""
+    from sdg_big_data_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "wide wider widest",
+             "low low new wide", "newest lowest"] * 3
+        )],
+        "doc_id long, text string",
+    )
+    m_fast, v_fast = train_bpe(docs, "text", n_merges=6)
+    m_dist, v_dist = train_bpe(docs, "text", n_merges=6, driver_vocab_max=0)
+    assert m_fast == m_dist
+    fast = {r["word"]: (r["freq"], r["enc"]) for r in v_fast.collect()}
+    dist = {r["word"]: (r["freq"], r["enc"]) for r in v_dist.collect()}
+    assert fast == dist
