@@ -262,17 +262,20 @@ def colocation_pairs(
     literature, aggregated to one row per entity pair:
     (user_a, user_b, n_contacts, min_d2) with user_a < user_b.
 
-    Two-phase, never a theta join: both sides bucket to
-    (⌊lat/r⌋, ⌊lon/r⌋, ⌊t/w⌋); the probe side replicates to its
-    3×3×3 neighborhood (27 narrow key rows — cells sized = r, so any
-    pair within r and w differs by ≤1 per axis), the other side keeps
+    Two-phase, never a theta join: both sides bucket to cells sized
+    2·radius (and time buckets sized 2·window). A point within
+    ``radius`` of another can then only be in the point's own cell or
+    the ONE neighbor on the side the point sits in (left half → −1,
+    right half → +1; at the exact midpoint the ball stays inside the
+    cell, so +1 is safe) — so the probe side replicates to just
+    2×2×2 = 8 keys (vs 27 for radius-sized cells), the build side keeps
     its exact bucket, and candidates come from a plain hash equi-join.
-    Each candidate pair arises from exactly ONE replica (the offset
-    matching the bucket delta), so no candidate dedup is needed;
-    ``id_a < id_b`` emits each event pair once, and the final
-    per-(pair) aggregate canonicalizes entity order with
-    least/greatest. A stadium-cell hotspot is an AQE skew split on the
-    join key; the replicas carry only (keys, id, entity, lat, lon, t).
+    Each candidate pair arises from exactly ONE replica (replica keys
+    are distinct), so no candidate dedup is needed; ``id_a < id_b``
+    emits each event pair once, and the final per-(pair) aggregate
+    canonicalizes entity order with least/greatest. A stadium-cell
+    hotspot is an AQE skew split on the join key; replicas carry only
+    (keys, id, entity, lat, lon, t).
     """
     base = events.select(
         F.col(id_col).alias("__id"),
@@ -281,15 +284,28 @@ def colocation_pairs(
         F.col(lon_col).cast("double").alias("__lon"),
         F.col(epoch_col).cast("long").alias("__t"),
     )
-    cx = F.floor(F.col("__lat") / F.lit(radius_deg))
-    cy = F.floor(F.col("__lon") / F.lit(radius_deg))
-    tb = F.floor(F.col("__t") / F.lit(int(window_s)))
+    cw, tw = 2.0 * radius_deg, 2 * int(window_s)
+
+    def _cell(v, width):
+        return F.floor(v / F.lit(width))
+
+    def _side(v, width, cell):
+        # +1 if the value sits in the upper half of its cell, else -1
+        return F.when(v / F.lit(width) - cell >= 0.5, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
+    cx = _cell(F.col("__lat"), cw)
+    cy = _cell(F.col("__lon"), cw)
+    tb = _cell(F.col("__t").cast("double"), float(tw))
     b = base.select("*", cx.alias("__cx"), cy.alias("__cy"), tb.alias("__tb"))
-    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    sx = _side(F.col("__lat"), cw, F.col("__cx"))
+    sy = _side(F.col("__lon"), cw, F.col("__cy"))
+    st = _side(F.col("__t").cast("double"), float(tw), F.col("__tb"))
     probe = (
-        b.withColumn("__dx", off)
-        .withColumn("__dy", off)
-        .withColumn("__dt", off)
+        b.withColumn("__dx", F.explode(F.array(F.lit(0), sx)))
+        .withColumn("__dy", F.explode(F.array(F.lit(0), sy)))
+        .withColumn("__dt", F.explode(F.array(F.lit(0), st)))
         .select(
             (F.col("__cx") + F.col("__dx")).alias("__cx"),
             (F.col("__cy") + F.col("__dy")).alias("__cy"),

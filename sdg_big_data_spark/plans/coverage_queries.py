@@ -1081,10 +1081,11 @@ def f_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the contact-tracing / co-visit join): distinct users with events "
     "within a 0.002-degree squared-degree ball AND 600 s of each other, "
     "aggregated per pair. Two-phase: (cell, cell, time-bucket) hash "
-    "equi-join with a 27-replica probe neighborhood replaces the "
-    "oracle's quadratic theta join — each candidate arises exactly "
-    "once, so no dedup pass; the quadratic form exists only as the "
-    "sf0.01 ground truth. Fixture venues hash from user_id "
+    "equi-join with cells sized 2r and an 8-replica half-side probe "
+    "neighborhood replaces the oracle's quadratic theta join — each "
+    "candidate arises exactly once, so no dedup pass; the quadratic "
+    "form exists only as the sf0.01 ground truth. Fixture venues hash "
+    "from user_id "
     "(portable_hash60), NOT event_id — locations must be independent "
     "of the id sequence or time-close pairs are never spatially close",
 )
