@@ -326,20 +326,81 @@ def interpolate_linear(
     return df.withColumn(out_col, interp)
 
 
+def interpolate_nearest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-key NEAREST-neighbor fill of nulls in ``value_col`` against the
+    numeric ``order_col`` — the categorical interpolation the reference's
+    labeling calendar uses (`labeling.py:132-142`
+    ``interpolate('nearest')``): each null takes the non-null value whose
+    order position is closest, by actual prev/next DISTANCE comparison
+    (not numeric lerp — the value may be a cluster id or label). Exact
+    ties go to the PREVIOUS observation; leading/trailing runs clamp.
+
+    Same physical shape as :func:`interpolate_linear`: one keyed window
+    shuffle serving the four neighbor lookups, then row-local selection.
+    Works for any value type (no arithmetic touches the value column).
+    """
+    out_col = out_col or value_col
+    v, t = F.col(value_col), F.col(order_col)
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t.asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_obs = F.when(v.isNotNull(), t)
+    v0 = F.last(v, ignorenulls=True).over(wb)
+    t0 = F.last(t_obs, ignorenulls=True).over(wb)
+    v1 = F.first(v, ignorenulls=True).over(wf)
+    t1 = F.first(t_obs, ignorenulls=True).over(wf)
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(v0.isNull(), v1)
+        .when(v1.isNull(), v0)
+        .when((t - t0) <= (t1 - t), v0)  # tie -> previous
+        .otherwise(v1)
+    )
+    return df.withColumn(out_col, filled)
+
+
 def gap_fill(
     df: DataFrame,
     key_cols: Sequence[str],
     date_col: str,
     value_cols: Sequence[str],
+    method: str = "ffill_bfill",
 ) -> DataFrame:
     """W8 — full gap-fill: daily spine per key, left-join observations,
-    ffill then bfill (the reference's reindex→interpolate('nearest')→
-    ffill→bfill, `labeling.py:132-142`; nearest-interpolation of
-    categoricals is approximated by ffill-then-bfill, matching its
-    boundary behavior on runs)."""
+    then fill per ``method``:
+
+    - ``"ffill_bfill"`` (default): forward- then backward-fill — the
+      run-boundary behavior of the reference's
+      reindex→interpolate('nearest')→ffill→bfill chain
+      (`labeling.py:132-142`) on interior runs, exact on the edges;
+    - ``"nearest"``: true nearest-OBSERVATION fill via
+      :func:`interpolate_nearest` on the day index (prev/next distance
+      comparison; exact ties → previous) — the faithful form of the
+      reference's categorical 'nearest' step, which ffill-then-bfill
+      only approximates when an interior gap is closer to the NEXT
+      observation."""
     spine = date_spine(df, key_cols, date_col)
     obs = df.select(*key_cols, F.to_date(date_col).alias(date_col), *value_cols)
     joined = spine.join(obs, [*key_cols, date_col], "left")
+    if method == "nearest":
+        out = joined.withColumn(
+            "__day", F.datediff(F.col(date_col), F.lit("1970-01-01"))
+        )
+        for c in value_cols:
+            out = interpolate_nearest(out, key_cols, "__day", c)
+        return out.drop("__day")
     return bfill(ffill(joined, key_cols, date_col, value_cols), key_cols, date_col, value_cols)
 
 

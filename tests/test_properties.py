@@ -499,3 +499,47 @@ def test_as_of_join_matches_pandas_merge_asof(spark):
         assert (pd.isna(w) and g is None) or (g is not None and abs(g - w) < 1e-12), (
             lid, g, w
         )
+
+
+def test_interpolate_nearest_categorical(spark):
+    """True nearest-observation fill of a CATEGORICAL (cluster-id) column:
+    prev/next distance comparison, exact ties -> previous, edges clamp —
+    the faithful form of the reference's interpolate('nearest') step
+    (labeling.py:132-142) that ffill-then-bfill only approximates."""
+    from sdg_big_data_spark.operators.windows import interpolate_nearest
+
+    rows = [
+        # k, t, label
+        ("a", 0, "x"), ("a", 1, None), ("a", 2, None), ("a", 3, None),
+        ("a", 4, "y"),  # t=1 -> x (d1 vs 3), t=2 -> x (tie 2/2), t=3 -> y
+        ("b", 0, None), ("b", 1, "z"), ("b", 2, None),  # edge clamps
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v string")
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in interpolate_nearest(df, ["k"], "t", "v").collect()
+    }
+    assert got[("a", 1)] == "x"
+    assert got[("a", 2)] == "x"  # tie -> previous
+    assert got[("a", 3)] == "y"
+    assert got[("b", 0)] == "z" and got[("b", 2)] == "z"
+
+
+def test_gap_fill_nearest_differs_from_ffill_on_closer_next(spark):
+    from sdg_big_data_spark.operators.windows import gap_fill
+
+    rows = [("a", "2024-01-01", "c1"), ("a", "2024-01-08", "c2")]
+    df = spark.createDataFrame(rows, "k string, d string, label string")
+    near = {
+        str(r["d"]): r["label"]
+        for r in gap_fill(df, ["k"], "d", ["label"], method="nearest").collect()
+    }
+    ff = {
+        str(r["d"]): r["label"]
+        for r in gap_fill(df, ["k"], "d", ["label"]).collect()
+    }
+    # Jan 6 is 5 days from c1 and 2 days from c2: nearest says c2,
+    # ffill-then-bfill says c1
+    assert near["2024-01-06"] == "c2" and ff["2024-01-06"] == "c1"
+    assert near["2024-01-04"] == "c1"  # 3 vs 4 days -> previous
+    assert len(near) == 8  # full daily spine
