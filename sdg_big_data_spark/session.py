@@ -93,6 +93,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # ContextCleaner reclaims shuffle files / broadcasts only via GC'd
+        # weak refs; the 30 min default lets a long-lived session (resident
+        # service, notebook, bench) accumulate them — measured as +40-70%
+        # per-query latency by the tail of a 57-query run. 1 min is the
+        # standard long-running-driver setting.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
