@@ -770,3 +770,35 @@ def a_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status",
         valueColumnName="total",
     )
+
+
+@register(
+    "o_group_topk",
+    sql="""
+    SELECT user_id, event_id, rnk, value FROM (
+      SELECT user_id, event_id, value,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id ASC
+             ) AS BIGINT) AS rnk
+      FROM events
+    ) WHERE rnk <= 3
+    """,
+    tags=("topk", "window"),
+    doc="per-group top-k (top-3 events by value per user): ONE keyed "
+    "window shuffle with a rank filter Spark pushes into the sort "
+    "(WindowGroupLimit — each partition keeps k rows per key BEFORE the "
+    "exchange, so the shuffle carries ~k x groups rows, not the corpus); "
+    "the per-key sibling of O2's global TakeOrdered",
+)
+def o_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk", "value")
+    )

@@ -462,3 +462,44 @@ class TestRuntimeBloomFilterPruning:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+def test_group_topk_plans_window_group_limit(spark, sf_dir):
+    """o_group_topk's rank<=k filter must push into the sort as
+    WindowGroupLimit — each map task keeps k rows per key BEFORE the
+    exchange, so the shuffle carries ~k x groups rows, not the corpus."""
+    from sdg_big_data_spark.plans import catalog
+
+    catalog._load_all()
+    p = (
+        catalog.REGISTRY["o_group_topk"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in p
+
+
+def test_fuzzy_join_soundex_blocking(spark):
+    """The blocker is pluggable: soundex blocking links phonetic variants
+    (smith/smyth share S530) that the default prefix blocker would split
+    across blocks — and the plan stays a hash equi-join."""
+    import pyspark.sql.functions as F
+
+    from sdg_big_data_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "jones")], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "smith"), (11, "jonas")], "rid long, rname string"
+    )
+    out = fuzzy_join(
+        left, right, "lname", "rname", max_dist=2, block_key=F.soundex
+    )
+    pairs = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert (1, 10) in pairs and (2, 10) in pairs  # smyth~smith via S530
+    assert (3, 11) in pairs  # jones~jonas via J520
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
