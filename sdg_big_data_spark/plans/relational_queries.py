@@ -802,3 +802,56 @@ def o_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("user_id", "event_id", "rnk", "value")
     )
+
+
+@register(
+    "a_gini",
+    sql="""
+    WITH r AS (
+      SELECT o_orderpriority AS prio, o_totalprice AS x,
+             CAST(row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC
+             ) AS BIGINT) AS i
+      FROM orders
+    )
+    SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           round(
+             2.0 * sum(CAST(i AS DOUBLE) * x)
+               / (count(*) * sum(x))
+               - (count(*) + 1.0) / count(*),
+             6
+           ) AS gini
+    FROM r GROUP BY prio
+    """,
+    tags=("aggregation", "inequality", "gini"),
+    doc="per-group Gini coefficient (the SDG inequality measure the "
+    "reference's wealth-index work points at; W6's cumulative-share "
+    "binning is the Lorenz-curve sibling): exact rank formulation "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over the within-group "
+    "ascending rank — one keyed window shuffle + one aggregate; for a "
+    "single corpus-sized group swap the window for windows.global_rank "
+    "(same formula, no single-partition sort)",
+)
+def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    r = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    return r.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            2.0
+            * F.sum(F.col("i").cast("double") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -543,3 +543,33 @@ def test_gap_fill_nearest_differs_from_ffill_on_closer_next(spark):
     assert near["2024-01-06"] == "c2" and ff["2024-01-06"] == "c1"
     assert near["2024-01-04"] == "c1"  # 3 vs 4 days -> previous
     assert len(near) == 8  # full daily spine
+
+
+def test_gini_known_values(spark):
+    """Gini rank formula sanity: equal values -> 0; against a numpy
+    replay on a random fixture."""
+    import numpy as np
+
+    from sdg_big_data_spark.plans import catalog  # noqa: F401  (formula lives in the query)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def gini_spark(vals):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "k long, x double"
+        )
+        w = Window.partitionBy(F.lit(1)).orderBy(F.col("x").asc(), F.col("k").asc())
+        r = df.select("x", F.row_number().over(w).cast("long").alias("i"))
+        row = r.agg(
+            (2.0 * F.sum(F.col("i") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
+             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))).alias("g")
+        ).collect()[0]
+        return row["g"]
+
+    assert abs(gini_spark([5.0] * 40)) < 1e-12  # perfect equality
+    rng = np.random.RandomState(2)
+    v = rng.lognormal(0, 1.0, 200)
+    x = np.sort(v)
+    n = len(x)
+    want = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+    assert abs(gini_spark(v) - want) < 1e-9
