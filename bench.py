@@ -92,6 +92,9 @@ HEADLINE = [
     "ev_auc_by_group",
     "sp_colocation",
     "sp_mobility_metrics",
+    "o_group_topk",
+    "a_gini",
+    "dq_profile",
 ]
 
 

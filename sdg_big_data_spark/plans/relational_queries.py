@@ -855,3 +855,69 @@ def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "dq_profile",
+    sql="""
+    SELECT 'l_quantity' AS col,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           round(min(l_quantity), 4) AS min_v,
+           round(max(l_quantity), 4) AS max_v,
+           round(avg(l_quantity), 4) AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           round(min(l_discount), 4), round(max(l_discount), 4),
+           round(avg(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+           round(avg(l_extendedprice), 4)
+    FROM lineitem
+    """,
+    tags=("data-quality", "profiling"),
+    doc="column profile (the data-quality first pass: null rate, distinct "
+    "count, min/max/mean per column) — ONE aggregation computes every "
+    "column's stats simultaneously (count(DISTINCT a), count(DISTINCT b) "
+    "in one agg = Spark's expand-based multi-distinct), then a narrow "
+    "unpivot to one row per column; the corpus is scanned once, not "
+    "once per column",
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__null"),
+            F.countDistinct(c).cast("long").alias(f"{c}__nd"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    g = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+                F.col(f"{c}__mean").alias("mean_v"),
+            )
+            for c in cols
+        ]
+    )
+    return g.select(F.explode(rows).alias("__r")).select("__r.*")
