@@ -843,3 +843,33 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def class_prototypes(
+    corpus: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label L2-NORMALIZED mean embedding — the class-prototype /
+    nearest-centroid-classifier primitive (and the retrieval "query by
+    class" vector): prototype_c = mean(v : label=c) / ||mean||.
+
+    Same single posexplode + two dimension-bounded aggregates as
+    :func:`train_centroids` (shuffle payload = labels × dim partial
+    sums, map-side combined), plus one row-local normalization over the
+    #labels-row result. Zero-norm prototypes (all-zero class) pass
+    through unnormalized rather than dividing by zero.
+    """
+    cent = train_centroids(corpus, label_col, vec_col)
+    nrm = F.sqrt(
+        F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    from ..functions.text import let
+
+    proto = let(
+        nrm,
+        lambda n: F.when(
+            n > 0, F.transform(F.col("cv"), lambda x: x / n)
+        ).otherwise(F.col("cv")),
+    )
+    return cent.select(label_col, proto.alias("prototype"))

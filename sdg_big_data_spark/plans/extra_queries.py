@@ -1491,3 +1491,51 @@ def g_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     out = transitions(ev, order_cols=["ts", "event_id"])
     return out.select("from_type", "to_type", "n", F.round("p", 9).alias("p"))
+
+
+@register(
+    "e_prototypes",
+    sql="""
+    WITH flat AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, i, avg(x) AS v FROM flat GROUP BY label, i
+    ),
+    cv AS (
+      SELECT label, list(v ORDER BY i) AS cv FROM cent GROUP BY label
+    ),
+    n AS (
+      SELECT label, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm
+      FROM cv
+    )
+    SELECT label,
+           list_transform(
+             CASE WHEN nrm > 0
+                  THEN list_transform(cv, x -> x / nrm) ELSE cv END,
+             x -> round(x, 9)
+           ) AS prototype
+    FROM n
+    """,
+    tags=("similarity", "prototype", "embedding"),
+    doc="per-label L2-normalized mean embedding "
+    "(similarity.class_prototypes) — the nearest-centroid-classifier / "
+    "query-by-class vector: one posexplode pass + two dimension-bounded "
+    "aggregates; rounded per component so cross-engine avg summation "
+    "order cannot flip the hash",
+)
+def e_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import class_prototypes
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = class_prototypes(emb, "label")
+    return out.select(
+        "label",
+        F.transform(F.col("prototype"), lambda x: F.round(x, 9)).alias(
+            "prototype"
+        ),
+    )

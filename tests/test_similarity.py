@@ -422,3 +422,21 @@ class TestProductQuantization:
                 for j in range(4)
             )
             assert abs(r["adc_dist"] - expect) < 1e-9
+
+
+def test_class_prototypes_normalized_and_exact(spark):
+    import numpy as np
+
+    from sdg_big_data_spark.operators.similarity import class_prototypes
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]), (0, [0.0, 1.0, 0.0, 0.0]),
+        (1, [2.0, 2.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero class passes through
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = {r["label"]: np.array(r["prototype"]) for r in class_prototypes(df, "label").collect()}
+    want0 = np.array([0.5, 0.5, 0, 0]); want0 = want0 / np.linalg.norm(want0)
+    assert np.allclose(got[0], want0)
+    assert abs(np.linalg.norm(got[1]) - 1.0) < 1e-12
+    assert np.allclose(got[2], 0.0)
