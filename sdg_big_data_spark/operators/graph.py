@@ -55,12 +55,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    broadcast_nodes_max: int = 5_000_000,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id reachable from it
     (= its component id). Returns (node, component).
 
     Deterministic: min-label fixpoint has a unique solution regardless of
-    join order or partitioning.
+    join order or partitioning. Physical strategy mirrors
+    :func:`pagerank`: when the node set is ≤ ``broadcast_nodes_max`` the
+    label frame is explicitly broadcast into each iteration's join —
+    checkpointed inputs carry no size stats, so without the hint the
+    planner sort-merge-joins (re-shuffles) the edge frame every round;
+    above the threshold the same loop runs as shuffle joins on node id.
     """
     spark = edges.sparkSession
     sym = edges.select(
@@ -73,11 +79,13 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    small = labels.count() <= broadcast_nodes_max
+    hint = F.broadcast if small else (lambda df: df)
     for _ in range(max_iter):
         # each node proposes its label to every neighbor; keep the min of
         # (own label, best neighbor proposal)
         proposals = sym.join(
-            labels.withColumnRenamed("node", "u"), "u"
+            hint(labels.withColumnRenamed("node", "u")), "u"
         ).select(F.col("v").alias("node"), "component")
         new_labels, new_ids = _tracked_checkpoint(
             proposals.unionByName(labels)
@@ -86,7 +94,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(hint(labels.alias("o")), "node")
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
