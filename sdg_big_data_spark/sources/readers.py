@@ -35,6 +35,75 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Inputs below this size get the small-input lift (S10). 64 MB = half a
+# default scan split: anything bigger is already splittable into enough
+# tasks by `spark.sql.files.maxPartitionBytes`.
+_LIFT_MAX_BYTES = 64 << 20
+# Per-partition byte target for lifted inputs. Small relative to a scan
+# split because lifted inputs feed compute-dense pipelines (tokenize /
+# hash / explode expand work ~50x over input bytes).
+_LIFT_TARGET_BYTES = 16 << 10
+# Tables whose per-byte compute is high enough that fanning out a tiny
+# scan beats the extra shuffle (text tokenize/hash/shingle pipelines).
+_LIFT_TABLES = frozenset({"documents"})
+
+
+def _input_bytes(path: str) -> int | None:
+    """Total on-disk bytes of a local file or directory; None if unknown
+    (remote filesystem URIs — the lift only targets local dev scans)."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+        return None
+    except OSError:
+        return None
+
+
+def small_input_lift(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """S10 local→distributed lift for small single-row-group files.
+
+    The driver fixtures are one parquet file with ONE row group per
+    table, and Spark's scan splitting assigns row groups whole — so a
+    sub-64 MB table scans as a single task and every narrow stage above
+    it (tokenize, hash, explode, partial aggregation) runs on one core
+    no matter how many executors exist. One round-robin repartition
+    fans that work out. Predicate pushdown and column pruning pass
+    through the Repartition node (verified in
+    ``tests/test_plans.py::test_filter_pushdown_reaches_scan``), so the
+    scan stays narrow.
+
+    At cluster scale this is a no-op by construction: any input over
+    64 MB — i.e. every real table — returns unchanged and relies on
+    ordinary split planning, so no shuffle is ever added to a big scan.
+    Catalog results are partitioning-independent (rank operators
+    range-shuffle first; float aggregates round; sampling is
+    content-hash-based), so the lift never changes answers.
+
+    Only compute-dense tables are lifted (see ``_LIFT_TABLES``):
+    measured at sf0.1, the round-robin shuffle pays for itself on text
+    pipelines (tokenize/hash/explode expand work ~50x over input bytes
+    — d_simhash_pairs 2.46→1.57 s, t_winnow 1.18→0.74 s) but costs
+    more than it buys on plain scan→aggregate shapes
+    (a1_pricing_summary 0.37→0.94 s), where single-partition partial
+    aggregation is already near the floor at this size.
+    """
+    size = _input_bytes(path)
+    if size is None or size > _LIFT_MAX_BYTES:
+        return df
+    n = min(
+        spark.sparkContext.defaultParallelism, size // _LIFT_TARGET_BYTES
+    )
+    if n <= 1:
+        return df
+    return df.repartition(int(n))
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table, normalizing physical-type quirks.
 
@@ -71,6 +140,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col_name, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    if name in _LIFT_TABLES:
+        df = small_input_lift(spark, df, path)
     return df
 
 
