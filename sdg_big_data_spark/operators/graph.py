@@ -119,7 +119,9 @@ def pagerank(
     n_iter: int = 3,
     round_dp: int = 10,
     assume_distinct: bool = False,
+    assume_no_dangling: bool = False,
     broadcast_nodes_max: int = 5_000_000,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list → (node, rank).
 
@@ -155,8 +157,20 @@ def pagerank(
     per-iteration cost linear in |edges|, skewed in-degree (a hub page)
     split by AQE. ``assume_distinct=True`` skips the edge-dedup shuffle
     when the caller already guarantees unique (src, dst) pairs.
-    ``localCheckpoint`` truncates lineage each round (iterative-plan
-    blow-up guard).
+    ``assume_no_dangling=True`` skips the dangling-set anti-join AND its
+    materialization + probe when the caller guarantees every node has an
+    out-edge (true by construction for symmetrized graphs: every node
+    appears as a src).
+
+    ``checkpoint_every`` sets the lineage-truncation cadence
+    (iterative-plan blow-up guard). Default (None) = auto: for
+    ``n_iter`` ≤ 4 the loop stays LAZY — all iterations fuse into the
+    single job that consumes the result (each iteration's plan
+    references the previous exactly once, so there is no recompute
+    blow-up, just linear plan depth; measured 4.1→~2 s at sf0.1 from
+    dropping the per-iteration materializations) — while longer runs
+    checkpoint every 2 iterations. Explicit N = materialize every N
+    iterations.
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -181,19 +195,25 @@ def pagerank(
     small = n_nodes <= broadcast_nodes_max
     hint = F.broadcast if small else (lambda df: df)
     # the dangling-node SET is static; only its mass changes per round
-    dang, dang_ids = _tracked_checkpoint(
-        nodes.join(
-            ew.select("src").distinct(),
-            nodes["node"] == F.col("src"),
-            "left_anti",
+    if assume_no_dangling:
+        dang, dang_ids = None, set()
+        has_dangling = False
+    else:
+        dang, dang_ids = _tracked_checkpoint(
+            nodes.join(
+                ew.select("src").distinct(),
+                nodes["node"] == F.col("src"),
+                "left_anti",
+            )
         )
-    )
-    has_dangling = dang.limit(1).count() > 0
+        has_dangling = dang.limit(1).count() > 0
+    if checkpoint_every is None:
+        checkpoint_every = n_iter + 1 if n_iter <= 4 else 2
     ranks = nodes.select(
         "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
     )
     rank_ids: set[int] = set()
-    for _ in range(n_iter):
+    for _i in range(n_iter):
         if has_dangling:
             dangling = ranks.join(hint(dang), "node").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m")
@@ -206,7 +226,7 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("__w")).alias("__c"))
             .withColumnRenamed("dst", "node")
         )
-        new_ranks, new_ids = _tracked_checkpoint(
+        stepped = (
             nodes.join(hint(contribs), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -222,12 +242,23 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        _unpersist_ids(spark, rank_ids)  # superseded iteration state
-        ranks, rank_ids = new_ranks, new_ids
-    _unpersist_ids(spark, node_ids)
-    _unpersist_ids(spark, ew_ids)
-    _unpersist_ids(spark, dang_ids)
+        if (_i + 1) % checkpoint_every == 0 and _i + 1 < n_iter:
+            new_ranks, new_ids = _tracked_checkpoint(stepped)
+            _unpersist_ids(spark, rank_ids)  # superseded iteration state
+            ranks, rank_ids = new_ranks, new_ids
+        else:
+            # lazy step: the next iteration (or the consuming action)
+            # extends this plan; any prior checkpoint stays persisted
+            # because the plan still reads from its blocks
+            ranks = stepped
     from ..cachescope import register_checkpoint_ids
 
+    # the final frame is lazy (the last iteration never checkpoints) —
+    # its plan still reads the ew/nodes (and possibly a mid-loop rank)
+    # checkpoint blocks; keep them alive for the consuming action,
+    # swept later by release_caches()
+    register_checkpoint_ids(spark, node_ids)
+    register_checkpoint_ids(spark, ew_ids)
+    register_checkpoint_ids(spark, dang_ids)
     register_checkpoint_ids(spark, rank_ids)
     return ranks

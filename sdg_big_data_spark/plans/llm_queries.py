@@ -605,12 +605,17 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     # dedup the raw co-occurrence pairs as INTS (one ~|lineitem| shuffle of
     # 8-byte keys), mirror, and run the whole iteration on LONG node ids
-    # (suppkey < 10^7; parts offset by 10^7 — disjoint by construction):
-    # every per-iteration join/aggregate then shuffles 8-byte keys instead
-    # of strings; the display ids ('s…'/'p…') are minted ONCE on the
-    # final |nodes|-row frame. Both directions of a distinct pair set are
-    # still distinct, so assume_distinct skips the operator's own dedup.
-    _OFF = 10_000_000
+    # (parts offset by 10^8: suppkey reaches exactly 10^7 at TPC-H
+    # SF1000 — an offset of 10^7 would collide there, and this fixture's
+    # partkeys START AT 0, so the p-node range is [_OFF, …) and the
+    # supplier test must stay STRICT `<`): every per-iteration
+    # join/aggregate then shuffles 8-byte keys instead of strings; the
+    # display ids ('s…'/'p…') are minted ONCE on the final |nodes|-row
+    # frame. Both directions of a distinct pair set are still distinct,
+    # so assume_distinct skips the operator's own dedup; the symmetrized
+    # graph has every node as a src, so assume_no_dangling skips the
+    # anti-join + probe.
+    _OFF = 100_000_000
     pairs = li.select("l_suppkey", "l_partkey").distinct()
     s = F.col("l_suppkey").cast("long")
     p = F.col("l_partkey").cast("long") + _OFF
@@ -623,6 +628,7 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=_PR_ITER,
         round_dp=_PR_DP,
         assume_distinct=True,
+        assume_no_dangling=True,
     )
     node_str = F.when(
         F.col("node") < _OFF, F.concat(F.lit("s"), F.col("node").cast("string"))
