@@ -565,6 +565,14 @@ def grouped_auc(
     versions) — dimension-bounded by construction; for one corpus-sized
     segment use the global :func:`auc`, whose range-partitioned rank
     never puts the whole table in one window partition.
+
+    Degenerate-segment contract: a group with zero positives or zero
+    negatives has no defined AUROC (the denominator n_pos·n_neg is 0)
+    and gets ``auc = NULL`` — the row is still emitted with its
+    n_pos/n_neg so consumers can distinguish "undefined" from
+    "missing"; rank such segments explicitly (e.g. ``F.coalesce`` to a
+    sentinel, or filter on n_pos > 0 AND n_neg > 0) rather than
+    sorting on the nullable auc directly.
     """
     label = F.col(label_col) if isinstance(label_col, str) else label_col
     base = df.select(
@@ -603,6 +611,11 @@ def ab_test(
     output) — never a per-arm collect; degrees of freedom via
     Welch–Satterthwaite, left to the caller's CDF of choice (no scipy
     dependency).
+
+    Null contract: ``n_a``/``n_b`` count NON-NULL metric values (the
+    same rows that enter mean/var), not arm membership — a row in arm A
+    with a null metric contributes to neither n_a nor the moments, so
+    t and dof are always computed over a consistent sample.
     """
     v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"

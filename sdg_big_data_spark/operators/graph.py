@@ -55,7 +55,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    broadcast_nodes_max: int = 5_000_000,
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id reachable from it
     (= its component id). Returns (node, component).
@@ -67,6 +67,17 @@ def connected_components(
     checkpointed inputs carry no size stats, so without the hint the
     planner sort-merge-joins (re-shuffles) the edge frame every round;
     above the threshold the same loop runs as shuffle joins on node id.
+
+    Driver-memory interaction: every iteration re-broadcasts a fresh
+    |nodes|-sized frame, and superseded broadcasts are only reclaimed
+    by GC — with an 8 GB driver, ~25 iterations of multi-hundred-MB
+    broadcasts can transiently exceed headroom between GC ticks. The
+    2M-row default budgets ≈ 2M × (8 B key + 8 B value + ~2x JVM object
+    overhead) ≈ 64 MB per broadcast — comfortably inside default
+    driver/executor memory even with several un-collected generations
+    in flight. Raise it only for wide-memory drivers; for STRING node
+    ids (≈ 40-80 B/row vs 8) divide your budget accordingly — or
+    pre-encode ids to longs as ``g_pagerank`` does.
     """
     spark = edges.sparkSession
     sym = edges.select(
@@ -83,23 +94,29 @@ def connected_components(
     hint = F.broadcast if small else (lambda df: df)
     for _ in range(max_iter):
         # each node proposes its label to every neighbor; keep the min of
-        # (own label, best neighbor proposal)
+        # (own label, best neighbor proposal). The node's own row is
+        # tagged so the PREVIOUS label rides through the same aggregation
+        # — the convergence probe is then a narrow filter-count over the
+        # checkpoint blocks instead of a second (new x old) join job.
         proposals = sym.join(
             hint(labels.withColumnRenamed("node", "u")), "u"
-        ).select(F.col("v").alias("node"), "component")
+        ).select(F.col("v").alias("node"), "component", F.lit(0).alias("__own"))
+        own = labels.select("node", "component", F.lit(1).alias("__own"))
         new_labels, new_ids = _tracked_checkpoint(
-            proposals.unionByName(labels)
+            proposals.unionByName(own)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("__own") == 1, F.col("component"))).alias(
+                    "__old"
+                ),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(hint(labels.alias("o")), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # min-label propagation only ever lowers labels, so "changed" is
+        # exactly "new < old"
+        changed = new_labels.where(F.col("component") < F.col("__old")).count()
         _unpersist_ids(spark, label_ids)  # superseded iteration state
-        labels, label_ids = new_labels, new_ids
+        labels, label_ids = new_labels.drop("__old"), new_ids
         if changed == 0:
             break
     _unpersist_ids(spark, sym_ids)
@@ -120,7 +137,7 @@ def pagerank(
     round_dp: int = 10,
     assume_distinct: bool = False,
     assume_no_dangling: bool = False,
-    broadcast_nodes_max: int = 5_000_000,
+    broadcast_nodes_max: int = 2_000_000,
     checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list → (node, rank).

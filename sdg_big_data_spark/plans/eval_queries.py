@@ -547,8 +547,12 @@ def ev_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     g AS (
-      SELECT CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
-             CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
+      -- n counts NON-NULL metric values (count over v, not 1), matching
+      -- the operator's F.count(when(arm=…, v)) contract: rows whose
+      -- metric is null are excluded from n just as they are from
+      -- mean/var, so t/dof never mix a larger n with a smaller sample
+      SELECT CAST(count(CASE WHEN arm = 'A' THEN v END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN arm = 'B' THEN v END) AS BIGINT) AS n_b,
              avg(CASE WHEN arm = 'A' THEN v END) AS mean_a,
              avg(CASE WHEN arm = 'B' THEN v END) AS mean_b,
              var_samp(CASE WHEN arm = 'A' THEN v END) AS var_a,

@@ -99,6 +99,14 @@ def get_spark(
         # per-query latency by the tail of a 57-query run. 1 min is the
         # standard long-running-driver setting.
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # The whole-stage-codegen class cache holds 100 compiled plans by
+        # default; a workload cycling through >100 distinct queries (the
+        # 145-entry catalog bench, a resident multi-tenant SQL service)
+        # recompiles EVERY plan on EVERY revisit once the LRU wraps —
+        # measured as 20-50% per-query inflation on the full-catalog run
+        # vs a 61-query run. Generated classes are KBs; 2000 entries is
+        # noise next to the driver heap.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -63,11 +63,16 @@ def test_release_is_correctness_safe(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(150)
     pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text")
     cachescope.release_caches(blocking=True)  # drop BEFORE materializing
-    a = sorted(r.asDict() for r in pairs.collect())
+    a = sorted((r.asDict() for r in pairs.collect()), key=repr)
     with cachescope.cache_scope(blocking=True):
         b = sorted(
-            r.asDict()
-            for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+            (
+                r.asDict()
+                for r in dedup.minhash_lsh_candidates(
+                    docs, "doc_id", "text"
+                ).collect()
+            ),
+            key=repr,
         )
     assert a == b
 

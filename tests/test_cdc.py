@@ -87,3 +87,60 @@ class TestScd2History:
         # lag + version-rank share one Exchange; valid_to's lead re-sorts
         # the (filtered) episodes but must not add a THIRD exchange
         assert plan.count("Exchange") <= 2
+
+
+def test_bucketed_merge_upsert_has_no_shuffle(spark, tmp_path):
+    """The cdc.merge_upsert docstring claims the base-side key shuffle
+    'disappears with bucketed layout' (reference analogue: the Delta
+    MERGE in tz_offset.scala runs against a clustered table). Prove it:
+    base AND changes bucketed by the merge key with the same bucket
+    count -> the change-set window, the anti-join, and the union all
+    run with ZERO Exchange in the executed plan."""
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.sources.writers import write_bucketed
+
+    base = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    changes = spark.range(0, 2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7).alias("v"),
+        F.lit(1).alias("seq"),
+    )
+    write_bucketed(base, "m_base", 4, ["k"], sort_cols=["k"], path=str(tmp_path / "b"))
+    write_bucketed(
+        changes, "m_changes", 4, ["k"], sort_cols=["k"], path=str(tmp_path / "c")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = cdc.merge_upsert(
+            spark.table("m_base").select("k", "v"),
+            spark.table("m_changes"),
+            keys=["k"],
+            seq_col="seq",
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # co-located: zero shuffles
+        # and the merge is still correct
+        assert merged.count() == 10_000
+        assert (
+            merged.where(F.col("k") < 2_000).where(F.col("v") != F.col("k") * 7).count()
+            == 0
+        )
+        # control: the same merge over plain (unbucketed) parquet scans
+        # DOES pay key exchanges — the layout, not the operator, is
+        # what removes them
+        plain = cdc.merge_upsert(
+            spark.read.parquet(str(tmp_path / "b")).select("k", "v"),
+            spark.read.parquet(str(tmp_path / "c")),
+            keys=["k"],
+            seq_col="seq",
+        )
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS m_base")
+        spark.sql("DROP TABLE IF EXISTS m_changes")

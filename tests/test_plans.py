@@ -51,6 +51,28 @@ def test_spatial_join_is_broadcast_hash(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_small_input_lift_preserves_pushdown_and_pruning(spark, sf_dir):
+    """The S10 small-input lift repartitions the documents scan; filters
+    and column pruning must still reach the parquet reader THROUGH the
+    lift's round-robin Exchange (Catalyst pushes Filter/Project below
+    Repartition), and the lift must actually widen the single-file,
+    single-row-group scan beyond one partition."""
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.sources.readers import read_table
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    docs = read_table(spark, sf_dir, "documents")
+    q = docs.where(F.col("doc_id") > 100).select("doc_id", "lang")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "GreaterThan" in pushed, plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(len(s.split(",")) <= 2 for s in schemas), plan
+    if docs.rdd.getNumPartitions() > 1:  # lift engaged at this sf
+        assert "Exchange RoundRobinPartitioning" in plan, plan
+
+
 def test_scans_are_narrow(spark, sf_dir):
     """Column pruning: the pricing summary reads only the needed lineitem
     columns, not the full 7+-column table."""
