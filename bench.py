@@ -176,7 +176,10 @@ def main() -> None:
         if s
     }
 
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # non-standard dir name (e.g. a scaled /tmp/sfx1 fixture)
     out = {
         "metric": "headline_query_wall_seconds_total",
         "value": round(sum(timings.values()), 3),

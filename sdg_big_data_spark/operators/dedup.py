@@ -257,7 +257,17 @@ def simhash_near_dup_pairs(
     then verify ``bit_count(xor) <= max_hamming`` on the candidates.
 
     Same shape as MinHash-LSH: candidate generation is a hash join, the
-    quadratic step never materializes."""
+    quadratic step never materializes.
+
+    **bits/band_bits are the scale knobs**: candidate volume is
+    Σ n_bucket² over ``bits/band_bits`` bandings with ``2^band_bits``
+    chunk values each, so the 16-bit default (64 distinct band keys)
+    is quadratic in corpus size once buckets saturate (measured 18x
+    wall on 10x docs; fine at fixture scale where the oracle replays
+    all 16 bit-majorities). At scale raise both — e.g. bits=32,
+    band_bits=8 keeps the pigeonhole guarantee for the same
+    ``max_hamming`` (bands = bits/band_bits must stay > max_hamming)
+    while multiplying distinct band keys by 64."""
     # cached: the fingerprint DAG (tokenize → dictionary → votes) feeds
     # both sides of the band self-join
     fp = scoped_cache(simhash(df, id_col, text_col, bits))

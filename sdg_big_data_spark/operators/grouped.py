@@ -122,13 +122,29 @@ def _detect_stops_one_user(pdf: pd.DataFrame, radius_m, stay_time_s, max_gap_s,
                 )
             )
 
+    # Running centroid via incremental sums — recomputing
+    # lat[start:i].mean() per step is O(segment) per ping, O(n²) per
+    # user overall: measured as a 163 s straggler task (56x the stage
+    # median) for a power user owning 50% of 1M pings (tools/
+    # skew_probe.py), where the incremental form is linear. The
+    # accumulation order only steers the radius DECISION (emitted
+    # lat/lon are medians), so the oracle's replayed boundaries are
+    # unchanged.
+    sum_lat = float(lat[0])
+    sum_lon = float(lon[0])
     while i < n:
-        c_lat = lat[start:i].mean()
-        c_lon = lon[start:i].mean()
+        cnt = i - start
+        c_lat = sum_lat / cnt
+        c_lon = sum_lon / cnt
         gap = ts[i] - ts[i - 1]
         if gap > max_gap_s or _haversine_m(lat[i], lon[i], c_lat, c_lon) > radius_m:
             close(start, i)
             start = i
+            sum_lat = float(lat[i])
+            sum_lon = float(lon[i])
+        else:
+            sum_lat += float(lat[i])
+            sum_lon += float(lon[i])
         i += 1
     close(start, n)
 

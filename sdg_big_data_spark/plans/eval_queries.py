@@ -35,8 +35,8 @@ _SQL_LABELS = """
       SELECT user_id, cluster_label,
              user_id % 4 AS act_buck,
              (user_id * 31 + cluster_label * 7) % 10 AS h,
-             (user_id * 2654435761 + cluster_label * 40503) % 100 AS g1,
-             (user_id * 1299709 + cluster_label * 7919) % 100 AS g2
+             ((user_id % 1000003) * 2654435761 + cluster_label * 40503) % 100 AS g1,
+             ((user_id % 1000003) * 1299709 + cluster_label * 7919) % 100 AS g2
       FROM loc
     ),
     labels AS (
@@ -62,8 +62,8 @@ def _hw_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", (F.col("event_id") % 5).alias("cluster_label")
     ).distinct()
     h = (F.col("user_id") * 31 + F.col("cluster_label") * 7) % 10
-    g1 = (F.col("user_id") * F.lit(2654435761) + F.col("cluster_label") * 40503) % 100
-    g2 = (F.col("user_id") * 1299709 + F.col("cluster_label") * 7919) % 100
+    g1 = (F.pmod(F.col("user_id"), F.lit(1000003)) * F.lit(2654435761) + F.col("cluster_label") * 40503) % 100
+    g2 = (F.pmod(F.col("user_id"), F.lit(1000003)) * F.lit(1299709) + F.col("cluster_label") * 7919) % 100
     truth = F.when(h < 4, "H").when(h < 7, "W").otherwise("O")
     rot1 = F.when(h < 4, "W").when(h < 7, "O").otherwise("H")
     rot2 = F.when(h < 4, "O").when(h < 7, "H").otherwise("W")
@@ -283,10 +283,10 @@ def ev_bootstrap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_calibration",
     sql="""
     WITH s AS (
-      SELECT CAST((event_id * 2654435761) % 1000 AS DOUBLE)
+      SELECT CAST(((event_id % 1000003) * 2654435761) % 1000 AS DOUBLE)
                / CAST(1000 AS DOUBLE) AS p,
-             CASE WHEN (event_id * 1299709 + 7) % 1000
-                       < (event_id * 2654435761) % 1000
+             CASE WHEN ((event_id % 1000003) * 1299709 + 7) % 1000
+                       < ((event_id % 1000003) * 2654435761) % 1000
                   THEN 1 ELSE 0 END AS y
       FROM events
     ),
@@ -317,8 +317,8 @@ def ev_bootstrap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    h1 = (F.col("event_id") * F.lit(2654435761)) % 1000
-    h2 = (F.col("event_id") * F.lit(1299709) + 7) % 1000
+    h1 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(2654435761)) % 1000
+    h2 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(1299709) + 7) % 1000
     scores = ev.select(
         (h1.cast("double") / F.lit(1000.0)).alias("p"),
         (h2 < h1).cast("int").alias("y"),
@@ -340,10 +340,10 @@ def ev_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_roc_points",
     sql="""
     WITH s AS (
-      SELECT CAST((event_id * 2654435761) % 1000 AS DOUBLE)
+      SELECT CAST(((event_id % 1000003) * 2654435761) % 1000 AS DOUBLE)
                / CAST(1000 AS DOUBLE) AS p,
-             CASE WHEN (event_id * 1299709 + 7) % 1000
-                       < (event_id * 2654435761) % 1000
+             CASE WHEN ((event_id % 1000003) * 1299709 + 7) % 1000
+                       < ((event_id % 1000003) * 2654435761) % 1000
                   THEN 1 ELSE 0 END AS y
       FROM events
     ),
@@ -379,8 +379,8 @@ def ev_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    h1 = (F.col("event_id") * F.lit(2654435761)) % 1000
-    h2 = (F.col("event_id") * F.lit(1299709) + 7) % 1000
+    h1 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(2654435761)) % 1000
+    h2 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(1299709) + 7) % 1000
     scores = ev.select(
         (h1.cast("double") / F.lit(1000.0)).alias("p"),
         (h2 < h1).cast("int").alias("y"),
@@ -437,10 +437,10 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH s AS (
       SELECT event_id,
-             CAST((event_id * 2654435761) % 1000 AS DOUBLE)
+             CAST(((event_id % 1000003) * 2654435761) % 1000 AS DOUBLE)
                / CAST(1000 AS DOUBLE) AS p,
-             CASE WHEN (event_id * 1299709 + 7) % 1000
-                       < (event_id * 2654435761) % 1000
+             CASE WHEN ((event_id % 1000003) * 1299709 + 7) % 1000
+                       < ((event_id % 1000003) * 2654435761) % 1000
                   THEN 1 ELSE 0 END AS y
       FROM events
     ),
@@ -470,8 +470,8 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    h1 = (F.col("event_id") * F.lit(2654435761)) % 1000
-    h2 = (F.col("event_id") * F.lit(1299709) + 7) % 1000
+    h1 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(2654435761)) % 1000
+    h2 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(1299709) + 7) % 1000
     scores = ev.select(
         "event_id",
         (h1.cast("double") / F.lit(1000.0)).alias("p"),
@@ -492,10 +492,10 @@ def ev_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH s AS (
       SELECT event_type AS grp,
-             CAST((event_id * 2654435761) % 1000 AS DOUBLE)
+             CAST(((event_id % 1000003) * 2654435761) % 1000 AS DOUBLE)
                / CAST(1000 AS DOUBLE) AS p,
-             CASE WHEN (event_id * 1299709 + 7) % 1000
-                       < (event_id * 2654435761) % 1000
+             CASE WHEN ((event_id % 1000003) * 1299709 + 7) % 1000
+                       < ((event_id % 1000003) * 2654435761) % 1000
                   THEN 1 ELSE 0 END AS y
       FROM events
     ),
@@ -527,8 +527,8 @@ def ev_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    h1 = (F.col("event_id") * F.lit(2654435761)) % 1000
-    h2 = (F.col("event_id") * F.lit(1299709) + 7) % 1000
+    h1 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(2654435761)) % 1000
+    h2 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(1299709) + 7) % 1000
     scores = ev.select(
         F.col("event_type").alias("grp"),
         (h1.cast("double") / F.lit(1000.0)).alias("p"),
