@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Synthesize an N-x scale factor of the driver fixture tables.
 
-The driver ships sf0.001/0.01/0.1 only; the 100x-scale claims need a
-measured point beyond sf0.1 (r3 judge task 1). This tool builds a
-``factor``-times-larger copy of a fixture dir by unioning key-shifted
-copies — referential integrity is preserved (copy i shifts every key
-family by ``i * stride``, and fact tables shift their foreign keys by
-the same stride), fixed dimensions (region, nation) stay fixed, exactly
-as TPC-H scaling does.
+The driver ships sf0.001/0.01/0.1 only; the 100x-scale claims need
+measured points beyond sf0.1 (r3 judge task 1). This tool builds a
+``factor``-times-larger copy of a fixture dir by exploding each row
+into ``factor`` key-shifted copies — referential integrity is preserved
+(copy i shifts every key family by ``i * stride``, and fact tables
+shift their foreign keys by the same stride, so every copy is a
+self-contained sub-universe), fixed dimensions (region, nation) stay
+fixed, exactly as TPC-H scaling does. One explode + one write per
+table — factor=100 costs the same number of jobs as factor=2.
 
 Content columns are varied per copy so content-addressed operators see
 a genuinely larger problem, not ``factor`` exact duplicates:
@@ -16,10 +18,11 @@ a genuinely larger problem, not ``factor`` exact duplicates:
   all shingles/minhashes/simhashes differ across copies, so dedup
   workloads scale linearly instead of quadratically exploding on
   artificial full-corpus duplicate groups;
-- ``embeddings.embedding``: rotated by ``i`` positions — norm-preserving,
-  direction-changing, so ANN work scales with real, distinct vectors.
+- ``embeddings.embedding``: rotated by ``i mod dim`` positions —
+  norm-preserving, direction-changing, so ANN work scales with real,
+  distinct vectors.
 
-Output is written with several files per table so Spark's split
+Output is written with multiple files per table so Spark's split
 planning parallelizes the scans the way a real multi-file dataset
 would.
 
@@ -61,36 +64,46 @@ KEY_SHIFTS: dict[str, list[str]] = {
 FIXED_DIMS = ("region", "nation")
 
 
-def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
-    out = df
+def scaled(df: DataFrame, table: str, factor: int) -> DataFrame:
+    """Explode every row into ``factor`` key-shifted, content-varied
+    copies (copy index column ``__i`` drives all variation, then drops).
+    """
+    out = df.withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    )
     for k in KEY_SHIFTS.get(table, []):
         if k in out.columns:
-            out = out.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast("long"))
-    if table == "documents" and i > 0 and "text" in out.columns:
-        tag = F.lit(f"c{i}x")
+            out = out.withColumn(
+                k, (F.col(k) + F.col("__i").cast("long") * F.lit(STRIDE))
+            )
+    if table == "documents" and "text" in out.columns:
+        tag = F.concat(F.lit("c"), F.col("__i").cast("string"), F.lit("x"))
         out = out.withColumn(
             "text",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.split(F.col("text"), r"\s+"), lambda t: F.concat(tag, t)
-                ),
+            F.when(F.col("__i") == 0, F.col("text")).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda t: F.concat(tag, t),
+                    ),
+                )
             ),
         )
-    if table == "embeddings" and i > 0 and "embedding" in out.columns:
-        # rotate by i positions: norm-preserving, direction-changing
+    if table == "embeddings" and "embedding" in out.columns:
+        # rotate by i mod dim positions: norm-preserving, direction-changing
         n = F.size("embedding")
-        r = F.lit(i) % n
+        r = F.col("__i") % n
         out = out.withColumn(
             "embedding",
             F.when(r == 0, F.col("embedding")).otherwise(
                 F.concat(
                     F.slice(F.col("embedding"), r + 1, n - r),
-                    F.slice(F.col("embedding"), 1, r),
+                    F.slice(F.col("embedding"), F.lit(1), r),
                 )
             ),
         )
-    return out
+    return out.drop("__i")
 
 
 def main() -> None:
@@ -98,12 +111,15 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--factor", type=int, default=10)
-    ap.add_argument("--files-per-copy", type=int, default=4)
+    ap.add_argument(
+        "--files", type=int, default=0, help="output files per table (0 = 4*sqrt(factor))"
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale-up")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.out, exist_ok=True)
+    n_files = args.files or max(4, int(4 * args.factor**0.5))
 
     tables = [
         p[: -len(".parquet")]
@@ -117,11 +133,10 @@ def main() -> None:
             src_df.write.mode("overwrite").parquet(dst)
             print(f"{t}: fixed dim, copied once")
             continue
-        for i in range(args.factor):
-            _copy(src_df, t, i).repartition(args.files_per_copy).write.mode(
-                "overwrite" if i == 0 else "append"
-            ).parquet(dst)
-        print(f"{t}: x{args.factor} written")
+        scaled(src_df, t, args.factor).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(dst)
+        print(f"{t}: x{args.factor} written ({n_files} files)")
     spark.stop()
 
 
