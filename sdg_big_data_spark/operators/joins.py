@@ -280,13 +280,29 @@ def fuzzy_join(
     |L| x |R|; a hot block is an AQE skew-join split (or pre-salt with
     :func:`salted_join` semantics). Output carries both input schemas
     plus ``dist_col``.
+
+    Two refine-cost details that matter when blocks are large:
+
+    - the distance is computed ONCE (projected, then filtered on the
+      projected column) — a ``where(dist <= k)`` + ``withColumn(dist)``
+      spelling evaluates Levenshtein twice per candidate pair;
+    - the bounded form ``levenshtein(l, r, k)`` is used, which the JVM
+      evaluates with the banded early-exit algorithm — O(k·n) per pair
+      instead of O(n·m), returning -1 past the bound.
+
+    The blocking knob at scale: candidate pairs per block are
+    |L_b|·|R_b|, so a FIXED-cardinality block key (e.g. 3 trailing
+    chars = ≤1000 blocks) makes refine cost grow quadratically with
+    corpus size. Grow block-key cardinality with the data (more chars,
+    soundex+length, …) exactly as the LSH band knobs do
+    (``dedup.simhash_pairs`` docstring) — recall permitting.
     """
     lk = left.withColumn("__blk", block_key(F.col(left_col)))
     rk = right.withColumn("__blk", block_key(F.col(right_col)))
-    d = F.levenshtein(F.col(left_col), F.col(right_col))
+    d = F.levenshtein(F.col(left_col), F.col(right_col), max_dist)
     return (
         lk.join(rk, "__blk", how)
-        .where(d <= max_dist)
         .withColumn(dist_col, d)
+        .where(F.col(dist_col) >= 0)
         .drop("__blk")
     )
