@@ -29,25 +29,39 @@ def auc(df: DataFrame, label_col: str | Column, score_col: str) -> DataFrame:
     AUC = (Σ rank(positives) − n_pos(n_pos+1)/2) / (n_pos · n_neg),
     with tied scores assigned their average rank (the exact value
     sklearn's roc_auc_score returns). Returns a 1-row frame
-    (n_pos, n_neg, auc)."""
+    (n_pos, n_neg, auc).
+
+    Rank-free form: per-row ranks are never materialized. Group by
+    distinct score (one map-side-combined shuffle: the corpus collapses
+    to its distinct scores), take an exact running count over the score
+    order via :func:`windows.grouped_prefix_sum`, and fold — the average
+    rank of a tie group is ``cum_before + (cnt + 1) / 2`` by definition.
+    All terms are integers-and-halves well inside double's 2^53 exact
+    range, so the statistic is bit-deterministic and engine-portable
+    (the r4 100x parity probe caught the previous global_rank-based form
+    returning a different wrong AUC per action at 10M rows — the
+    two-branch materialization hazard fixed in windows.global_rank; this
+    form removes the per-row rank frame from the plan entirely)."""
     label = F.col(label_col) if isinstance(label_col, str) else label_col
-    ranked = windows.global_rank(
-        df.select(label.cast("int").alias("__y"), F.col(score_col).alias("__s")),
-        ["__s"],
-        ascending=True,
-        rank_col="__r",
+    base = df.select(label.cast("int").alias("__y"), F.col(score_col).alias("__s"))
+    g = base.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt"),
+        F.sum("__y").cast("double").alias("__pos"),
     )
-    # average rank within tied scores
-    avg_r = ranked.withColumn("__ar", F.avg("__r").over(Window.partitionBy("__s")))
-    return avg_r.agg(
-        F.sum("__y").alias("n_pos"),
-        F.sum(1 - F.col("__y")).alias("n_neg"),
+    cum = windows.grouped_prefix_sum(
+        g.withColumn("__grp", F.lit(1)),
+        ["__grp"],
+        [F.col("__s").asc()],
+        "__cnt",
+        cum_col="__cum",
+    )
+    ar = F.col("__cum") - F.col("__cnt") + (F.col("__cnt") + 1) / 2.0
+    np_, nn = F.sum("__pos"), F.sum(F.col("__cnt") - F.col("__pos"))
+    return cum.agg(
+        np_.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
         (
-            (
-                F.sum(F.col("__ar") * F.col("__y"))
-                - F.sum("__y") * (F.sum("__y") + 1) / 2.0
-            )
-            / (F.sum("__y") * F.sum(1 - F.col("__y")))
+            (F.sum(F.col("__pos") * ar) - np_ * (np_ + 1) / 2.0) / (np_ * nn)
         ).alias("auc"),
     )
 

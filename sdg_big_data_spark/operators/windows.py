@@ -115,6 +115,7 @@ def global_rank(
     ascending: bool = False,
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    pin_layout: bool = True,
 ) -> DataFrame:
     """W4 scalable variant — EXACT global row_number over the FULL table
     with one range shuffle and no single-partition big stage.
@@ -154,6 +155,24 @@ def global_rank(
         else df.repartitionByRange(*ordering)
     )
     ranked = partition_local_rank(rp, ordering, rank_col="__lr", pid_col="__pid")
+    # SINGLE materialization, load-bearing: `ranked` feeds BOTH the
+    # counts branch (via the offsets broadcast job) and the output join.
+    # Without pinning, the two consumers can materialize the range
+    # exchange independently — and the sampled range boundaries / AQE
+    # coalescing of the two runs need not agree, so offsets counted
+    # against layout A get joined onto local ranks from layout B.
+    # Invisible at test scale (everything coalesces into one partition
+    # either way); at the 100x fixture it made the rank frame an
+    # inconsistent non-permutation NONDETERMINISTICALLY (caught by the
+    # sum(rank) != n(n+1)/2 invariant in tools/oracle_at_scale runs).
+    # The lazy localCheckpoint materializes on the first consumer and
+    # pins every later one to that same layout — one extra
+    # MEMORY_AND_DISK copy of the table, the honest price of exact
+    # global ranks (the rank-free prefix-sum forms stay the cheap path).
+    # ``pin_layout=False`` exists ONLY so plan-gate tests can inspect
+    # the pre-checkpoint plan (the pinned form shows a Scan ExistingRDD).
+    if pin_layout:
+        ranked = ranked.localCheckpoint(eager=False)
     counts = ranked.groupBy("__pid").agg(F.max("__lr").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -411,6 +430,7 @@ def grouped_prefix_sum(
     value_col: str | Sequence[str],
     cum_col: str | Sequence[str] = "cum_sum",
     broadcast_offsets: bool = True,
+    pin_layout: bool = True,
 ) -> DataFrame:
     """EXACT running sum of ``value_col`` per group under a total order —
     without ever putting a whole group in one partition.
@@ -487,6 +507,13 @@ def grouped_prefix_sum(
             yield pdf
 
     local = rp.mapInPandas(local_cumsum, schema=schema)
+    # Same single-materialization pin as global_rank: `local` feeds both
+    # the offsets branch and the output join; two independent
+    # materializations of the range exchange can disagree on boundaries/
+    # coalescing, attaching group offsets to the wrong partitions.
+    # ``pin_layout=False`` is for plan-gate tests only.
+    if pin_layout:
+        local = local.localCheckpoint(eager=False)
 
     totals = local.groupBy("__pid", *gcols).agg(
         *[F.max(c).alias(f"__tot_{i}") for i, c in enumerate(ccols)]

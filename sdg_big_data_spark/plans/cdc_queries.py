@@ -23,15 +23,23 @@ from .catalog import register, table
 #            batch 1), and every 21st key is a DELETE.
 # Exercises: multi-version latest-wins, update, delete, and untouched
 # base rows, all in one result.
+#
+# Re-pricing is INTEGER-CENTS arithmetic — round(price * 110) / 100, not
+# round(price * 1.1, 2).  Prices are exact 2-decimal values, so
+# price * 110 is a true integer and rounding it can never sit near a
+# .5 boundary; round(price * 1.1, 2) rounds a binary double that CAN
+# land epsilon-below .xx5, where Spark (HALF_UP on the shortest decimal
+# repr) and DuckDB (binary value) disagree — measured: 700 of 14.6M
+# rows flipped by exactly 0.01 at the 100x fixture before this change.
 
 _MERGE_SQL = """
     WITH chg AS (
-      SELECT o_orderkey, round(o_totalprice * CAST(1.1 AS DOUBLE), 2)
+      SELECT o_orderkey, round(o_totalprice * 110) / 100
                AS o_totalprice,
              'U' AS op, 1 AS seq
       FROM orders WHERE o_orderkey % 7 = 0
       UNION ALL
-      SELECT o_orderkey, round(o_totalprice * CAST(1.2 AS DOUBLE), 2),
+      SELECT o_orderkey, round(o_totalprice * 120) / 100,
              CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END, 2
       FROM orders WHERE o_orderkey % 14 = 0
     ),
@@ -67,13 +75,13 @@ def s_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     b1 = orders.where(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        (F.round(F.col("o_totalprice") * 110, 0) / 100).alias("o_totalprice"),
         F.lit("U").alias("op"),
         F.lit(1).alias("seq"),
     )
     b2 = orders.where(F.col("o_orderkey") % 14 == 0).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 1.2, 2).alias("o_totalprice"),
+        (F.round(F.col("o_totalprice") * 120, 0) / 100).alias("o_totalprice"),
         F.when(F.col("o_orderkey") % 21 == 0, "D").otherwise("U").alias("op"),
         F.lit(2).alias("seq"),
     )

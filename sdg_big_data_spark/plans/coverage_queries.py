@@ -269,7 +269,7 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     SELECT doc_id, n_chars
     FROM documents
-    ORDER BY (doc_id * {sampling._MIX}) % {sampling._MOD}, doc_id
+    ORDER BY (CAST(doc_id AS HUGEINT) * {sampling._MIX}) % {sampling._MOD}, doc_id
     LIMIT 100
     """,
     tags=("R3",),

@@ -48,7 +48,7 @@ def j7_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT event_id, value FROM events
       ORDER BY value DESC, event_id DESC LIMIT 1000
-    ) WHERE (event_id * 2654435761) % 4294967296 < 214748364
+    ) WHERE (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296 < 214748364
     """,
     tags=("O3", "R1"),
     doc="top-k then secondary sample (sample_top_tweets.py:106-109), with "
@@ -691,7 +691,7 @@ def a_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, event_id, user_id,
              row_number() OVER (
                PARTITION BY event_type
-               ORDER BY (event_id % 4294967296) * 2654435761 % 4294967296 ASC,
+               ORDER BY CAST(event_id AS HUGEINT) * 2654435761 % 4294967296 ASC,
                         event_id ASC) AS rn
       FROM events
     ) WHERE rn <= 50
@@ -753,7 +753,7 @@ def a_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              row_number() OVER (
                PARTITION BY event_type
-               ORDER BY (event_id % 4294967296) * 2654435761 % 4294967296 ASC,
+               ORDER BY CAST(event_id AS HUGEINT) * 2654435761 % 4294967296 ASC,
                         event_id ASC) AS rk,
              count(*) OVER (PARTITION BY event_type) AS nb
       FROM events
@@ -966,7 +966,7 @@ def a_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE ((doc_id % 4294967296) * 2654435761 % 4294967296) / 4294967296.0
+    WHERE (CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296) / 4294967296.0
           < n_chars / 4000.0
     """,
     tags=("sampling-weighted", "data-mixing"),
@@ -991,7 +991,7 @@ def r6_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT doc_id, lang, n_chars,
              row_number() OVER (
-               ORDER BY -ln((((doc_id % 4294967296) * 2654435761
+               ORDER BY -ln(((CAST(doc_id AS HUGEINT) * 2654435761
                               % 4294967296) + 1) / 4294967296.0)
                         / n_chars ASC,
                         doc_id ASC) AS rn

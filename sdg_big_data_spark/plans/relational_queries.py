@@ -582,7 +582,7 @@ def o4_uncertainty_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT doc_id, lang
     FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 < 858993459
+    WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 858993459
     """,
     tags=("R1",),
     doc="deterministic Bernoulli sample (20%) — stable across partitionings/engines",
@@ -598,7 +598,7 @@ def r1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN n ON d.lang = n.lang
-    WHERE (d.doc_id * 2654435761) % 4294967296
+    WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296
           < CAST(floor(least(1.0, 40.0 / n.cnt) * 4294967296) AS BIGINT)
     """,
     tags=("R2",),

@@ -51,7 +51,12 @@ def test_grouped_prefix_sum_plans_range_partition_not_group_window(spark):
         [(i, "g%d" % (i % 2), 1) for i in range(100)],
         schema="id long, g string, v int",
     )
-    out = grouped_prefix_sum(df, ["g"], [F.col("id").asc()], "v", cum_col="c")
+    # pin_layout=False: the default single-materialization pin hides the
+    # upstream plan behind a Scan ExistingRDD; the gate inspects the
+    # unpinned form (same plan up to the checkpoint boundary)
+    out = grouped_prefix_sum(
+        df, ["g"], [F.col("id").asc()], "v", cum_col="c", pin_layout=False
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     # the only Window allowed is the tiny per-(pid, group) offsets frame
