@@ -25,7 +25,6 @@ so the DuckDB oracle can replay it bit-for-bit.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -229,17 +228,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         for b in range(bits)
     ]
     g = enc.groupBy(id_col).agg(*ones, F.count(F.lit(1)).alias("__n"))
-    fp = reduce(
-        lambda acc, b: acc
-        + F.when(
-            F.col(f"__o{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
-        range(1, bits),
-        F.when(
-            F.col("__o0") * 2 > F.col("__n"), F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return g.select(F.col(id_col), fp.alias("simhash"))
+    # Fingerprint fold as ARITHMETIC, not a when-chain: shiftleft(cast
+    # (majority as long), b), summed as a balanced tree. Same values —
+    # bit b is 1 iff 2*ones_b > n either way — but the expression tree
+    # is ~3x smaller and not left-deep, which is measurably cheaper to
+    # OPTIMIZE: the 16-deep Add(When(...)) chain cost 0.25 s of pure
+    # Catalyst time per fresh plan at bits=16 (profiled r4; execution
+    # cost is identical since both forms codegen to branch-free longs).
+    bit_terms = [
+        F.shiftleft((F.col(f"__o{b}") * 2 > F.col("__n")).cast("long"), b)
+        for b in range(bits)
+    ]
+    while len(bit_terms) > 1:
+        bit_terms = [
+            bit_terms[i] + bit_terms[i + 1] if i + 1 < len(bit_terms) else bit_terms[i]
+            for i in range(0, len(bit_terms), 2)
+        ]
+    return g.select(F.col(id_col), bit_terms[0].alias("simhash"))
 
 
 def simhash_near_dup_pairs(

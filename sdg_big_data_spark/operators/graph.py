@@ -137,16 +137,24 @@ def pagerank(
     round_dp: int = 10,
     assume_distinct: bool = False,
     assume_no_dangling: bool = False,
+    assume_no_sinks: bool = False,
     broadcast_nodes_max: int = 2_000_000,
     checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list → (node, rank).
 
     The iterative-DataFrame formulation (the same loop shape as
-    :func:`connected_components`). Edge weights ``1/out_degree`` are
-    joined ONCE before the loop, so each iteration is just
+    :func:`connected_components`). Out-degrees live on the RANK side,
+    not the edge side: the edge list is checkpointed RAW (two longs per
+    row — never a weighted 1.5x copy of the biggest frame in the job),
+    and each iteration joins the |nodes|-sized degree frame into the
+    |nodes|-sized rank frame BEFORE the edge join, so the per-edge
+    contribution is ``rank / out_degree`` (the exact arithmetic the
+    oracle replays). Each iteration is then
 
-    - one (edge → rank) equi-join producing ``rank * w`` contributions,
+    - one node-sized (rank x degree) join — inside the broadcast build
+      when |nodes| is small, a node-sized shuffle otherwise,
+    - one (edge -> rank) equi-join producing ``rank / od`` contributions,
     - one groupBy(dst) sum (map-side combined),
     - a 1-row broadcast of the dangling-node mass (nodes without
       out-edges donate their rank uniformly — the standard
@@ -172,12 +180,22 @@ def pagerank(
     planner sort-merge-joins the edge frame every round.) Above the
     threshold the same loop runs as shuffle joins on node id —
     per-iteration cost linear in |edges|, skewed in-degree (a hub page)
-    split by AQE. ``assume_distinct=True`` skips the edge-dedup shuffle
-    when the caller already guarantees unique (src, dst) pairs.
+    split by AQE. ``broadcast_nodes_max`` is a ROW threshold — estimate
+    ~40 bytes/row for long ids (more for wide string ids) against free
+    driver memory before raising it: each iteration re-broadcasts a
+    fresh |nodes|-sized frame and reclamation between iterations rides
+    the periodic GC tick. ``assume_distinct=True`` skips the edge-dedup
+    shuffle when the caller already guarantees unique (src, dst) pairs.
     ``assume_no_dangling=True`` skips the dangling-set anti-join AND its
     materialization + probe when the caller guarantees every node has an
     out-edge (true by construction for symmetrized graphs: every node
-    appears as a src).
+    appears as a src) — it also collapses the node universe to the
+    degree frame itself (dst values are a subset of src values), so the
+    separate union+distinct nodes job disappears. ``assume_no_sinks=True``
+    (every node has an IN-edge — also true for symmetrized graphs)
+    additionally drops the per-iteration nodes left-join: the
+    contribution aggregate already emits every node, so the step
+    formula applies directly to it.
 
     ``checkpoint_every`` sets the lineage-truncation cadence
     (iterative-plan blow-up guard). Default (None) = auto: for
@@ -193,72 +211,105 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    # ONE materialization of the edge set, already weighted: the dedup
-    # exchange feeding both the out-degree aggregate and the join side is
-    # computed once (ReusedExchange) inside a single checkpoint job, and
-    # nodes/out-degrees below re-derive from the in-memory ew blocks —
-    # checkpointing the raw edge frame separately paid a second full
-    # materialization for nothing
-    ew, ew_ids = _tracked_checkpoint(
-        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("__od")), "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("__od")).alias("__w"))
+    # ONE materialization of the RAW edge set (two longs per row — the
+    # former weighted-edge checkpoint carried a double per edge and paid
+    # an edge-sized join before the loop; degrees now join into the
+    # node-sized rank frame each iteration instead, which is strictly
+    # cheaper at scale: |nodes| << |edges| work per iteration vs a 1.5x
+    # copy of the biggest frame in the job)
+    ec, ec_ids = _tracked_checkpoint(e)
+    # |nodes|-sized static degree frame, derived from the checkpoint
+    # blocks (map-side-combined aggregate — one narrow shuffle)
+    deg, deg_ids = _tracked_checkpoint(
+        ec.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
     )
-    nodes, node_ids = _tracked_checkpoint(
-        ew.select(F.col("src").alias("node"))
-        .unionByName(ew.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_nodes = nodes.count()
-    small = n_nodes <= broadcast_nodes_max
-    hint = F.broadcast if small else (lambda df: df)
-    # the dangling-node SET is static; only its mass changes per round
     if assume_no_dangling:
+        # every node has an out-edge => dst ⊆ src => the degree frame IS
+        # the node universe; no union+distinct job at all
+        nodes = deg.select(F.col("src").alias("node"))
+        node_ids: set[int] = set()
+        n_nodes = deg.count()
         dang, dang_ids = None, set()
         has_dangling = False
     else:
+        nodes, node_ids = _tracked_checkpoint(
+            ec.select(F.col("src").alias("node"))
+            .unionByName(ec.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        n_nodes = nodes.count()
+        # the dangling-node SET is static; only its mass changes per round
         dang, dang_ids = _tracked_checkpoint(
             nodes.join(
-                ew.select("src").distinct(),
+                deg.select("src"),
                 nodes["node"] == F.col("src"),
                 "left_anti",
             )
         )
         has_dangling = dang.limit(1).count() > 0
+    small = n_nodes <= broadcast_nodes_max
+    hint = F.broadcast if small else (lambda df: df)
     if checkpoint_every is None:
         checkpoint_every = n_iter + 1 if n_iter <= 4 else 2
     ranks = nodes.select(
         "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
     )
     rank_ids: set[int] = set()
+    base = (1.0 - damping) / float(n_nodes)
     for _i in range(n_iter):
         if has_dangling:
             dangling = ranks.join(hint(dang), "node").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m")
             )
         else:
-            dangling = spark.range(1).select(F.lit(0.0).alias("__m"))
+            dangling = None
+        # degrees fold into the NODE-sized rank frame (map-side when
+        # small — the join runs inside the broadcast build), so the
+        # per-edge term is rank / out_degree: the oracle's arithmetic
+        # verbatim, with no weighted edge copy anywhere
+        rw = (
+            ranks.withColumnRenamed("node", "src")
+            .join(hint(deg), "src")
+            .select("src", (F.col("rank") / F.col("__od")).alias("__rw"))
+        )
         contribs = (
-            ew.join(hint(ranks.withColumnRenamed("node", "src")), "src")
+            ec.join(hint(rw), "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("__w")).alias("__c"))
+            .agg(F.sum(F.col("__rw")).alias("__c"))
             .withColumnRenamed("dst", "node")
         )
-        stepped = (
-            nodes.join(hint(contribs), "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+        if assume_no_sinks and not has_dangling:
+            # every node receives contributions => contribs IS the node
+            # universe; apply the step formula directly (no left join, no
+            # coalesce, no dangling term)
+            stepped = contribs.select(
                 "node",
-                F.round(
-                    (1.0 - damping) / F.lit(float(n_nodes))
-                    + damping
-                    * (
-                        F.coalesce(F.col("__c"), F.lit(0.0))
-                        + F.col("__m") / F.lit(float(n_nodes))
-                    ),
-                    round_dp,
-                ).alias("rank"),
+                F.round(F.lit(base) + damping * F.col("__c"), round_dp).alias(
+                    "rank"
+                ),
             )
-        )
+        else:
+            dmass = (
+                dangling
+                if dangling is not None
+                else spark.range(1).select(F.lit(0.0).alias("__m"))
+            )
+            stepped = (
+                nodes.join(hint(contribs), "node", "left")
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(base)
+                        + damping
+                        * (
+                            F.coalesce(F.col("__c"), F.lit(0.0))
+                            + F.col("__m") / F.lit(float(n_nodes))
+                        ),
+                        round_dp,
+                    ).alias("rank"),
+                )
+            )
         if (_i + 1) % checkpoint_every == 0 and _i + 1 < n_iter:
             new_ranks, new_ids = _tracked_checkpoint(stepped)
             _unpersist_ids(spark, rank_ids)  # superseded iteration state
@@ -271,11 +322,12 @@ def pagerank(
     from ..cachescope import register_checkpoint_ids
 
     # the final frame is lazy (the last iteration never checkpoints) —
-    # its plan still reads the ew/nodes (and possibly a mid-loop rank)
-    # checkpoint blocks; keep them alive for the consuming action,
+    # its plan still reads the edge/degree/nodes (and possibly a mid-loop
+    # rank) checkpoint blocks; keep them alive for the consuming action,
     # swept later by release_caches()
     register_checkpoint_ids(spark, node_ids)
-    register_checkpoint_ids(spark, ew_ids)
+    register_checkpoint_ids(spark, ec_ids)
+    register_checkpoint_ids(spark, deg_ids)
     register_checkpoint_ids(spark, dang_ids)
     register_checkpoint_ids(spark, rank_ids)
     return ranks

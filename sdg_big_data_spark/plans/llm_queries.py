@@ -629,6 +629,7 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_dp=_PR_DP,
         assume_distinct=True,
         assume_no_dangling=True,
+        assume_no_sinks=True,
     )
     node_str = F.when(
         F.col("node") < _OFF, F.concat(F.lit("s"), F.col("node").cast("string"))
