@@ -362,12 +362,14 @@ def f1_day_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("W7", "time-series"),
     doc="per-group exponential moving average (grouped.ewma): the "
-    "recursive smoother y_t = a*x_t + (1-a)*y_{t-1} (y_1 = x_1), "
-    "applyInPandas per entity (bounded-series contract, same as F2) with "
-    "the float loop doing a*x + b*y in exactly the oracle's IEEE order — "
-    "the recursive CTE replays it bit-identically, no tolerance. "
-    "Unbounded-group alternative (affine segment carry) documented in "
-    "the operator",
+    "recursive smoother y_t = a*x_t + (1-a)*y_{t-1} (y_1 = x_1), one "
+    "mapInPandas pass over (group, order)-sorted partitions with the "
+    "running y carried across group and Arrow-batch boundaries — one "
+    "shuffle + one Arrow round-trip total, not one grouped-map call per "
+    "entity — and the float loop doing a*x + b*y in exactly the "
+    "oracle's IEEE order, so the recursive CTE replays it "
+    "bit-identically, no tolerance. Unbounded-group alternative (affine "
+    "segment carry) documented in the operator",
 )
 def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.grouped import ewma

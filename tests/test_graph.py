@@ -169,3 +169,29 @@ class TestPageRank:
             for r in pagerank(d2, n_iter=3, assume_distinct=True).collect()
         }
         assert r1 == r2
+
+    def test_fast_path_flags_match_general_path(self, spark):
+        """assume_no_dangling (node universe = degree frame) and
+        assume_no_sinks (no per-iteration nodes left-join) are pure
+        physical-plan shortcuts: on a symmetrized graph — where both
+        preconditions hold by construction — ranks must be bit-identical
+        to the general path's, on both the broadcast and shuffle plans."""
+        from sdg_big_data_spark.operators.graph import pagerank
+
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a")]
+        sym = sorted({(u, v) for u, v in pairs} | {(v, u) for u, v in pairs})
+        df = spark.createDataFrame(sym, "src string, dst string")
+        general = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+        for bmax in (2_000_000, 0):
+            fast = {
+                r["node"]: r["rank"]
+                for r in pagerank(
+                    df,
+                    n_iter=3,
+                    assume_distinct=True,
+                    assume_no_dangling=True,
+                    assume_no_sinks=True,
+                    broadcast_nodes_max=bmax,
+                ).collect()
+            }
+            assert fast == general, f"broadcast_nodes_max={bmax}"

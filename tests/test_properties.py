@@ -712,3 +712,179 @@ def test_interpolate_linear_matches_pandas_randomized(spark, seed):
     got, exp = m["v_out"].astype(float), m["v_exp"].astype(float)
     both_nan = got.isna() & exp.isna()
     assert (both_nan | np.isclose(got, exp)).all()
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis-randomized differentials for the calendar-fill family
+# (`labeling.py:132-142` is the subtlest semantics in SURVEY §7.5; the
+# fixed-seed differentials above cover one fixture shape each — these let
+# hypothesis drive key counts, date gaps, null runs, and tie distances).
+# Each example is one Spark roundtrip, so max_examples stays small; the
+# oracle is an independent pure-Python reimplementation, not pandas, so a
+# shared misreading of the pandas docs can't cancel out.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_fill_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,  # CI stability: the 12 cases are a fixed corpus
+)
+
+
+def _nearest_fill_oracle(days, obs):
+    """Nearest-observation fill over a daily spine: for each spine day,
+    the value of the closest observed day; exact ties -> PREVIOUS."""
+    out = {}
+    obs_days = sorted(obs)
+    for d in days:
+        if d in obs:
+            out[d] = obs[d]
+            continue
+        prev = max((o for o in obs_days if o < d), default=None)
+        nxt = min((o for o in obs_days if o > d), default=None)
+        if prev is None and nxt is None:
+            out[d] = None
+        elif prev is None:
+            out[d] = obs[nxt]
+        elif nxt is None:
+            out[d] = obs[prev]
+        else:
+            out[d] = obs[prev] if (d - prev) <= (nxt - d) else obs[nxt]
+    return out
+
+
+@st.composite
+def _panel(draw, values):
+    """{key: {day: value}} with 1-3 keys, 1-12 unique days each."""
+    n_keys = draw(st.integers(1, 3))
+    panel = {}
+    for k in range(n_keys):
+        days = draw(
+            st.sets(st.integers(0, 30), min_size=1, max_size=12)
+        )
+        panel[f"k{k}"] = {d: draw(values) for d in sorted(days)}
+    return panel
+
+
+@_fill_settings
+@given(_panel(st.one_of(st.none(), st.sampled_from(["x", "y", "z"]))))
+def test_gap_fill_nearest_matches_oracle(spark, panel):
+    import datetime as dt
+
+    from sdg_big_data_spark.operators.windows import gap_fill
+
+    d0 = dt.date(2021, 3, 1)
+    rows = [
+        (k, d0 + dt.timedelta(days=d), v)
+        for k, obs in panel.items()
+        for d, v in obs.items()
+    ]
+    sdf = spark.createDataFrame(rows, schema="k string, date date, v string")
+    got = {
+        (r["k"], r["date"]): r["v"]
+        for r in gap_fill(sdf, ["k"], "date", ["v"], method="nearest").collect()
+    }
+    for k, obs in panel.items():
+        lo, hi = min(obs), max(obs)
+        spine = range(lo, hi + 1)
+        # gap_fill 'nearest' treats an observed NULL as absent (the spine
+        # join can't distinguish a null observation from no row), so the
+        # oracle fills from non-null observations only
+        nn = {d: v for d, v in obs.items() if v is not None}
+        want = _nearest_fill_oracle(list(spine), nn)
+        for d in spine:
+            date = d0 + dt.timedelta(days=d)
+            assert (k, date) in got, f"missing spine row {k} {date}"
+            assert got[(k, date)] == want[d], (
+                f"{k} day {d}: got {got[(k, date)]!r} want {want[d]!r} "
+                f"(obs={obs})"
+            )
+
+
+@_fill_settings
+@given(_panel(st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))))
+def test_gap_fill_ffill_bfill_matches_oracle(spark, panel):
+    import datetime as dt
+
+    from sdg_big_data_spark.operators.windows import gap_fill
+
+    d0 = dt.date(2021, 3, 1)
+    rows = [
+        (k, d0 + dt.timedelta(days=d), v)
+        for k, obs in panel.items()
+        for d, v in obs.items()
+    ]
+    sdf = spark.createDataFrame(rows, schema="k string, date date, v string")
+    got = {
+        (r["k"], r["date"]): r["v"]
+        for r in gap_fill(sdf, ["k"], "date", ["v"]).collect()
+    }
+    for k, obs in panel.items():
+        lo, hi = min(obs), max(obs)
+        nn = {d: v for d, v in obs.items() if v is not None}
+        obs_days = sorted(nn)
+        for d in range(lo, hi + 1):
+            if d in nn:
+                want = nn[d]
+            else:
+                prev = max((o for o in obs_days if o < d), default=None)
+                nxt = min((o for o in obs_days if o > d), default=None)
+                want = nn[prev] if prev is not None else (
+                    nn[nxt] if nxt is not None else None
+                )
+            date = d0 + dt.timedelta(days=d)
+            assert got[(k, date)] == want, (
+                f"{k} day {d}: got {got[(k, date)]!r} want {want!r} (obs={obs})"
+            )
+
+
+@_fill_settings
+@given(
+    _panel(
+        st.one_of(
+            st.none(),
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        )
+    )
+)
+def test_interpolate_linear_matches_oracle(spark, panel):
+    from sdg_big_data_spark.operators.windows import interpolate_linear
+
+    rows = [
+        (k, d, v) for k, obs in panel.items() for d, v in obs.items()
+    ]
+    sdf = spark.createDataFrame(rows, schema="k string, t int, v double")
+    got = {
+        (r["k"], r["t"]): r["vi"]
+        for r in interpolate_linear(sdf, ["k"], "t", "v", out_col="vi").collect()
+    }
+    for k, obs in panel.items():
+        nn = {d: v for d, v in obs.items() if v is not None}
+        obs_days = sorted(nn)
+        for d in obs:  # interpolate fills NULLS IN PLACE (no spine)
+            if d in nn:
+                want = nn[d]
+            else:
+                prev = max((o for o in obs_days if o < d), default=None)
+                nxt = min((o for o in obs_days if o > d), default=None)
+                if prev is None and nxt is None:
+                    want = None
+                elif prev is None:
+                    want = nn[nxt]
+                elif nxt is None:
+                    want = nn[prev]
+                else:
+                    want = nn[prev] + (nn[nxt] - nn[prev]) * (d - prev) / (
+                        nxt - prev
+                    )
+            g = got[(k, d)]
+            if want is None:
+                assert g is None, f"{k} t={d}: got {g!r} want None (obs={obs})"
+            else:
+                assert g is not None and abs(g - want) < 1e-9, (
+                    f"{k} t={d}: got {g!r} want {want!r} (obs={obs})"
+                )
