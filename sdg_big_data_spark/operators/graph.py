@@ -102,7 +102,13 @@ def connected_components(
             hint(labels.withColumnRenamed("node", "u")), "u"
         ).select(F.col("v").alias("node"), "component", F.lit(0).alias("__own"))
         own = labels.select("node", "component", F.lit(1).alias("__own"))
-        new_labels, new_ids = _tracked_checkpoint(
+        # LAZY checkpoint materialized by the convergence count below —
+        # one job per iteration, not checkpoint-job + count-job (the
+        # count's scan over fresh checkpoint blocks is what forces the
+        # materialization; ids are collected after it so unpersist
+        # tracking still sees the blocks)
+        before = _persistent_ids(spark)
+        new_labels = (
             proposals.unionByName(own)
             .groupBy("node")
             .agg(
@@ -111,10 +117,12 @@ def connected_components(
                     "__old"
                 ),
             )
+            .localCheckpoint(eager=False)
         )
         # min-label propagation only ever lowers labels, so "changed" is
         # exactly "new < old"
         changed = new_labels.where(F.col("component") < F.col("__old")).count()
+        new_ids = _persistent_ids(spark) - before
         _unpersist_ids(spark, label_ids)  # superseded iteration state
         labels, label_ids = new_labels.drop("__old"), new_ids
         if changed == 0:

@@ -1,0 +1,109 @@
+"""Lexical retrieval over the document corpus — BM25 ranking.
+
+Beyond-reference operator (LLM-pipeline text-analysis family, same tier
+as language-ID/quality scoring in ``functions/text.py``): BM25 is the
+standard lexical ranking function (Robertson & Walker's Okapi BM25, the
+probabilistic-relevance form used by Lucene/Elasticsearch), and a
+training-data pipeline needs it for retrieval-based decontamination,
+seed-query corpus mining, and hard-negative mining for embedding
+training.
+
+Scale shape: one tokenize→explode pass over the corpus (linear),
+immediately filtered to the query's terms — so the shuffled (doc, term)
+frame is proportional to the corpus' HITS for the query, not the
+corpus; document frequencies collapse to a query-sized frame the
+planner broadcasts; doc-length stats are 1-row. The global top-k is a
+TakeOrdered (per-partition heap + driver merge of k·partitions rows),
+never a full sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    score_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    with idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5)) — the
+    Robertson–Sparck-Jones idf with Lucene's +1 floor, so idf ≥ 0 even
+    for terms in more than half the corpus.
+
+    Tokenization is the engine's corpus normalization
+    (:func:`functions.text.tokenize` — URL strip → lower → accent fold →
+    split), so query terms should be given pre-normalized. Scores are
+    rounded to ``score_dp`` decimals and the ordering tiebreak is the
+    document id, keeping the result deterministic and engine-portable.
+
+    Returns (``id_col``, n_terms_hit, bm25) — the top-``k`` by
+    (bm25 desc, id asc).
+    """
+    terms = [str(t) for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("__tok")
+    )
+    # per-doc length from the SAME tokenization (one extra narrow agg on
+    # the exploded frame — the exchange below reuses it)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    # corpus stats: 1 row (doc count + average length)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    # term frequencies for QUERY terms only — the filter runs before the
+    # shuffle, so the (doc, term) exchange carries hits, not the corpus
+    tf = (
+        toks.where(F.col("__tok").isin(terms))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    # document frequency per term: query-sized output, broadcast back
+    dfreq = tf.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("__tok"),
+            (
+                F.log(
+                    1.0
+                    + (F.col("__n") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5)
+                )
+                * (F.col("__tf") * (k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b * F.col("__dl").cast("double") / F.col("__avgdl")
+                    )
+                )
+            ).alias("__s"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.round(F.sum("__s"), score_dp).alias("bm25"),
+    )
+    return agg.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

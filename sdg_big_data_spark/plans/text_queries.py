@@ -385,3 +385,57 @@ def t_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl"),
         )
     )
+
+
+_BM25_TERMS = ["join", "window", "stream", "sort", "filter"]
+
+
+@register(
+    "t_bm25_topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({{toks}}) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE tok IN ({{terms}})
+      GROUP BY doc_id, tok
+    ),
+    dfq AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sc
+      FROM tf
+      JOIN dfq USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           round(sum(sc), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """.format(
+        toks=_SQL_TOKS.format(c="text"),
+        terms=", ".join(f"'{t}'" for t in _BM25_TERMS),
+    ),
+    tags=("text", "retrieval", "bm25"),
+    doc="BM25 top-k lexical retrieval (operators/retrieval.py) — Okapi "
+    "BM25 with the Lucene +1 idf floor over the engine's corpus "
+    "normalization; the training-data primitive for retrieval-based "
+    "decontamination and corpus mining. One tokenize pass filtered to "
+    "query terms before the shuffle, query-sized df frame broadcast "
+    "back, global top-k via TakeOrdered — never a full sort",
+)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=20)

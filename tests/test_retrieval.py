@@ -1,0 +1,63 @@
+"""BM25 retrieval — hand-computed scores, ranking contract, invariance."""
+
+from __future__ import annotations
+
+import math
+
+from sdg_big_data_spark.operators.retrieval import bm25_topk
+
+
+def _bm25_hand(tf: float, df: float, n: float, dl: float, avgdl: float,
+               k1: float = 1.2, b: float = 0.75) -> float:
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_hand_computed_two_docs(spark):
+    # doc 1: "cat cat dog" (dl 3), doc 2: "dog bird" (dl 2); query {cat, dog}
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog bird")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["bm25"])
+        for r in bm25_topk(df, ["cat", "dog"], k=10).collect()
+    }
+    avgdl = 2.5
+    want1 = _bm25_hand(2, 1, 2, 3, avgdl) + _bm25_hand(1, 2, 2, 3, avgdl)
+    want2 = _bm25_hand(1, 2, 2, 2, avgdl)
+    assert got[1][0] == 2 and abs(got[1][1] - want1) < 1e-6
+    assert got[2][0] == 1 and abs(got[2][1] - want2) < 1e-6
+    # doc 1 hits a rarer term more often in a modestly longer doc -> ranks first
+    assert got[1][1] > got[2][1]
+
+
+def test_normalization_applies_to_corpus(spark):
+    # query terms are pre-normalized; corpus goes through URL-strip/lower/
+    # accent-fold, so "CafÉ" and a URL-only doc behave correctly
+    df = spark.createDataFrame(
+        [(1, "CafÉ cafe"), (2, "http://cafe.example only-link")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_terms_hit"] for r in bm25_topk(df, ["cafe"], k=10).collect()}
+    assert got[1] == 1  # both tokens normalize to 'cafe' (tf=2, one term)
+    assert 2 not in got  # its URL was stripped; 'only-link' splits to other toks
+
+
+def test_k_limits_and_tiebreak(spark):
+    # identical docs -> identical scores; tiebreak must be doc_id asc
+    df = spark.createDataFrame(
+        [(i, "x y z") for i in range(10)], "doc_id long, text string"
+    )
+    rows = bm25_topk(df, ["x"], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+
+
+def test_partition_invariance(spark):
+    docs = [(i, f"alpha beta {'gamma ' * (i % 4)}") for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = [(r["doc_id"], r["bm25"]) for r in bm25_topk(df, ["gamma", "beta"], k=15).collect()]
+    b = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk(df.repartition(13), ["gamma", "beta"], k=15).collect()
+    ]
+    assert a == b
