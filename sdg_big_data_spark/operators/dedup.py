@@ -103,6 +103,89 @@ def jaccard_pairs(
     )
 
 
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via df-ordered prefix filtering
+    (the MapReduce set-similarity join of Vernica/Carey/Li, SIGMOD 2010 —
+    reference analogue: the LSH candidate path in ``minhash_lsh_candidates``
+    trades exactness for fewer candidates; this form is exact).
+
+    Returns (id_a, id_b, jaccard) for every pair with jaccard >= threshold,
+    id_a < id_b. Guarantee: with tokens ordered by a single global total
+    order (document frequency asc, shingle asc as tie-break), a pair with
+    J >= t shares its globally-smallest common token inside BOTH prefixes
+    of length ``n_sh - ceil(t * n_sh) + 1`` (J >= t implies the overlap
+    i >= t * max(n_a, n_b), so fewer than i tokens fit outside either
+    prefix). Candidates therefore come from a prefix-token equi-join —
+    never the full inverted index.
+
+    Scale shape (100 TB): linear shuffles only — (a) token df aggregate,
+    (b) df join-back + per-doc sort (keyed by doc id, doc-sized groups),
+    (c) prefix-token self-join over LIGHT rows (id, size, token) whose
+    fan-out is bounded by the rarest tokens of each doc (df-ascending
+    order makes prefix tokens the most selective ones), (d) candidate
+    pairs join back to the per-doc shingle arrays (each array shuffled
+    once per doc, not once per prefix token — the alternative VernicaJoin
+    "kernel" layout that carries arrays in the prefix records multiplies
+    payload by the prefix length, which loses badly below t≈0.9) and
+    verify with a pure array intersect. Nothing corpus-derived is
+    broadcast: the df table joins back by shuffle, and AQE may only
+    broadcast it at toy scale.
+    """
+    sh = scoped_cache(shingle_table(df, id_col, text_col, n))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("t_df"))
+    # per-doc token array in global (df asc, shingle asc) order + size;
+    # cached: feeds the prefix explode AND both sides of the verify join
+    docs_arr = scoped_cache(
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("t_df", "shingle"))).alias("arr"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform("arr", lambda s: s["shingle"]).alias("toks"),
+            F.size("arr").alias("n_sh"),
+        )
+    )
+    pref_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 1
+    prefix = docs_arr.select(
+        "id", "n_sh", F.explode(F.slice("toks", F.lit(1), pref_len)).alias("ptok")
+    )
+    a = prefix.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "ptok")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "ptok")
+    cand = (
+        a.join(b, "ptok")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t forces t*n_a <= n_b <= n_a/t
+        .where(
+            (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = docs_arr.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    vb = docs_arr.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("jaccard", n_inter / (F.col("n_a") + F.col("n_b") - n_inter))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def portable_hash60(col: Column) -> Column:
     """60-bit integer hash of a string: the first 15 hex chars of its md5
     parsed base-16. Pure per-row arithmetic — no vocabulary, no shuffle,

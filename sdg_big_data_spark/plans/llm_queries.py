@@ -84,6 +84,41 @@ def d_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d_ssjoin_prefix",
+    sql=f"""
+    WITH {_SQL_SHINGLE_TABLE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup-jaccard",),
+    doc="EXACT Jaccard>=0.8 self-join via df-ordered prefix filtering "
+    "(VernicaJoin, SIGMOD 2010): candidates only from each doc's "
+    "n-ceil(t*n)+1 rarest shingles, verified by array intersect after a "
+    "join-back to the per-doc shingle arrays "
+    "— exact where d_minhash_lsh is probabilistic; the oracle computes "
+    "the same answer from the full inverted index",
+)
+def d_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.set_similarity_join(docs, "doc_id", "text", threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def _minhash_sql() -> str:
     perm_rows = ", ".join(
         f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(dedup.MINHASH_PERMS)

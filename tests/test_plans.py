@@ -525,3 +525,12 @@ def test_fuzzy_join_soundex_blocking(spark):
     assert (3, 11) in pairs  # jones~jonas via J520
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_ssjoin_prefix_is_equi_join_all_the_way(spark, sf_dir):
+    """The exact set-similarity join must stay equi-joins end-to-end:
+    prefix-token candidate join, df join-back, and array verify join-back
+    — no cartesian/nested-loop stage anywhere in the executed plan."""
+    plan = _plan(spark, sf_dir, "d_ssjoin_prefix")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
