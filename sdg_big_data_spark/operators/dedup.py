@@ -136,6 +136,14 @@ def set_similarity_join(
     verify with a pure array intersect. Nothing corpus-derived is
     broadcast: the df table joins back by shuffle, and AQE may only
     broadcast it at toy scale.
+
+    Contract note: the qualifying-PAIR set itself is quadratic in the
+    size of an exact-duplicate group (a clique of k copies emits k(k-1)/2
+    pairs — that is the answer, not an implementation artifact). Run
+    :func:`exact_dedup` first on corpora with heavy exact duplication;
+    the hot prefix tokens a clique creates are handled by AQE skew split
+    (measured: `tools/skew_probe.py` probe ``dup_clique_ssjoin_prefix``,
+    worst task max/median 1.12 at sf0.1).
     """
     sh = scoped_cache(shingle_table(df, id_col, text_col, n))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("t_df"))
@@ -209,7 +217,8 @@ def shingle_ids(sh: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, perm_index, minhash) — k minhash values per doc via fixed
     affine permutations over hash-encoded shingles.
@@ -218,8 +227,13 @@ def minhash_signatures(
     projection, nothing corpus-derived is broadcast (the r1 dictionary
     broadcast is gone), and the DuckDB oracle replays the exact same
     arithmetic. sid < 2^31 and perm coefficients < 2^31, so
-    ``a*sid + b`` stays < 2^62 — no signed-64 overflow anywhere."""
-    sh = shingle_table(df, id_col, text_col, n)
+    ``a*sid + b`` stays < 2^62 — no signed-64 overflow anywhere.
+
+    ``shingles``: pass a precomputed (usually cached) ``shingle_table``
+    frame to share the tokenize→shingle pass with other consumers (the
+    Jaccard verify in ``pipelines.dataprep.near_dup_removal`` reads the
+    same table) — identical output, one fewer corpus pass."""
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     enc = sh.select(
         F.col(id_col),
         (portable_hash60(F.col("shingle")) % F.lit(MINHASH_PRIME))
@@ -250,12 +264,14 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, rows_per_band: int = 2
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, rows_per_band: int = 2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ANY band of their minhash
     signature. Banding = groupBy band signature + self-join — pure
-    equi-joins, shuffle on (band, signature) only."""
-    sig = minhash_signatures(df, id_col, text_col, n)
+    equi-joins, shuffle on (band, signature) only. ``shingles`` as in
+    :func:`minhash_signatures`."""
+    sig = minhash_signatures(df, id_col, text_col, n, shingles=shingles)
     # Band signature as ``rows_per_band`` LONG columns (one conditional
     # max per in-band position — exactly one row per perm exists), not a
     # sorted-collect_list string: the fixed-width form skips per-group

@@ -82,6 +82,12 @@ def near_dup_removal(
     stop-word shingle shared by a million docs yields 10^12 rows before
     any candidate filter can apply. Here the work is
     O(Σ_pairs |shingles(a)|) — linear in candidate pairs."""
+    # The tokenize→shingle pass runs twice (signature chain + verify) ON
+    # PURPOSE: caching the exploded shingle table to share it was
+    # measured SLOWER at sf0.1 (7.4 s vs 4.9 s e2e) — the cache is
+    # corpus-shingle-sized, exactly the "corpus-sized cache" this module
+    # header warns against, while the recompute is a fully pipelined
+    # narrow pass.
     # cand feeds three consumers (both id branches + the intersection
     # walk); the operator caches its band frame, but the band self-join
     # + distinct would still re-run per consumer without this
@@ -91,8 +97,15 @@ def near_dup_removal(
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = dedup.shingle_table(docs, id_col, text_col).join(
-        cand_ids, id_col, "left_semi"
+    # sh feeds three consumers (sizes + both sides of the intersection
+    # walk); cached AFTER the semi-join so the cache is candidate-sized
+    # (docs appearing in an LSH pair × their shingles), never
+    # corpus-sized — uncached, the full tokenize→shingle explode ran 3x
+    # (measured 4.1 s → 1.4 s for the verify stage at sf0.1)
+    sh = scoped_cache(
+        dedup.shingle_table(docs, id_col, text_col).join(
+            cand_ids, id_col, "left_semi"
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
@@ -120,6 +133,77 @@ def near_dup_removal(
     else:
         drop = verified.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(drop, id_col, "left_anti")
+
+
+def survival_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.6,
+    keep_langs: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Per-stage (stage, n_docs, n_tokens) survival accounting of the
+    SAME ladder :func:`run` materializes — as ONE lineage instead of
+    five: the quality/language features become boolean flags in a single
+    corpus pass, the exact-dedup keep set and the near-dup drop set come
+    back as id joins, and all five stage totals fall out of one
+    conditional aggregation. This is the audit shape for 100 TB runs —
+    the corpus-wide featurizer runs once, nothing stage-sized is cached —
+    and `test_pipelines` pins it row-for-row to :func:`run`'s frames."""
+    feats = text.quality_features(docs.select(id_col, text_col), text_col)
+    # cached: ~33 bytes/row (id, count, 3 flags, md5) — NOT stage-sized —
+    # and referenced by the keep-set aggregate AND the final flag join;
+    # uncached the triple-tokenizer featurization runs twice
+    flags = scoped_cache(feats.select(
+        F.col(id_col),
+        F.col("q_n_tokens").cast("long").alias("n_tok"),
+        (F.col("q_score") >= min_quality).alias("q_ok"),
+        (
+            (F.col("q_score") >= min_quality)
+            & text.lang_id(F.col(text_col)).isin(*keep_langs)
+        ).alias("l_ok"),
+        text.doc_fingerprint(F.col(text_col)).alias("fp"),
+    ))
+    keep_e = (
+        flags.where(F.col("l_ok"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, F.lit(True).alias("e_ok"))
+    )
+    e_docs = docs.join(keep_e.select(id_col), id_col, "left_semi")
+    nd_keep = (
+        near_dup_removal(e_docs, id_col, text_col, jaccard_threshold)
+        .select(id_col, F.lit(True).alias("n_ok"))
+    )
+    full = (
+        flags.join(keep_e, id_col, "left")
+        .join(nd_keep, id_col, "left")
+        .select(
+            "n_tok", "q_ok", "l_ok",
+            F.coalesce("e_ok", F.lit(False)).alias("e_ok"),
+            F.coalesce("n_ok", F.lit(False)).alias("n_ok"),
+        )
+    )
+
+    def _pair(flag, suffix: str) -> list:
+        return [
+            F.coalesce(F.sum(F.when(flag, 1)), F.lit(0))
+            .cast("long").alias(f"d{suffix}"),
+            F.coalesce(F.sum(F.when(flag, F.col("n_tok"))), F.lit(0))
+            .cast("long").alias(f"t{suffix}"),
+        ]
+
+    one = full.agg(
+        *_pair(F.lit(True), "0"), *_pair(F.col("q_ok"), "1"),
+        *_pair(F.col("l_ok"), "2"), *_pair(F.col("e_ok"), "3"),
+        *_pair(F.col("n_ok"), "4"),
+    )
+    return one.selectExpr(
+        "stack(5, '0_input', d0, t0, '1_quality', d1, t1, "
+        "'2_language', d2, t2, '3_exact_dedup', d3, t3, "
+        "'4_near_dedup', d4, t4) AS (stage, n_docs, n_tokens)"
+    )
 
 
 def budget_report(
@@ -156,12 +240,24 @@ def run(
     min_quality: float = 0.6,
     keep_langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.8,
+    cache_stages: bool = False,
 ) -> dict[str, DataFrame]:
-    """Full prep chain; returns each stage's surviving frame + report."""
-    q = quality_gate(docs, text_col, min_quality)
-    lg = language_gate(q, text_col, keep_langs)
-    ex = exact_dedup_keep_min(lg, id_col, text_col)
-    nd = near_dup_removal(ex, id_col, text_col, jaccard_threshold)
+    """Full prep chain; returns each stage's surviving frame + report.
+
+    ``cache_stages=True`` wraps each stage's output in a
+    :func:`~..cachescope.scoped_cache` — the right call when MULTIPLE
+    stage frames get actioned (per-stage survivor reports, audits):
+    without it each stage's action replays the whole upstream
+    expression chain (the quality featurizer alone is a wide
+    interpreted expression tree). Leave False when only the final
+    frame is consumed — the single lineage is one fused pass, and at
+    100 TB a stage cache is corpus-sized (prefer
+    :func:`run_checkpointed`'s parquet stages there)."""
+    _c = scoped_cache if cache_stages else (lambda df: df)
+    q = _c(quality_gate(docs, text_col, min_quality))
+    lg = _c(language_gate(q, text_col, keep_langs))
+    ex = _c(exact_dedup_keep_min(lg, id_col, text_col))
+    nd = _c(near_dup_removal(ex, id_col, text_col, jaccard_threshold))
     return {
         "quality": q,
         "language": lg,

@@ -672,3 +672,158 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), (F.col("node") - _OFF).cast("string"))
     )
     return ranks.select(node_str.alias("node"), "rank")
+
+
+def _curation_sql() -> str:
+    """End-to-end oracle for the composed dataprep ladder — each stage's
+    CTE replays the exact registered fragment of its standalone query
+    (t_quality_score, t_lang_id, d_exact_dedup, d_minhash_lsh +
+    jaccard verify), chained on the previous stage's survivors."""
+    from ..functions import text as T
+    from .text_queries import _sql_list
+
+    toks = _SQL_TOKS.format(c="text")
+    stop = _sql_list(T.STOPWORDS_EN)
+    hits = {
+        lang: f"len(list_filter(toks, x -> list_contains({_sql_list(m)}, x)))"
+        for lang, m in T.LANG_MARKERS.items()
+    }
+    perm_rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(dedup.MINHASH_PERMS)
+    )
+    p = dedup.MINHASH_PRIME
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, text, {toks} AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS q_n_tokens,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / length(text) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({stop}, x))) AS DOUBLE)
+               / len(toks) ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS mean_tok_len,
+             {hits["de"]} AS h_de, {hits["en"]} AS h_en,
+             {hits["es"]} AS h_es, {hits["fr"]} AS h_fr
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(CAST(
+               (CASE WHEN q_n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio > 0.01 THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN mean_tok_len BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END)
+               AS DOUBLE), 2) AS q_score,
+             CASE
+               WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+               WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+               WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+               WHEN h_fr > 0 THEN 'fr'
+               ELSE 'und'
+             END AS lang_pred
+      FROM f
+    ),
+    q1 AS (SELECT doc_id FROM scored WHERE q_score >= 0.6),
+    l1 AS (
+      SELECT s.doc_id FROM scored s JOIN q1 USING (doc_id)
+      WHERE s.lang_pred = 'en'
+    ),
+    e1 AS (
+      SELECT min(b.doc_id) AS doc_id
+      FROM base b JOIN l1 USING (doc_id)
+      GROUP BY md5(array_to_string(b.toks, ' '))
+    ),
+    sh3 AS (
+      SELECT b.doc_id,
+             unnest(list_distinct(list_transform(range(1, len(b.toks) - 1),
+               i -> b.toks[i] || ' ' || b.toks[i+1] || ' ' || b.toks[i+2]))) AS shingle
+      FROM base b JOIN e1 USING (doc_id) WHERE len(b.toks) >= 3
+    ),
+    enc AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS sid
+      FROM sh3
+    ),
+    perms(i, a, b) AS (VALUES {perm_rows}),
+    sig AS (
+      SELECT enc.doc_id, perms.i AS perm,
+             min((perms.a * enc.sid + perms.b) % {p}) AS minhash
+      FROM enc CROSS JOIN perms GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, perm // 2 AS band,
+             array_to_string(list_sort(list(format('{{:d}}.{{:d}}', perm, minhash))), ':')
+               AS band_sig
+      FROM sig GROUP BY doc_id, perm // 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh3 a ON a.doc_id = c.id_a
+      JOIN sh3 b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT i.id_b AS doc_id
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.id_a
+      JOIN sizes nb ON nb.doc_id = i.id_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.8
+    ),
+    nd AS (
+      SELECT e1.doc_id FROM e1
+      WHERE e1.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    tok_counts AS (SELECT doc_id, len(toks) AS n_tok FROM base)
+    SELECT * FROM (
+      SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
+      FROM tok_counts
+      UNION ALL
+      SELECT '1_quality', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+      FROM q1 JOIN tok_counts t USING (doc_id)
+      UNION ALL
+      SELECT '2_language', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+      FROM l1 JOIN tok_counts t USING (doc_id)
+      UNION ALL
+      SELECT '3_exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+      FROM e1 JOIN tok_counts t USING (doc_id)
+      UNION ALL
+      SELECT '4_near_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)
+      FROM nd JOIN tok_counts t USING (doc_id)
+    ) ORDER BY stage
+    """
+
+
+@register(
+    "d_curation_e2e",
+    sql=_curation_sql(),
+    tags=("dedup", "pipeline", "composition"),
+    doc="the COMPOSED dataprep ladder (quality gate -> language gate -> "
+    "exact dedup -> MinHash/LSH near-dup removal) as one lineage; "
+    "returns per-stage surviving doc/token counts — proves the stages "
+    "compose exactly, not just pass in isolation",
+)
+def d_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines import dataprep
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dataprep.survival_report(
+        docs, min_quality=0.6, keep_langs=("en",), jaccard_threshold=0.8
+    ).orderBy("stage")

@@ -330,3 +330,38 @@ def test_dataprep_checkpointed_resumes(spark, sf_dir, tmp_path):
     assert survivors2 == survivors1
     for st, m in mtimes.items():
         assert os.path.getmtime(os.path.join(wd, st, "_SUCCESS")) == m, st
+
+
+def test_dataprep_survival_report_matches_run(spark, sf_dir):
+    """survival_report (single-lineage flag/conditional-agg audit) must
+    equal the per-stage counts of run()'s materialized stage frames —
+    the two formulations of the same ladder may never drift."""
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.functions import text
+    from sdg_big_data_spark.pipelines import dataprep
+    from sdg_big_data_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    report = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in dataprep.survival_report(docs, min_quality=0.6).collect()
+    }
+    stages = dataprep.run(docs, min_quality=0.6, cache_stages=True)
+
+    def stat(df):
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("d"),
+            F.coalesce(
+                F.sum(F.size(text.tokenize(F.col("text")))), F.lit(0)
+            ).cast("long").alias("t"),
+        ).collect()[0]
+        return (row["d"], row["t"])
+
+    assert report["0_input"] == stat(docs)
+    assert report["1_quality"] == stat(stages["quality"])
+    assert report["2_language"] == stat(stages["language"])
+    assert report["3_exact_dedup"] == stat(stages["exact_dedup"])
+    assert report["4_near_dedup"] == stat(stages["near_dedup"])

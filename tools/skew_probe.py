@@ -168,6 +168,35 @@ def main() -> None:
 
     probe("hot_lsh_bucket_candidates", p2)
 
+    # --- probe 2b: dup cliques through the EXACT ssjoin -------------------
+    # 3% of docs form 7 exact-dup cliques: every clique member shares its
+    # PREFIX tokens with every other, so the prefix-token self-join is
+    # maximally hot on those tokens (AQE skew split is the guard; the
+    # quadratic OUTPUT inside a clique is inherent to exact
+    # set-similarity semantics — see set_similarity_join's docstring).
+    cliq = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 100 < 3,
+            F.concat(
+                F.lit(
+                    "the quick brown fox jumps over the lazy dog again and "
+                    "again across the wide river delta plains tonight "
+                ),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+    def p2b():
+        from sdg_big_data_spark.operators.dedup import set_similarity_join
+
+        set_similarity_join(cliq, "doc_id", "text", 0.8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    probe("dup_clique_ssjoin_prefix", p2b)
+
     # --- probe 3: fat stratum (80% of rows in one group) ------------------
     fat = ev.withColumn(
         "grp",
