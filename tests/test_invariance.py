@@ -47,6 +47,12 @@ PROBES = [
     "g_transitions",
     # epoch-bucketed spatio-temporal banding
     "sp_colocation",
+    # round 4: df-ordered prefix filtering (a global (df, shingle) sort
+    # order must not depend on partitioning) and the composed curation
+    # ladder (five chained stages — any stage drifting shifts every
+    # downstream count)
+    "d_ssjoin_prefix",
+    "d_curation_e2e",
 ]
 
 
