@@ -263,6 +263,31 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, rows_per_band: int = 2,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, __m0..__m{r-1}) — LSH band rows over the minhash
+    signature. Band signature as ``rows_per_band`` LONG columns (one
+    conditional max per in-band position — exactly one row per perm
+    exists), not a sorted-collect_list string: the fixed-width form
+    skips per-group list building + sort + string formatting and joins
+    on narrow integer keys. The candidate-pair OUTPUT downstream is
+    identical, so the oracle's banding SQL is unaffected."""
+    sig = minhash_signatures(df, id_col, text_col, n, shingles=shingles)
+    mcols = [
+        F.max(
+            F.when(F.col("perm") % rows_per_band == i, F.col("minhash"))
+        ).alias(f"__m{i}")
+        for i in range(rows_per_band)
+    ]
+    return (
+        sig.withColumn("band", F.floor(F.col("perm") / rows_per_band))
+        .groupBy(id_col, "band")
+        .agg(*mcols)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, rows_per_band: int = 2,
     shingles: DataFrame | None = None,
@@ -271,24 +296,7 @@ def minhash_lsh_candidates(
     signature. Banding = groupBy band signature + self-join — pure
     equi-joins, shuffle on (band, signature) only. ``shingles`` as in
     :func:`minhash_signatures`."""
-    sig = minhash_signatures(df, id_col, text_col, n, shingles=shingles)
-    # Band signature as ``rows_per_band`` LONG columns (one conditional
-    # max per in-band position — exactly one row per perm exists), not a
-    # sorted-collect_list string: the fixed-width form skips per-group
-    # list building + sort + string formatting and joins on narrow
-    # integer keys. The candidate-pair OUTPUT is identical, so the
-    # oracle's banding SQL is unaffected.
-    mcols = [
-        F.max(
-            F.when(F.col("perm") % rows_per_band == i, F.col("minhash"))
-        ).alias(f"__m{i}")
-        for i in range(rows_per_band)
-    ]
-    bands = (
-        sig.withColumn("band", F.floor(F.col("perm") / rows_per_band))
-        .groupBy(id_col, "band")
-        .agg(*mcols)
-    )
+    bands = minhash_bands(df, id_col, text_col, n, rows_per_band, shingles)
     bands = scoped_cache(bands)  # self-joined below — without the cache the full signature
     # pipeline (scan → shingle → dict → encode → min-agg) runs twice
     keys = ["band"] + [f"__m{i}" for i in range(rows_per_band)]
@@ -299,6 +307,100 @@ def minhash_lsh_candidates(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Status of each NEW doc against an already-ingested INDEX corpus —
+    the production shape for continuously-ingested corpora (a new crawl
+    batch dedups against the standing index, not by re-deduping the
+    whole corpus). Returns (id, status) for every new doc:
+
+    - ``'exact_dup'`` — normalized-text fingerprint already indexed;
+    - ``'near_dup'`` — shingle-Jaccard >= ``threshold`` with some
+      indexed doc among the cross-corpus LSH band candidates;
+    - ``'kept'`` — neither.
+
+    Within-batch duplicates are OUT of scope by contract (run
+    :func:`~..pipelines.dataprep.near_dup_removal` on the batch first);
+    status priority is exact > near, and the near stage only examines
+    non-exact survivors — cheaper, same statuses.
+
+    Scale shape: the index side is touched by (a) one fingerprint
+    aggregate and (b) one band frame — both linear passes with narrow
+    outputs; the candidate join is new-bands x index-bands on the band
+    key (never all-pairs, and never index x index); the verify walk is
+    O(Σ_pairs shingles) exactly as in ``near_dup_removal``. At 100 TB
+    the index's fingerprint + band frames are the natural thing to
+    PERSIST between batches (both are id-plus-hash width, a tiny
+    fraction of corpus bytes) — this function recomputes them from
+    ``index_docs`` so the oracle can replay everything from raw text."""
+    fps = new_docs.select(
+        F.col(id_col), T.doc_fingerprint(F.col(text_col)).alias("fp")
+    )
+    idx_fp = index_docs.select(
+        T.doc_fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    exact = fps.join(idx_fp, "fp", "left_semi").select(
+        F.col(id_col), F.lit(True).alias("is_exact")
+    )
+    rest = new_docs.join(exact.select(id_col), id_col, "left_anti")
+
+    keys = ["band"] + [f"__m{i}" for i in range(rows_per_band)]
+    b_new = minhash_bands(rest, id_col, text_col, n, rows_per_band).select(
+        F.col(id_col).alias("id_new"), *keys
+    )
+    b_idx = minhash_bands(index_docs, id_col, text_col, n, rows_per_band).select(
+        F.col(id_col).alias("id_idx"), *keys
+    )
+    cand = scoped_cache(
+        b_new.join(b_idx, keys).select("id_new", "id_idx").distinct()
+    )
+    sh_new = shingle_table(rest, id_col, text_col, n).join(
+        cand.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sh_idx = shingle_table(index_docs, id_col, text_col, n).join(
+        cand.select(F.col("id_idx").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sz_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new"))
+    sz_idx = sh_idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_idx"))
+    inter = (
+        cand.join(sh_new.select(F.col(id_col).alias("id_new"), "shingle"), "id_new")
+        .join(sh_idx.select(F.col(id_col).alias("id_idx"), "shingle"), ["id_idx", "shingle"])
+        .groupBy("id_new", "id_idx")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    near = (
+        inter.join(sz_new.select(F.col(id_col).alias("id_new"), "n_new"), "id_new")
+        .join(sz_idx.select(F.col(id_col).alias("id_idx"), "n_idx"), "id_idx")
+        .where(
+            F.col("n_inter")
+            / (F.col("n_new") + F.col("n_idx") - F.col("n_inter"))
+            >= threshold
+        )
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
     )
 
 

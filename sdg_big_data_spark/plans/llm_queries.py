@@ -674,6 +674,97 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(node_str.alias("node"), "rank")
 
 
+
+def _incremental_dedup_sql() -> str:
+    perm_rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(dedup.MINHASH_PERMS)
+    )
+    p = dedup.MINHASH_PRIME
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
+    fp AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM t),
+    newd AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+    idxd AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    exact AS (
+      SELECT f.doc_id FROM fp f JOIN newd USING (doc_id)
+      WHERE f.fp IN (SELECT f2.fp FROM fp f2 JOIN idxd USING (doc_id))
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
+      FROM t WHERE len(t) >= 3
+    ),
+    enc AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS sid
+      FROM sh
+    ),
+    perms(i, a, b) AS (VALUES {perm_rows}),
+    sig AS (
+      SELECT enc.doc_id, perms.i AS perm,
+             min((perms.a * enc.sid + perms.b) % {p}) AS minhash
+      FROM enc CROSS JOIN perms GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, perm // 2 AS band,
+             array_to_string(list_sort(list(format('{{:d}}.{{:d}}', perm, minhash))), ':')
+               AS band_sig
+      FROM sig GROUP BY doc_id, perm // 2
+    ),
+    rest AS (
+      SELECT doc_id FROM newd WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_new, y.doc_id AS id_idx
+      FROM bands x
+      JOIN rest r ON x.doc_id = r.doc_id
+      JOIN bands y ON x.band = y.band AND x.band_sig = y.band_sig
+      JOIN idxd i ON y.doc_id = i.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_new, c.id_idx, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_new
+      JOIN sh b ON b.doc_id = c.id_idx AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT i.id_new AS doc_id
+      FROM inter i
+      JOIN sizes sn ON sn.doc_id = i.id_new
+      JOIN sizes si ON si.doc_id = i.id_idx
+      WHERE CAST(i.n_inter AS DOUBLE) / (sn.n_sh + si.n_sh - i.n_inter) >= 0.8
+    )
+    SELECT n.doc_id,
+           CASE WHEN n.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+                WHEN n.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM newd n
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "d_incremental_dedup",
+    sql=_incremental_dedup_sql(),
+    tags=("dedup", "incremental"),
+    doc="incremental-ingest dedup: a NEW batch (odd doc ids) statuses "
+    "against the standing INDEX corpus (even ids) — exact fingerprint "
+    "semi-join, then cross-corpus LSH band candidates + Jaccard verify "
+    "for the remainder; never index x index, never all-pairs. The "
+    "index's fingerprint and band frames are the natural cross-batch "
+    "persists at scale (id-plus-hash width)",
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    index_docs = docs.where(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_dedup(
+        new_docs, index_docs, "doc_id", "text", threshold=0.8
+    ).orderBy("doc_id")
+
+
 def _curation_sql() -> str:
     """End-to-end oracle for the composed dataprep ladder — each stage's
     CTE replays the exact registered fragment of its standalone query

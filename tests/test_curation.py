@@ -430,3 +430,43 @@ class TestSetSimilarityJoin:
             .count()
         )
         assert pruned < full
+
+
+class TestIncrementalDedup:
+    """dedup.incremental_dedup — new batch statused against a standing
+    index: exact fingerprint hit, LSH+Jaccard near hit, or kept."""
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to find some food for the long cold winter that is coming soon"
+    )
+
+    def test_statuses(self, spark):
+        from sdg_big_data_spark.operators import dedup
+
+        index = spark.createDataFrame(
+            [(2, self.BASE),
+             (4, "a completely different indexed document about spark "
+                 "planning and adaptive query execution at large scale")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, self.BASE + " http://tracker.example/x"),  # exact after normalize
+             (3, self.BASE.replace("cold winter", "cold dark winter")),  # near
+             (5, "entirely novel content with no overlap whatsoever in "
+                 "any shingle of the existing corpus documents today")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in dedup.incremental_dedup(new, index, "doc_id", "text", 0.5).collect()
+        }
+        assert got == {1: "exact_dup", 3: "near_dup", 5: "kept"}
+
+    def test_empty_index_keeps_everything(self, spark):
+        from sdg_big_data_spark.operators import dedup
+
+        new = spark.createDataFrame([(1, self.BASE)], "doc_id long, text string")
+        index = spark.createDataFrame([], "doc_id long, text string")
+        got = dedup.incremental_dedup(new, index, "doc_id", "text").collect()
+        assert [(r["doc_id"], r["status"]) for r in got] == [(1, "kept")]
