@@ -494,6 +494,43 @@ def ndcg_at_k(
     )
 
 
+def mean_reciprocal_rank(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """MRR over per-``group_col`` rankings (queries): each query
+    contributes 1/rank of its FIRST relevant item under (score desc, id
+    asc); queries with no relevant item contribute 0 (the standard MRR
+    convention — they stay in the denominator). Returns one row
+    (n_queries, n_with_relevant, mrr).
+
+    Scale shape: one per-query window (query-sized groups, a hash
+    shuffle on the query key) + one aggregate; nothing global-sorted,
+    nothing collected.
+    """
+    y = F.col(label_col).cast("int")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("__q"), y.alias("__y"),
+        F.row_number().over(w).alias("__r"),
+    )
+    per_q = ranked.groupBy("__q").agg(
+        F.min(F.when(F.col("__y") == 1, F.col("__r"))).alias("__first")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count("__first").alias("n_with_relevant"),
+        F.avg(
+            F.coalesce(1.0 / F.col("__first"), F.lit(0.0))
+        ).alias("mrr"),
+    )
+
+
 def grid_search_configs(
     stops: DataFrame,
     truth: DataFrame,

@@ -433,6 +433,55 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_mrr",
+    sql="""
+    WITH s AS (
+      SELECT event_id,
+             event_id % 97 AS qid,
+             CAST(((event_id % 1000003) * 2654435761) % 1000 AS DOUBLE)
+               / CAST(1000 AS DOUBLE) AS p,
+             CASE WHEN ((event_id % 1000003) * 1299709 + 7) % 1000 < 20
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    ranked AS (
+      SELECT qid, y,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY p DESC, event_id ASC) AS rk
+      FROM s
+    ),
+    per_q AS (
+      SELECT qid, min(CASE WHEN y = 1 THEN rk END) AS first_rel
+      FROM ranked GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(first_rel) AS BIGINT) AS n_with_relevant,
+           round(avg(coalesce(CAST(1 AS DOUBLE) / first_rel, 0.0)), 6) AS mrr
+    FROM per_q
+    """,
+    tags=("evaluation", "ranking"),
+    doc="mean reciprocal rank over per-query rankings "
+    "(evaluation.mean_reciprocal_rank): 1/rank of each query's first "
+    "relevant item, empty-relevance queries count 0 in the mean; one "
+    "query-keyed window + one aggregate, nothing global",
+)
+def ev_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h1 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(2654435761)) % 1000
+    h2 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(1299709) + 7) % 1000
+    scores = ev.select(
+        "event_id",
+        (F.col("event_id") % 97).alias("qid"),
+        (h1.cast("double") / F.lit(1000.0)).alias("p"),
+        (h2 < 20).cast("int").alias("y"),
+    )
+    out = evaluation.mean_reciprocal_rank(scores, "y", "p", "qid", "event_id")
+    return out.select(
+        "n_queries", "n_with_relevant", F.round("mrr", 6).alias("mrr")
+    )
+
+
+@register(
     "ev_ndcg",
     sql="""
     WITH s AS (

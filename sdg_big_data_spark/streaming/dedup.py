@@ -56,3 +56,71 @@ def streaming_content_dedup(
     watermark-bounded first-arrival dedup on the fingerprint."""
     fp = stream.withColumn("__fp", T.doc_fingerprint(F.col(text_col)))
     return streaming_key_dedup(fp, ["__fp"], ts_col, watermark).drop("__fp")
+
+
+def streaming_index_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    trigger_available_now: bool = True,
+):
+    """Continuous-ingest NEAR-dup dedup against a growing parquet index —
+    the streaming arm of ``operators.dedup.incremental_dedup``. Each
+    micro-batch:
+
+    1. self-dedups WITHIN the batch (exact fingerprint, keep min id —
+       within-batch near-dups are out of scope, matching
+       ``incremental_dedup``'s contract);
+    2. statuses the remainder against the standing index (exact
+       fingerprint semi-join, then cross-corpus LSH banding + Jaccard
+       verify — never index x index);
+    3. appends the ``kept`` docs to the index under a
+       ``ingest_batch=<id>`` subdirectory, written with overwrite — a
+       foreachBatch RETRY of the same batch id rewrites the same
+       directory, so the index never double-counts (idempotent sink).
+
+    State lives entirely in the parquet index (id + text); nothing is
+    held in executor memory between batches. At 100 TB the two index
+    derivatives the batch operator recomputes per micro-batch
+    (fingerprints, band frames) are the things to additionally persist —
+    see ``incremental_dedup``'s docstring; this wrapper keeps the
+    oracle-checkable raw-text form.
+
+    Returns the started StreamingQuery.
+    """
+    from ..operators import dedup as batch_dedup
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keep_min = batch_dedup.exact_dedup(batch, id_col, text_col).select(
+            F.col("canonical_id").alias(id_col)
+        )
+        self_deduped = batch.join(keep_min, id_col, "left_semi")
+        try:
+            index = spark.read.parquet(index_dir).select(id_col, text_col)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            status = batch_dedup.incremental_dedup(
+                self_deduped, index, id_col, text_col, threshold
+            )
+            kept_ids = status.where(F.col("status") == "kept").select(id_col)
+            kept = self_deduped.join(kept_ids, id_col, "left_semi")
+        else:
+            kept = self_deduped
+        (
+            kept.select(id_col, text_col)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/ingest_batch={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

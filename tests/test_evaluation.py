@@ -295,3 +295,31 @@ def test_ab_test_matches_numpy_welch(spark):
     assert out["n_a"] == 300 and out["n_b"] == 200
     assert abs(out["t_welch"] - t) < 1e-9
     assert abs(out["dof"] - dof) < 1e-6
+
+
+class TestMeanReciprocalRank:
+    def test_hand_computed(self, spark):
+        from sdg_big_data_spark.operators.evaluation import mean_reciprocal_rank
+
+        # q1: ranks by score desc -> ids 11(0.9,y=0), 12(0.8,y=1) => rr 1/2
+        # q2: single irrelevant item => contributes 0, stays in denominator
+        # q3: top item relevant => rr 1
+        rows = [
+            ("q1", 11, 0.9, 0), ("q1", 12, 0.8, 1), ("q1", 13, 0.1, 1),
+            ("q2", 21, 0.5, 0),
+            ("q3", 31, 0.7, 1), ("q3", 32, 0.6, 0),
+        ]
+        df = spark.createDataFrame(rows, "qid string, id long, p double, y int")
+        out = mean_reciprocal_rank(df, "y", "p", "qid", "id").collect()[0]
+        assert out["n_queries"] == 3
+        assert out["n_with_relevant"] == 2
+        assert abs(out["mrr"] - (0.5 + 0.0 + 1.0) / 3) < 1e-12
+
+    def test_tie_breaks_on_id(self, spark):
+        from sdg_big_data_spark.operators.evaluation import mean_reciprocal_rank
+
+        # equal scores: id asc decides — relevant id 2 sits at rank 2
+        rows = [("q", 1, 0.5, 0), ("q", 2, 0.5, 1)]
+        df = spark.createDataFrame(rows, "qid string, id long, p double, y int")
+        out = mean_reciprocal_rank(df, "y", "p", "qid", "id").collect()[0]
+        assert abs(out["mrr"] - 0.5) < 1e-12

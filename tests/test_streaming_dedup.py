@@ -104,3 +104,55 @@ def test_streaming_dedup_plan_is_watermark_bounded(spark):
     assert "dropDuplicatesWithinWatermark" in plan.lower().replace(" ", "") or (
         "deduplicatewithinwatermark" in plan.lower().replace(" ", "")
     )
+
+
+def test_streaming_index_dedup_grows_index_without_dups(spark, tmp_path):
+    """Two micro-batches through the index-dedup sink: batch 2's exact
+    copy and near copy of batch-1 docs are rejected, novel docs land in
+    the index; final index equals what batch incremental_dedup would
+    keep."""
+    from sdg_big_data_spark.streaming.dedup import streaming_index_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to find some food for the long cold winter that is coming soon"
+    )
+    other = (
+        "a completely different indexed document about spark planning "
+        "and adaptive query execution at large scale in production"
+    )
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2021, 1, 1, 12, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(1, t0, base), (2, t0, other), (3, t0, base)],  # 3 = in-batch exact dup
+        "doc_id long, ts timestamp, text string",
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = streaming_index_dedup(
+        spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src),
+        idx, ckpt, threshold=0.5,
+    )
+    q.awaitTermination()
+    after1 = {r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()}
+    assert after1 == {1, 2}  # in-batch exact dup 3 dropped
+
+    batch2 = spark.createDataFrame(
+        [
+            (10, t0, base + " http://t.example/q"),  # exact dup of indexed 1
+            (11, t0, base.replace("cold winter", "cold dark winter")),  # near dup
+            (12, t0, "entirely novel content with no overlap whatsoever "
+                     "in any shingle of the existing corpus documents"),
+        ],
+        "doc_id long, ts timestamp, text string",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q = streaming_index_dedup(
+        spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src),
+        idx, ckpt, threshold=0.5,
+    )
+    q.awaitTermination()
+    after2 = {r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()}
+    assert after2 == {1, 2, 12}  # 10 exact-dup, 11 near-dup both rejected
