@@ -675,6 +675,70 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "g_triangles",
+    sql="""
+    WITH ps AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      WHERE l_orderkey % 10 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    ORDER BY n_triangles DESC, node ASC
+    LIMIT 20
+    """,
+    tags=("graph", "triangles"),
+    doc="per-node triangle counts over the co-purchase graph (parts "
+    "sharing an order), top 20: degree-oriented wedge enumeration (Suri & "
+    "Vassilvitskii WWW 2011) — each triangle counted once, wedge fan-out "
+    "bounded by out-degree under the (degree, id) order, O(sqrt(m)) for "
+    "any graph; the oracle counts the same triangles via the simpler "
+    "id-ordered form (per-node counts are orientation-invariant)",
+)
+def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem")
+    # deterministic 1/10 order subset: the FULL co-purchase graph at sf0.1
+    # is 1.2M edges / 72M wedges (~9 s of pure wedge enumeration) — a
+    # bench fixture, not an operator limit; the subset keeps the same
+    # plan shape at ~1/100 the wedge count
+    ps = (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = ps.select("ok", F.col("pk").alias("p1"))
+    b = ps.select("ok", F.col("pk").alias("p2"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    out = triangle_counts(edges, "src", "dst")
+    return (
+        out.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+        .limit(20)
+        .select(F.col("node"), F.col("n_triangles"))
+    )
+
+
 def _incremental_dedup_sql() -> str:
     perm_rows = ", ".join(
         f"({i}, {a}::BIGINT, {b}::BIGINT)"

@@ -195,3 +195,44 @@ class TestPageRank:
                 ).collect()
             }
             assert fast == general, f"broadcast_nodes_max={bmax}"
+
+
+class TestTriangleCounts:
+    def test_k4_and_normalization(self, spark):
+        from sdg_big_data_spark.operators.graph import triangle_counts
+
+        # K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in exactly 3.
+        # Noise: self-loop, duplicate edge, reversed duplicate, and a
+        # pendant node 5 (in no triangle -> absent from output).
+        edges = [(1,2),(1,3),(1,4),(2,3),(2,4),(3,4),
+                 (2,1),(3,3),(1,2),(4,5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(df).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_differential_vs_naive(self, spark):
+        from pyspark.sql import functions as F
+
+        from sdg_big_data_spark.operators.graph import triangle_counts
+
+        # seeded random graph on 20 nodes, dense enough to contain many
+        # triangles (Python's Mersenne Twister is stable across runs)
+        import random
+
+        rng = random.Random(7)
+        rows = [(rng.randrange(20), rng.randrange(20)) for _ in range(120)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(df).collect()}
+
+        e = {(min(a, b), max(a, b)) for a, b in rows if a != b}
+        naive = {}
+        es = sorted({x for p in e for x in p})
+        for a in es:
+            for b in es:
+                for c in es:
+                    if a < b < c and (a, b) in e and (b, c) in e and (a, c) in e:
+                        for n in (a, b, c):
+                            naive[n] = naive.get(n, 0) + 1
+        assert got == naive and naive  # non-vacuous
