@@ -8,11 +8,12 @@ training-data pipeline needs it for retrieval-based decontamination,
 seed-query corpus mining, and hard-negative mining for embedding
 training.
 
-Scale shape: one tokenize→explode pass over the corpus (linear),
-immediately filtered to the query's terms — so the shuffled (doc, term)
-frame is proportional to the corpus' HITS for the query, not the
-corpus; document frequencies collapse to a query-sized frame the
-planner broadcasts; doc-length stats are 1-row. The global top-k is a
+Scale shape: two narrow tokenize passes over the corpus (a 1-row
+stats aggregate, and an explode immediately filtered to the query's
+terms with the doc length riding on each token row) — the ONLY shuffle
+in the query is the hits-sized (doc, term) tf aggregate; nothing
+corpus-sized is ever exchanged. Document frequencies collapse to a
+query-sized frame the planner broadcasts. The global top-k is a
 TakeOrdered (per-partition heap + driver merge of k·partitions rows),
 never a full sort.
 """
@@ -54,23 +55,30 @@ def bm25_topk(
     (bm25 desc, id asc).
     """
     terms = [str(t) for t in query_terms]
-    toks = docs.select(
-        F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("__tok")
-    )
-    # per-doc length from the SAME tokenization (one extra narrow agg on
-    # the exploded frame — the exchange below reuses it)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
-    # corpus stats: 1 row (doc count + average length)
-    stats = dl.agg(
+    arr = docs.select(F.col(id_col), T.tokenize(F.col(text_col)).alias("__arr"))
+    # corpus stats: 1 row (doc count + average length) — a narrow
+    # map-side aggregate over per-row array sizes, NO corpus shuffle
+    stats = arr.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
-        F.avg("__dl").alias("__avgdl"),
+        F.avg(F.size("__arr")).alias("__avgdl"),
+    )
+    # the doc length rides WITH each exploded token row, so per-doc
+    # length needs no separate corpus-wide groupBy/join — the only
+    # shuffle in the whole query is the hits-sized tf aggregate below
+    toks = arr.select(
+        F.col(id_col),
+        F.size("__arr").alias("__dl"),
+        F.explode("__arr").alias("__tok"),
     )
     # term frequencies for QUERY terms only — the filter runs before the
     # shuffle, so the (doc, term) exchange carries hits, not the corpus
     tf = (
         toks.where(F.col("__tok").isin(terms))
         .groupBy(id_col, "__tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__tf"),
+            F.first("__dl").alias("__dl"),
+        )
     )
     # document frequency per term: query-sized output, broadcast back
     dfreq = tf.groupBy("__tok").agg(
@@ -78,7 +86,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "__tok")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
