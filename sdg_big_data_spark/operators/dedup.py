@@ -159,7 +159,16 @@ def set_similarity_join(
             F.size("arr").alias("n_sh"),
         )
     )
-    pref_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 1
+    # Prefix length is the textbook n - ceil(t*n) + 1 PLUS a 2-token
+    # guard: ceil over the DOUBLE product t*n can land one above the
+    # exact ceiling when t*n sits on an integer (e.g. fl(0.55*100) =
+    # 55.00000000000001 → ceil 56, exact 55), and the verify stage's
+    # double division grants qualifying pairs one more unit of slack —
+    # either alone shortens the safe prefix by one and silently MISSES
+    # an exactly-at-threshold pair. Two extra prefix tokens per doc
+    # absorb both error sources; candidates only grow marginally and
+    # the verify stage is exact either way.
+    pref_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 3
     prefix = docs_arr.select(
         "id", "n_sh", F.explode(F.slice("toks", F.lit(1), pref_len)).alias("ptok")
     )
@@ -168,10 +177,11 @@ def set_similarity_join(
     cand = (
         a.join(b, "ptok")
         .where(F.col("id_a") < F.col("id_b"))
-        # length filter: J >= t forces t*n_a <= n_b <= n_a/t
+        # length filter: J >= t forces t*n_a <= n_b <= n_a/t — relaxed
+        # by the same 2-unit float guard (pruning only; verify is exact)
         .where(
-            (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
-            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+            (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")) - 2)
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")) - 2)
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -470,3 +470,70 @@ class TestIncrementalDedup:
         index = spark.createDataFrame([], "doc_id long, text string")
         got = dedup.incremental_dedup(new, index, "doc_id", "text").collect()
         assert [(r["doc_id"], r["status"]) for r in got] == [(1, "kept")]
+
+
+class TestSetSimilarityJoinFloatBoundary:
+    """fl(t*n) can round UP across an integer (fl(0.28*25) =
+    7.000000000000001 -> ceil 8, exact 7), which under the textbook
+    prefix length n-ceil(t*n)+1 silently misses pairs whose overlap sits
+    exactly at the threshold. The operator carries a 2-token prefix
+    guard for this; these tests pin the adversarial construction."""
+
+    def test_exact_threshold_pair_at_float_boundary(self, spark):
+        from pyspark.sql import functions as F
+
+        from sdg_big_data_spark.operators import dedup
+
+        # A: 27 distinct tokens -> 25 distinct shingles.
+        # B: A's last 9 tokens -> its 7 shingles are A's last 7, so
+        # i=7, n_a=25, n_b=7 -> jaccard = 7/25 = 0.28 exactly, and the
+        # shared shingles (df=2) sort AFTER A's unshared ones (df=1) —
+        # precisely the suffix the unguarded prefix would skip.
+        toks = [f"w{i:02d}" for i in range(27)]
+        a_text = " ".join(toks)
+        b_text = " ".join(toks[-9:])
+        docs = spark.createDataFrame(
+            [(1, a_text), (2, b_text)], "doc_id long, text string"
+        )
+        got = dedup.set_similarity_join(docs, "doc_id", "text", 0.28).collect()
+        assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+        assert abs(got[0].jaccard - 0.28) < 1e-12
+        # and it agrees with brute force
+        want = (
+            dedup.jaccard_pairs(docs, "doc_id", "text")
+            .where(F.col("jaccard") >= 0.28)
+            .collect()
+        )
+        assert len(want) == 1
+
+    def test_randomized_differential_vs_bruteforce(self, spark):
+        """Random small-alphabet corpora across a threshold sweep that
+        includes the float-boundary values: prefix-filtered result must
+        equal the brute-force filter exactly, every time."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from sdg_big_data_spark.operators import dedup
+
+        rng = random.Random(13)
+        words = [f"t{i}" for i in range(8)]
+        for trial in range(4):
+            rows = [
+                (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 12))))
+                for i in range(10)
+            ]
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+            pairs = dedup.jaccard_pairs(docs, "doc_id", "text")
+            for t in (0.28, 0.4, 0.55, 0.7, 1.0):
+                got = {
+                    (r.id_a, r.id_b)
+                    for r in dedup.set_similarity_join(
+                        docs, "doc_id", "text", t
+                    ).collect()
+                }
+                want = {
+                    (r.id_a, r.id_b)
+                    for r in pairs.where(F.col("jaccard") >= t).collect()
+                }
+                assert got == want, (trial, t, got ^ want)
