@@ -47,6 +47,25 @@ def register_checkpoint_ids(spark, ids) -> None:
         _LIVE_CKPT.append((spark, frozenset(ids)))
 
 
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` + register the persistent-RDD ids it
+    created for release by :func:`release_caches`/:func:`cache_scope`.
+
+    Use where a narrow intermediate feeds MANY downstream branches and
+    the goal is truncating the LOGICAL plan (a cache only dedups
+    execution; analysis still walks the full subtree once per branch —
+    measured ~1 s of planning on the composed curation query). Unlike a
+    cache, dropping a checkpoint does NOT fall back to recompute — the
+    blocks must outlive every consumer, which the registry guarantees
+    for the within-action lifetime operators need."""
+    spark = df.sparkSession
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    register_checkpoint_ids(spark, after - before)
+    return out
+
+
 def live_cache_count() -> int:
     return len(_LIVE)
 

@@ -151,11 +151,16 @@ def survival_report(
     conditional aggregation. This is the audit shape for 100 TB runs —
     the corpus-wide featurizer runs once, nothing stage-sized is cached —
     and `test_pipelines` pins it row-for-row to :func:`run`'s frames."""
+    from ..cachescope import tracked_local_checkpoint
+
     feats = text.quality_features(docs.select(id_col, text_col), text_col)
-    # cached: ~33 bytes/row (id, count, 3 flags, md5) — NOT stage-sized —
-    # and referenced by the keep-set aggregate AND the final flag join;
-    # uncached the triple-tokenizer featurization runs twice
-    flags = scoped_cache(feats.select(
+    # eagerly checkpointed, not merely cached: ~33 bytes/row (id, count,
+    # 3 flags, md5) — NOT stage-sized — and its SUBTREE would otherwise
+    # reappear in every downstream branch (keep-set aggregate, final
+    # flag join, and through e_docs the whole near-dup chain), costing
+    # ~1 s of pure plan analysis at sf0.1 on top of the double
+    # featurization a plain recompute would pay
+    flags = tracked_local_checkpoint(feats.select(
         F.col(id_col),
         F.col("q_n_tokens").cast("long").alias("n_tok"),
         (F.col("q_score") >= min_quality).alias("q_ok"),
@@ -165,7 +170,7 @@ def survival_report(
         ).alias("l_ok"),
         text.doc_fingerprint(F.col(text_col)).alias("fp"),
     ))
-    keep_e = (
+    keep_e = tracked_local_checkpoint(
         flags.where(F.col("l_ok"))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
