@@ -282,3 +282,130 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score every
+    document in the raw pool by how much it resembles a TARGET distribution,
+    using hashed-n-gram bag-of-words class models.
+
+    Two passes, matching the paper's fit/score split:
+
+    1. **Fit** — featurize each doc as unigrams+bigrams hashed into
+       ``buckets`` buckets (``portable_hash60 % B`` — per-row arithmetic,
+       no vocabulary, same encoder as the dedup family), then ONE
+       map-side-combined ``groupBy(bucket)`` producing the target and raw
+       gram histograms. Output is B rows regardless of corpus size.
+    2. **Score** — the B-bucket log-ratio table
+       ``delta_b = ln p_target(b) - ln q_raw(b)`` (Laplace-smoothed with
+       ``alpha``) is collected (codebook-sized, like the PQ codebooks) and
+       embedded as a LITERAL array; each doc's
+       ``log w = sum_g delta_{bucket(g)}`` is then a pure per-row array
+       expression over the re-derived gram list — ZERO shuffle in the
+       scoring pass at any corpus size.
+
+    At 100 TB: pass 1 shuffles B rows after map-side combine; pass 2 is
+    embarrassingly parallel. Nothing corpus-sized crosses the driver —
+    only the 2·B-long histogram.
+
+    Returns ``(id_col, n_grams, dsir_logw)`` — rank/threshold on
+    ``dsir_logw`` (or Gumbel-perturb it with a seeded per-row draw) to
+    select the target-like subset.
+    """
+    import math
+
+    from ..functions.text import let, ngrams, tokenize
+    from .dedup import portable_hash60
+
+    B = int(buckets)
+
+    def grams_of(t: Column) -> Column:
+        return F.concat(t, ngrams(t, 2))
+
+    g = docs.select(
+        is_target.cast("int").alias("is_t"),
+        F.explode(let(tokenize(F.col(text_col)), grams_of)).alias("g"),
+    )
+    hist = (
+        g.groupBy((portable_hash60(F.col("g")) % F.lit(B)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("cr"), F.sum("is_t").alias("ct"))
+        .collect()
+    )
+    ct = [0] * B
+    cr = [0] * B
+    for row in hist:
+        ct[int(row["b"])] = int(row["ct"])
+        cr[int(row["b"])] = int(row["cr"])
+    t_tot, r_tot = sum(ct), sum(cr)
+    a = float(alpha)
+    delta = [
+        math.log((ct[b] + a) / (t_tot + a * B))
+        - math.log((cr[b] + a) / (r_tot + a * B))
+        for b in range(B)
+    ]
+    delta_lit = F.array(*[F.lit(float(d)) for d in delta])
+
+    def score(t: Column) -> Column:
+        gs = grams_of(t)
+        lw = F.aggregate(
+            gs,
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.element_at(delta_lit, (portable_hash60(x) % F.lit(B) + 1).cast("int")),
+        )
+        return F.struct(
+            F.size(gs).cast("long").alias("n_grams"),
+            F.round(lw, 6).alias("dsir_logw"),
+        )
+
+    scored = let(tokenize(F.col(text_col)), score)
+    return docs.select(
+        F.col(id_col),
+        scored["n_grams"].alias("n_grams"),
+        scored["dsir_logw"].alias("dsir_logw"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity suppression gate (Sweeney 2002): every row whose
+    quasi-identifier combination is shared by fewer than ``k`` rows gets
+    its quasi-identifiers SUPPRESSED (nulled), so no released combination
+    identifies fewer than ``k`` individuals.
+
+    The released-training-data privacy floor that PII regex scrubbing
+    (:func:`scrub_pii`) cannot provide: rare attribute COMBINATIONS
+    (nation x segment x balance band) re-identify even with direct
+    identifiers removed.
+
+    One map-side-combined ``groupBy(quasi)`` to the equivalence-class
+    histogram (bounded by the quasi-id value space, not the corpus) +
+    one broadcast-out join back — no corpus-wide window. Returns the
+    input ids, the class size ``n_class``, ``is_k_anon``, and each quasi
+    column masked to NULL where the class is small.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n_class"))
+    keep = [F.col(id_col)] if id_col else [c for c in df.columns if c not in quasi_cols]
+    ok = F.col("n_class") >= k
+    masked = [
+        F.when(ok, F.col(c)).alias(c) for c in quasi_cols
+    ]
+    out = df.join(F.broadcast(sizes), quasi_cols)
+    return out.select(
+        *keep,
+        *masked,
+        F.col("n_class"),
+        ok.alias("is_k_anon"),
+    )

@@ -353,3 +353,64 @@ def run_checkpointed(
         "near_dedup": nd,
         "budget": budget_report(nd, text_col),
     }
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: documents that are
+    near-duplicates of each other ALWAYS land in the same split.
+
+    A plain per-doc hash split leaks evaluation data — a test doc whose
+    near-duplicate sits in train is memorized, not generalized (the
+    standard contamination failure mode measured by Lee et al.,
+    arXiv:2107.06499 §6). The fix is to split by CLUSTER, not by doc:
+
+    1. near-dup candidate pairs via MinHash+LSH band equi-join
+       (:func:`~..operators.dedup.minhash_lsh_candidates` — never
+       all-pairs);
+    2. connected components over the pair graph
+       (:func:`~..operators.graph.connected_components`) — every doc in
+       a dup cluster gets the cluster's min doc_id as representative;
+       docs with no near-dup represent themselves;
+    3. the REPRESENTATIVE id (not the doc id) is hashed into [0, 1) by
+       the engine-replayable multiplicative hash
+       (:func:`~..operators.sampling.hash_bucket`) and cut at the
+       cumulative fraction boundaries.
+
+    Returns ``docs`` ids + ``rep_id`` + ``split``. Scale: the LSH and CC
+    costs are the d_dup_clusters costs (banded equi-joins, rounds ~
+    cluster diameter); the split itself is a broadcast-sized left join
+    (components frame is dup-docs-only, typically ≪ corpus) plus pure
+    per-row arithmetic.
+    """
+    from ..operators.graph import connected_components
+    from ..operators.sampling import _MOD, hash_bucket
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+
+    cand = dedup.minhash_lsh_candidates(docs, id_col, text_col)
+    comp = connected_components(cand, "id_a", "id_b").select(
+        F.col("node").alias(id_col), F.col("component").alias("rep_id")
+    )
+    base = docs.select(id_col).join(comp, id_col, "left").withColumn(
+        "rep_id", F.coalesce(F.col("rep_id"), F.col(id_col))
+    )
+    u = hash_bucket(F.col("rep_id"))  # [0, 2^32)
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cut = int(acc * _MOD)
+        branch = F.when(u < F.lit(cut), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cut), F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return base.withColumn(split_col, expr)

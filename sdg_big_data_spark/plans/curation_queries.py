@@ -484,3 +484,101 @@ def t_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.withColumn(
         "n_same", F.count(F.lit(1)).over(W.partitionBy("canonical_url"))
     )
+
+
+# --- d_dsir_weights ---------------------------------------------------------
+
+_DSIR_B = 512
+
+_DSIR_SQL = f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(t || list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    hb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_B} AS b
+      FROM grams
+    ),
+    hist AS (
+      SELECT b, count(*) AS cr,
+             count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+      FROM hb GROUP BY b
+    ),
+    tot AS (SELECT sum(cr) AS r_tot, sum(ct) AS t_tot FROM hist),
+    w AS (
+      SELECT b,
+             ln((ct + 0.5) / (t_tot + {_DSIR_B} * 0.5))
+               - ln((cr + 0.5) / (r_tot + {_DSIR_B} * 0.5)) AS d
+      FROM hist CROSS JOIN tot
+    ),
+    per AS (
+      SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             sum(w.d) AS lw
+      FROM hb JOIN w USING (b) GROUP BY hb.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_grams, 0) AS n_grams,
+           round(COALESCE(per.lw, 0.0), 6) AS dsir_logw
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@register(
+    "d_dsir_weights",
+    sql=_DSIR_SQL,
+    tags=("curation", "data-selection"),
+    doc="DSIR importance log-weights (hashed unigram+bigram class models, "
+    "target = lang='en' docs vs the whole pool): fit is one map-side-"
+    "combined histogram to 512 rows; scoring embeds the log-ratio table "
+    "as a literal codebook so the per-doc pass is zero-shuffle at any "
+    "corpus size (arXiv:2302.03169)",
+)
+def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return quality.dsir_logweights(
+        docs, F.col("lang") == "en", buckets=_DSIR_B, alpha=0.5
+    )
+
+
+# --- dq_k_anonymity ---------------------------------------------------------
+
+
+@register(
+    "dq_k_anonymity",
+    sql="""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    sz AS (
+      SELECT c_nationkey, bal_band, count(*) AS n_class
+      FROM q GROUP BY 1, 2
+    )
+    SELECT q.c_custkey,
+           CASE WHEN sz.n_class >= 5 THEN q.c_nationkey END AS c_nationkey,
+           CASE WHEN sz.n_class >= 5 THEN q.bal_band END AS bal_band,
+           sz.n_class,
+           sz.n_class >= 5 AS is_k_anon
+    FROM q JOIN sz USING (c_nationkey, bal_band)
+    """,
+    tags=("privacy", "data-quality"),
+    doc="k-anonymity suppression gate (k=5) over quasi-identifiers "
+    "(nation x balance band): equivalence classes below k get their "
+    "quasi-ids nulled (Sweeney 2002) — the combination-level privacy "
+    "floor PII regex scrubbing cannot give; one bounded-cardinality "
+    "histogram + broadcast join back",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    )
+    return quality.k_anonymity(
+        cust, ["c_nationkey", "bal_band"], k=5, id_col="c_custkey"
+    )

@@ -982,3 +982,75 @@ def d_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataprep.survival_report(
         docs, min_quality=0.6, keep_langs=("en",), jaccard_threshold=0.8
     ).orderBy("stage")
+
+
+# --- d_leakage_split --------------------------------------------------------
+
+# Cut points computed EXACTLY as pipelines.dataprep.leakage_safe_split does
+# (same float accumulation), so the oracle's CASE thresholds are literal
+# copies of the operator's.
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_cuts() -> list[tuple[str, int]]:
+    cuts, acc = [], 0.0
+    items = list(_SPLIT_FRACS.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cuts.append((name, int(acc * 2**32)))
+    return cuts
+
+
+def _leakage_split_sql() -> str:
+    u = "(CAST(rep_id AS HUGEINT) * 2654435761) % 4294967296"
+    case = "CASE"
+    for name, cut in _split_cuts():
+        case += f" WHEN {u} < {cut} THEN '{name}'"
+    case += f" ELSE '{list(_SPLIT_FRACS)[-1]}' END"
+    return f"""
+    WITH RECURSIVE sig AS ({_minhash_sql()}),
+    bands AS (
+      SELECT doc_id, perm // 2 AS band,
+             array_to_string(list_sort(list(format('{{:d}}.{{:d}}', perm, minhash))), ':')
+               AS band_sig
+      FROM sig GROUP BY doc_id, perm // 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    cc(node, lab) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, cc.lab FROM cc JOIN edges e ON e.u = cc.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS comp_rep FROM cc GROUP BY node),
+    base AS (
+      SELECT d.doc_id, COALESCE(c.comp_rep, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, rep_id, {case} AS split FROM base
+    """
+
+
+@register(
+    "d_leakage_split",
+    sql=_leakage_split_sql(),
+    tags=("curation", "data-selection", "iterative"),
+    doc="leakage-safe train/val/test split: near-dup clusters (MinHash-LSH "
+    "candidates -> connected components) are assigned to ONE split by "
+    "hashing the cluster REPRESENTATIVE, so an eval doc can never have a "
+    "near-duplicate in train (the Lee et al. arXiv:2107.06499 SS6 "
+    "contamination mode). Oracle replays LSH + a recursive-CTE fixpoint + "
+    "the same multiplicative-hash cuts",
+)
+def d_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.dataprep import leakage_safe_split
+
+    docs = table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, dict(_SPLIT_FRACS))

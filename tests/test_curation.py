@@ -537,3 +537,153 @@ class TestSetSimilarityJoinFloatBoundary:
                     for r in pairs.where(F.col("jaccard") >= t).collect()
                 }
                 assert got == want, (trial, t, got ^ want)
+
+
+class TestDsirLogweights:
+    def test_target_like_docs_score_higher(self, spark):
+        # target docs speak "alpha beta"; off-target docs speak "gamma delta".
+        rows = []
+        for i in range(8):
+            rows.append((i, "en", "alpha beta alpha beta alpha"))
+        for i in range(8, 16):
+            rows.append((i, "de", "gamma delta gamma delta gamma"))
+        # one held-out doc per dialect, NOT in the target class
+        rows.append((16, "de", "alpha beta alpha"))
+        rows.append((17, "de", "gamma delta gamma"))
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = {
+            r["doc_id"]: r
+            for r in _rows(
+                quality.dsir_logweights(df, F.col("lang") == "en", buckets=64)
+            )
+        }
+        assert len(out) == 18
+        # the target-like held-out doc must outscore the off-target one
+        assert out[16]["dsir_logw"] > out[17]["dsir_logw"]
+        # target-vocabulary docs have positive weight, off-target negative
+        assert out[0]["dsir_logw"] > 0 > out[8]["dsir_logw"]
+
+    def test_empty_doc_weight_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", "alpha beta"), (2, "en", ""), (3, "de", "gamma")],
+            "doc_id long, lang string, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in _rows(
+                quality.dsir_logweights(df, F.col("lang") == "en", buckets=32)
+            )
+        }
+        assert out[2]["n_grams"] == 0
+        assert out[2]["dsir_logw"] == 0.0
+
+    def test_matches_hand_computation(self, spark):
+        # Single-token docs, no hash collisions checked explicitly: weight
+        # of a doc = sum over grams of ln(p_t(b)) - ln(p_r(b)).
+        import math as m
+
+        from sdg_big_data_spark.operators.dedup import portable_hash60
+
+        df = spark.createDataFrame(
+            [(1, "en", "alpha"), (2, "de", "beta")],
+            "doc_id long, lang string, text string",
+        )
+        B = 64
+        bucket = {
+            r["g"]: r["b"]
+            for r in spark.createDataFrame(
+                [("alpha",), ("beta",)], "g string"
+            )
+            .select("g", (portable_hash60(F.col("g")) % B).alias("b"))
+            .collect()
+        }
+        # histogram: alpha -> target+raw, beta -> raw only
+        ct = {bucket["alpha"]: 1}
+        cr = {bucket["alpha"]: 1, bucket["beta"]: 1}
+        if bucket["alpha"] == bucket["beta"]:
+            pytest.skip("hash collision in fixture")
+        t_tot, r_tot = 1, 2
+        a = 0.5
+
+        def delta(b):
+            return m.log((ct.get(b, 0) + a) / (t_tot + a * B)) - m.log(
+                (cr.get(b, 0) + a) / (r_tot + a * B)
+            )
+
+        out = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in _rows(
+                quality.dsir_logweights(df, F.col("lang") == "en", buckets=B)
+            )
+        }
+        assert out[1] == pytest.approx(round(delta(bucket["alpha"]), 6), abs=2e-6)
+        assert out[2] == pytest.approx(round(delta(bucket["beta"]), 6), abs=2e-6)
+
+
+class TestKAnonymity:
+    def test_small_classes_suppressed(self, spark):
+        df = spark.createDataFrame(
+            [(i, "X", 1) for i in range(5)] + [(99, "Y", 2)],
+            "id long, qa string, qb long",
+        )
+        out = {
+            r["id"]: r
+            for r in _rows(quality.k_anonymity(df, ["qa", "qb"], k=5, id_col="id"))
+        }
+        assert out[0]["is_k_anon"] and out[0]["qa"] == "X" and out[0]["n_class"] == 5
+        assert not out[99]["is_k_anon"]
+        assert out[99]["qa"] is None and out[99]["qb"] is None
+        assert out[99]["n_class"] == 1
+
+    def test_no_id_col_keeps_payload(self, spark):
+        df = spark.createDataFrame(
+            [(1, "X", "payload")], "id long, qa string, body string"
+        )
+        row = _rows(quality.k_anonymity(df, ["qa"], k=2))[0]
+        assert row["body"] == "payload"
+        assert row["qa"] is None  # class of 1 < 2
+
+
+class TestLeakageSafeSplit:
+    def test_near_dups_share_split_and_rep(self, spark, sf_dir):
+        from sdg_big_data_spark.operators import dedup
+        from sdg_big_data_spark.operators.graph import connected_components
+        from sdg_big_data_spark.pipelines.dataprep import leakage_safe_split
+        from sdg_big_data_spark.plans.catalog import table as _table
+
+        docs = _table(spark, sf_dir, "documents")
+        out = leakage_safe_split(docs).cache()
+        try:
+            n = out.count()
+            assert n == docs.count()
+            # every LSH candidate pair lands in the SAME split
+            cand = dedup.minhash_lsh_candidates(docs, "doc_id", "text")
+            a = out.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            )
+            b = out.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            )
+            crossed = (
+                cand.join(a, "id_a").join(b, "id_b")
+                .where(F.col("sa") != F.col("sb"))
+                .count()
+            )
+            assert crossed == 0
+            # all three splits are populated and roughly proportioned
+            sizes = {r["split"]: r["n"] for r in _rows(
+                out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+            )}
+            assert set(sizes) == {"train", "val", "test"}
+            assert sizes["train"] > sizes["val"]
+            assert sizes["train"] > sizes["test"]
+            assert sizes["train"] / n > 0.6
+        finally:
+            out.unpersist()
+
+    def test_bad_fractions_raise(self, spark):
+        from sdg_big_data_spark.pipelines.dataprep import leakage_safe_split
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            leakage_safe_split(df, {"train": 0.5, "test": 0.4})

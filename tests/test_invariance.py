@@ -53,6 +53,11 @@ PROBES = [
     # downstream count)
     "d_ssjoin_prefix",
     "d_curation_e2e",
+    # round 4b: representative-hash split over an iterative CC fixpoint
+    # (cluster labels must not depend on partitioning) and the DSIR
+    # two-pass fit/score (collected histogram must be partition-exact)
+    "d_leakage_split",
+    "d_dsir_weights",
 ]
 
 
