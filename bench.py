@@ -161,6 +161,17 @@ def main() -> None:
     # query alone); steady-state is what a resident cluster sees, so one
     # untimed full pass precedes the measured passes.
     names = _full_headline()
+    # Targeted probe mode: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run
+    # to the named queries (used by the scale-up evidence runs to append
+    # newly added catalog entries to an existing 10x/100x record without
+    # re-benching the whole catalog).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = sorted(set(wanted) - set(names))
+        if unknown:
+            raise SystemExit(f"unknown queries in SPARK_GRAFT_BENCH_ONLY: {unknown}")
+        names = wanted
     for name in names:
         safe(name)
 

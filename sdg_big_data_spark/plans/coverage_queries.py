@@ -526,6 +526,79 @@ def e_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ev_ann_recall",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, {_VEC_DBL} AS v,
+             {_sql_bucket(_VEC_DBL, 64, 4)} AS bkt
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_dot_product(q.v, c.v)
+                              / (sqrt(list_dot_product(q.v, q.v))
+                                 * sqrt(list_dot_product(c.v, c.v))) DESC,
+                              c.vec_id ASC) AS rank
+            FROM b c CROSS JOIN q WHERE c.vec_id != q.vec_id)
+      WHERE rank <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_dot_product(q.v, c.v)
+                              / (sqrt(list_dot_product(q.v, q.v))
+                                 * sqrt(list_dot_product(c.v, c.v))) DESC,
+                              c.vec_id ASC) AS rank
+            FROM b c JOIN q ON c.bkt = q.bkt AND c.vec_id != q.vec_id)
+      WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hits,
+           round(CAST(n_hits AS DOUBLE) / 5.0, 4) AS recall_at_5
+    FROM hits
+    """,
+    tags=("evaluation", "similarity", "ann-lsh"),
+    doc="ANN quality harness: recall@5 of the LSH top-k path against the "
+    "exact brute-force ground truth, per query — the measurement loop "
+    "that justifies (or indicts) a chosen plane count before committing "
+    "a 100 TB index build; both paths reuse the catalog operators",
+)
+def ev_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    all_q = exact.select("query_id").distinct()
+    return all_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / 5.0, 4
+        ).alias("recall_at_5"),
+    )
+
+
 # --- F4 native home/work labeling (fully relational → oracle-checked) --------
 
 
