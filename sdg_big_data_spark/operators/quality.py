@@ -409,3 +409,48 @@ def k_anonymity(
         F.col("n_class"),
         ok.alias("is_k_anon"),
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based domain mixture (the multilingual α-sampling rule,
+    Conneau et al. arXiv:1911.02116 §3.1): sample source s with
+    probability ``q_s ∝ p_s^α`` where ``p_s`` is its natural token share.
+    ``α < 1`` flattens the distribution — low-resource domains are
+    upsampled relative to their raw share, high-resource ones damped —
+    without the hand-curated target table :func:`mixture_weights` needs.
+
+    rate_s = min(1, q_s · budget / tokens_s), same capping contract as
+    :func:`mixture_weights` (an under-provisioned source is taken whole
+    and the shortfall stays VISIBLE in expected_tokens).
+
+    One map-side-combined ``groupBy(source)`` pass; the two normalizers
+    (total tokens, Σ p^α) are source-cardinality aggregates broadcast
+    back — nothing corpus-sized moves.
+    """
+    from ..functions.text import token_count
+
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(F.col(text_col))).alias("src_tokens")
+    )
+    tot = per_src.agg(F.sum("src_tokens").cast("double").alias("__tot"))
+    p = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "__p", F.col("src_tokens") / F.col("__tot")
+    )
+    z = p.agg(F.sum(F.pow("__p", F.lit(float(alpha)))).alias("__z"))
+    q = F.pow("__p", F.lit(float(alpha))) / F.col("__z")
+    rate = F.least(
+        F.lit(1.0), q * F.lit(float(budget_tokens)) / F.col("src_tokens")
+    )
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "src_tokens",
+        F.round(q, 6).alias("q"),
+        F.round(rate, 6).alias("rate"),
+        F.floor(rate * F.col("src_tokens")).cast("long").alias("expected_tokens"),
+    )

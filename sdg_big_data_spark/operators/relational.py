@@ -345,3 +345,116 @@ def grouped_trend(
         F.regr_intercept(yd, xd).alias("intercept"),
         F.regr_r2(yd, xd).alias("r2"),
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch build (Cormode & Muthukrishnan 2005): the
+    mergeable FREQUENCY sketch completing the sketch family (HLL =
+    distinct, Theta = set ops, KLL = quantiles, CM = per-item counts).
+
+    Each row increments one cell per hash row: ``(i, h_i(key) mod w)``
+    for i in [0, depth). The build is one explode (depth cells per row)
+    + one map-side-combined groupBy to at most ``depth·width`` cells —
+    at 100 TB the shuffle carries the CELL table, not the keys. Sketches
+    over different partitions/days MERGE by summing cells (same shape as
+    the HLL/Theta/KLL rollups), so a persisted daily sketch absorbs a
+    new batch without rescanning history.
+
+    Each key is hashed ONCE (``portable_hash60('cm:' || key)``) and the
+    depth row-hashes are disjoint bit slices of that 60-bit value —
+    ``bucket_i = (h >> (i·log2 w)) & (w−1)`` — so the per-row hash cost
+    is constant in depth (measured 2.5 s → sub-second at sf0.1 for
+    d=4 against four independent md5s). Requires ``width`` a power of
+    two and ``depth·log2(width) ≤ 60``. Engine-portable: the oracle
+    replays every cell with the same shift/mask arithmetic.
+
+    Build order matters at scale: rows are FIRST collapsed by the
+    combined ``depth·log2(w)`` low hash bits (one map-side-combined
+    groupBy to at most distinct-keys rows — every cell coordinate is a
+    bit slice of this value, so nothing is lost), and only then the
+    already-aggregated frame explodes into depth cells. Exploding before
+    aggregating would multiply the pre-combine row volume by depth.
+
+    Returns ``(i, bucket, cnt)``.
+    """
+    from .dedup import portable_hash60
+
+    bits = _cm_check(depth, width)
+    h = portable_hash60(F.concat(F.lit("cm:"), F.col(key_col).cast("string")))
+    pre = df.groupBy((h % F.lit(1 << (depth * bits))).alias("__hlo")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (F.shiftright(F.col("__hlo"), i * bits) % F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        pre.select(F.explode(cells).alias("c"), "__n")
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("__n").alias("cnt"))
+    )
+
+
+def _cm_check(depth: int, width: int) -> int:
+    if width & (width - 1):
+        raise ValueError(f"width must be a power of two, got {width}")
+    bits = (width - 1).bit_length()
+    if depth * bits > 60:
+        raise ValueError(f"depth*log2(width)={depth * bits} exceeds the 60 hash bits")
+    return bits
+
+
+def _cm_cells(key: Column, depth: int, width: int) -> Column:
+    """The depth (i, bucket) probes for one key — shared by build and
+    estimate so they can never disagree on the hash."""
+    from .dedup import portable_hash60
+
+    bits = _cm_check(depth, width)
+    h = portable_hash60(F.concat(F.lit("cm:"), key.cast("string")))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (F.shiftright(h, i * bits) % F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min point estimates for a query key set: ``est(key) =
+    min_i sketch[i][h_i(key)]`` — an upper bound on the true count
+    (collisions only ever ADD), within ``2N/width`` of it with
+    probability ``1 - 2^-depth``.
+
+    The query set is dimension-sized by contract; each key expands to
+    ``depth`` probes that broadcast-join the cell table. Missing cells
+    count 0.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(_cm_cells(F.col(key_col), depth, width)).alias("p"),
+    ).select(key_col, F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["i", "bucket"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("cm_est"))

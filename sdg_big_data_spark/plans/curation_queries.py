@@ -582,3 +582,45 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.k_anonymity(
         cust, ["c_nationkey", "bal_band"], k=5, id_col="c_custkey"
     )
+
+
+# --- t_temperature_mix -------------------------------------------------------
+
+_TEMP_ALPHA = 0.5
+_TEMP_BUDGET = 20_000
+
+
+@register(
+    "t_temperature_mix",
+    sql=f"""
+    WITH c AS (
+      SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(src_tokens) AS DOUBLE) AS tot FROM c),
+    p AS (
+      SELECT source, src_tokens, src_tokens / tot AS p
+      FROM c CROSS JOIN t
+    ),
+    z AS (SELECT sum(pow(p, {_TEMP_ALPHA})) AS z FROM p)
+    SELECT source, src_tokens,
+           round(pow(p, {_TEMP_ALPHA}) / z, 6) AS q,
+           round(least(CAST(1 AS DOUBLE),
+                       pow(p, {_TEMP_ALPHA}) / z * {_TEMP_BUDGET} / src_tokens),
+                 6) AS rate,
+           CAST(floor(least(CAST(1 AS DOUBLE),
+                            pow(p, {_TEMP_ALPHA}) / z * {_TEMP_BUDGET} / src_tokens)
+                      * src_tokens) AS BIGINT) AS expected_tokens
+    FROM p CROSS JOIN z
+    """,
+    tags=("data-mixing", "curation"),
+    doc="temperature-based domain mixture (alpha-sampling, alpha=0.5): "
+    "q_s ~ p_s^alpha flattens the natural token distribution so "
+    "low-resource sources are upsampled without a hand-curated target "
+    "table; same one-pass + broadcast-normalizer shape as t_domain_mix",
+)
+def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return quality.temperature_mixture(
+        docs, _TEMP_ALPHA, _TEMP_BUDGET, source_col="source", text_col="text"
+    )

@@ -1539,3 +1539,68 @@ def e_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prototype"
         ),
     )
+
+
+# --- a_cm_heavy_hitters ------------------------------------------------------
+
+_CM_D, _CM_W = 4, 256
+_CM_I = "[" + ", ".join(str(i) for i in range(_CM_D)) + "]"
+# ONE md5 per key; the depth row-hashes are disjoint 8-bit slices —
+# identical shift/mask arithmetic to relational._cm_cells.
+_CM_HASH = (
+    "((('0x' || substr(md5('cm:' || CAST({k} AS VARCHAR)), 1, 15))::BIGINT "
+    ">> (8 * {i})) % " + str(_CM_W) + ")"
+)
+
+
+@register(
+    "a_cm_heavy_hitters",
+    sql=f"""
+    WITH probes AS (
+      SELECT ii.i,
+             {_CM_HASH.format(i="ii.i", k="l.l_suppkey")} AS bucket
+      FROM lineitem l CROSS JOIN (SELECT unnest({_CM_I}) AS i) ii
+    ),
+    cells AS (
+      SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM lineitem GROUP BY 1
+      ORDER BY exact_cnt DESC, suppkey ASC LIMIT 10
+    ),
+    est AS (
+      SELECT e.suppkey, min(c.cnt) AS cm_est
+      FROM exact e
+      CROSS JOIN (SELECT unnest({_CM_I}) AS i) ii
+      JOIN cells c
+        ON c.i = ii.i
+       AND c.bucket = {_CM_HASH.format(i="ii.i", k="e.suppkey")}
+      GROUP BY 1
+    )
+    SELECT e.suppkey, e.exact_cnt, est.cm_est
+    FROM exact e JOIN est USING (suppkey)
+    """,
+    tags=("sketch", "count-min"),
+    doc="count-min sketch heavy hitters (relational.cm_sketch/cm_estimate, "
+    "d=4 w=256): per-item frequency estimates from a mergeable "
+    "depth x width cell table — the frequency member of the sketch "
+    "family (HLL=distinct, Theta=set ops, KLL=quantiles); est >= exact "
+    "by construction, the oracle replays every hash cell",
+)
+def a_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import cm_estimate, cm_sketch
+
+    li = table(spark, sf_dir, "lineitem")
+    sketch = cm_sketch(li, "l_suppkey", depth=_CM_D, width=_CM_W)
+    exact = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("suppkey").asc())
+        .limit(10)
+    )
+    est = cm_estimate(sketch, exact, "suppkey", depth=_CM_D, width=_CM_W)
+    return exact.join(est, "suppkey").select(
+        "suppkey", "exact_cnt", F.col("cm_est")
+    )

@@ -52,3 +52,50 @@ def test_not_null(spark):
     df = spark.createDataFrame([("a", None), ("b", 1)], schema="k string, v int")
     with pytest.raises(A.DataAssertionError):
         A.expect_not_null(df, ["v"])
+
+
+class TestCountMinSketch:
+    def test_estimate_upper_bounds_exact_and_merges(self, spark):
+        import pyspark.sql.functions as F
+
+        from sdg_big_data_spark.operators.relational import cm_estimate, cm_sketch
+
+        rows = [(i % 7,) for i in range(700)] + [(99,)] * 5
+        df = spark.createDataFrame(rows, "k long")
+        sk = cm_sketch(df, "k", depth=4, width=64)
+        keys = df.select("k").distinct()
+        est = {
+            r["k"]: r["cm_est"]
+            for r in cm_estimate(sk, keys, "k", depth=4, width=64).collect()
+        }
+        exact = {
+            r["k"]: r["n"]
+            for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for k, n in exact.items():
+            assert est[k] >= n  # overestimate-only
+        # cells total = depth * rows
+        total = sk.agg(F.sum("cnt")).collect()[0][0]
+        assert total == 4 * len(rows)
+        # mergeability: sketch(a) + sketch(b) == sketch(a union b), cellwise
+        a, b = df.where("k < 4"), df.where("k >= 4")
+        merged = (
+            cm_sketch(a, "k", depth=4, width=64)
+            .unionByName(cm_sketch(b, "k", depth=4, width=64))
+            .groupBy("i", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        full = cm_sketch(df, "k", depth=4, width=64)
+        assert (
+            merged.exceptAll(full).count() == 0
+            and full.exceptAll(merged).count() == 0
+        )
+
+    def test_unseen_key_estimates_bounded_by_collisions(self, spark):
+        from sdg_big_data_spark.operators.relational import cm_estimate, cm_sketch
+
+        df = spark.createDataFrame([(1,)], "k long")
+        sk = cm_sketch(df, "k", depth=4, width=64)
+        unseen = spark.createDataFrame([(123456,)], "k long")
+        est = cm_estimate(sk, unseen, "k", depth=4, width=64).collect()[0]
+        assert est["cm_est"] in (0, 1)  # at most the single stored row

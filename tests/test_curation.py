@@ -687,3 +687,36 @@ class TestLeakageSafeSplit:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             leakage_safe_split(df, {"train": 0.5, "test": 0.4})
+
+
+class TestTemperatureMixture:
+    def test_flattens_toward_uniform(self, spark):
+        # srcA 9x the tokens of srcB; alpha=0.5 must give srcB a larger
+        # q than its natural share (upsampling low-resource).
+        df = spark.createDataFrame(
+            [(1, "srcA", " ".join(["t"] * 90)), (2, "srcB", " ".join(["u"] * 10))],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            r["source"]: r
+            for r in _rows(quality.temperature_mixture(df, 0.5, budget_tokens=50))
+        }
+        # natural share of B is .1; q_B = sqrt(.1)/(sqrt(.9)+sqrt(.1)) ~ .25
+        assert out["srcB"]["q"] == pytest.approx(0.25, abs=0.01)
+        assert out["srcA"]["q"] + out["srcB"]["q"] == pytest.approx(1.0, abs=1e-5)
+        # rates follow q * budget / tokens, capped at 1
+        assert out["srcB"]["rate"] == 1.0  # wants 12.5 of 10 -> capped
+        assert out["srcB"]["expected_tokens"] == 10
+        assert out["srcA"]["rate"] == pytest.approx(50 * 0.75 / 90, abs=1e-3)
+
+    def test_alpha_one_is_natural_share(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "x x x"), (2, "b", "y")],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            r["source"]: r
+            for r in _rows(quality.temperature_mixture(df, 1.0, budget_tokens=4))
+        }
+        assert out["a"]["q"] == pytest.approx(0.75)
+        assert out["b"]["q"] == pytest.approx(0.25)
