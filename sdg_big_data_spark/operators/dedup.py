@@ -359,8 +359,14 @@ def incremental_dedup(
     idx_fp = index_docs.select(
         T.doc_fingerprint(F.col(text_col)).alias("fp")
     ).distinct()
-    exact = fps.join(idx_fp, "fp", "left_semi").select(
-        F.col(id_col), F.lit(True).alias("is_exact")
+    # cached: three consumers (the anti-join feeding bands, the one
+    # feeding shingles, and the final status join) would otherwise each
+    # re-run the INDEX-side fingerprint aggregate — the expensive pass
+    # here. The frame is new-batch-id-sized, never index-sized.
+    exact = scoped_cache(
+        fps.join(idx_fp, "fp", "left_semi").select(
+            F.col(id_col), F.lit(True).alias("is_exact")
+        )
     )
     rest = new_docs.join(exact.select(id_col), id_col, "left_anti")
 

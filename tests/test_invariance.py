@@ -58,6 +58,10 @@ PROBES = [
     # two-pass fit/score (collected histogram must be partition-exact)
     "d_leakage_split",
     "d_dsir_weights",
+    # round 4c: sketch cells from bit-sliced hashes (cell counts must be
+    # partition-exact), top-k tie-breaks through two ANN paths
+    "a_cm_heavy_hitters",
+    "ev_ann_recall",
 ]
 
 
