@@ -658,9 +658,16 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("__units")
+        )
+        .withColumn(
+            # integer DIV keeps the half-up exact even past 2^53 units
+            "revenue",
+            F.expr("CAST((__units + 50) DIV 100 AS DOUBLE) / 100.0"),
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -717,9 +724,16 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("__units")
+        )
+        .withColumn(
+            # integer DIV keeps the half-up exact even past 2^53 units
+            "revenue",
+            F.expr("CAST((__units + 50) DIV 100 AS DOUBLE) / 100.0"),
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
@@ -921,3 +935,118 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return g.select(F.explode(rows).alias("__r")).select("__r.*")
+
+
+@register(
+    "tpch_q10_returns",
+    sql="""
+    SELECT c.c_custkey, c.c_name,
+           ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("tpch", "q10", "join", "topk"),
+    doc="TPC-H Q10 shape (returned-item reporting): 4-way "
+    "customer->orders->lineitem->nation join, quarter date window + "
+    "returnflag predicate pushed to both fact scans, revenue per "
+    "customer, top-20. Nation broadcasts; lineitem-orders is the one "
+    "big shuffle; TakeOrdered replaces the global sort. Revenue "
+    "accumulates in exact integer 1e-4 units (per-row product rounded "
+    "once) and the 2dp half-up happens in INTEGER space — float round() "
+    "semantics at .xx5 differ between engines (decimal-string vs binary "
+    "double), so no float ever meets a rounding boundary here",
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("__units")
+        )
+        .withColumn(
+            # integer DIV keeps the half-up exact even past 2^53 units
+            "revenue",
+            F.expr("CAST((__units + 50) DIV 100 AS DOUBLE) / 100.0"),
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_big_orders",
+    sql="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 210
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("tpch", "q18", "join", "semi", "topk"),
+    doc="TPC-H Q18 shape (large-volume customer): the HAVING subquery "
+    "becomes a selective key frame (lineitem groupBy orderkey, "
+    "sum(qty) > 210) that SEMI-joins orders before the wide joins — the "
+    "classic filter-early plan; customer joins after the fact side has "
+    "shrunk; TakeOrdered top-100",
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 210)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    cust = table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).join(
+        li, F.col("o_orderkey") == li["l_orderkey"]
+    )
+    return (
+        j.groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

@@ -534,3 +534,24 @@ def test_ssjoin_prefix_is_equi_join_all_the_way(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d_ssjoin_prefix")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q10_broadcasts_nation_and_pushes_filters(spark, sf_dir):
+    from sdg_big_data_spark.plans.catalog import REGISTRY, _load_all
+
+    _load_all()
+    q = REGISTRY["tpch_q10_returns"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # returnflag + date predicates reach the parquet scans
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan
+
+
+def test_tpch_q18_semi_join_prunes_orders(spark, sf_dir):
+    from sdg_big_data_spark.plans.catalog import REGISTRY, _load_all
+
+    _load_all()
+    q = REGISTRY["tpch_q18_big_orders"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
