@@ -367,10 +367,18 @@ def dsir_logweights(
         )
 
     scored = let(tokenize(F.col(text_col)), score)
-    return docs.select(
+    # Generate barrier: selecting two fields of the struct would inline
+    # the WHOLE scoring expression (tokenize + gram fold over the
+    # codebook) twice per row — CollapseProject re-duplicates even
+    # through an intermediate withColumn. explode(array(struct)) pins
+    # one evaluation; the fields project off the generated row.
+    once = docs.select(
+        F.col(id_col), F.explode(F.array(scored)).alias("__s")
+    )
+    return once.select(
         F.col(id_col),
-        scored["n_grams"].alias("n_grams"),
-        scored["dsir_logw"].alias("dsir_logw"),
+        F.col("__s.n_grams").alias("n_grams"),
+        F.col("__s.dsir_logw").alias("dsir_logw"),
     )
 
 
