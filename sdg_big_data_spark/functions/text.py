@@ -133,8 +133,15 @@ def lang_id(col: Column) -> Column:
                 for i, lang in enumerate(langs)
             ]
         )
-        best = F.array_max(scored)
-        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        # let-bound: `best` is referenced twice, and interpreted
+        # expressions get no CSE — unbound, the array_max over every
+        # language profile would run twice per row.
+        return let(
+            F.array_max(scored),
+            lambda best: F.when(best["hits"] > 0, best["lang"]).otherwise(
+                F.lit("und")
+            ),
+        )
 
     return let(tokenize(col), body)
 
@@ -150,49 +157,56 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     0-1 score. All codegen'd expressions — one narrow pass."""
     c = F.col(text_col)
     n_chars = F.length(c)
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
 
-    def feats(toks: Column) -> Column:
-        n_tok = F.size(toks)
-        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-        punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-        stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-        mean_tok_len = F.when(
-            n_tok > 0,
-            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok,
-        ).otherwise(F.lit(0.0))
-        score = (
-            F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
-            + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
-            + F.when(stop_ratio > 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
-            + F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), F.lit(0.2)).otherwise(
-                F.lit(0.0)
-            )
-        )
+    # The raw struct holds only COUNTERS (one tokenizer pass, one stopword
+    # filter, one length fold, one punct regex). Ratios and the composite
+    # score derive from the counters in the OUTER projection: interpreted
+    # higher-order expressions get no common-subexpression elimination, so
+    # referencing a ratio from the score inside the same struct would
+    # re-run its fold per reference (measured: the length aggregate
+    # appeared 3x in the plan before this split).
+    def counters(toks: Column) -> Column:
         return F.struct(
-            n_tok.cast("int").alias("n_tokens"),
-            F.round(punct_ratio, 4).alias("punct_ratio"),
-            F.round(stop_ratio, 4).alias("stopword_ratio"),
-            F.round(mean_tok_len, 4).alias("mean_token_len"),
-            F.round(score, 2).alias("score"),
+            F.size(toks).alias("n_tok"),
+            F.size(
+                F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+            ).alias("n_stop"),
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).alias(
+                "sum_len"
+            ),
+            (n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).alias(
+                "n_punct"
+            ),
         )
 
     # Two projections on purpose: __q is an expensive interpreted
-    # expression referenced 5×; the alias boundary makes it evaluate once
+    # expression referenced 4×; the alias boundary makes it evaluate once
     # (CollapseProject declines to inline non-cheap multi-referenced
     # aliases).
     q = F.col("__q")
+    n_tok, n_stop = q["n_tok"], q["n_stop"]
+    punct_ratio = F.when(n_chars > 0, q["n_punct"] / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, q["sum_len"] / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), F.lit(0.2)).otherwise(
+            F.lit(0.0)
+        )
+    )
     return (
-        df.withColumn("__q", let(tokenize(c), feats))
+        df.withColumn("__q", let(tokenize(c), counters))
         .select(
             "*",
             n_chars.alias("q_n_chars"),
-            q["n_tokens"].alias("q_n_tokens"),
-            q["punct_ratio"].alias("q_punct_ratio"),
-            q["stopword_ratio"].alias("q_stopword_ratio"),
-            q["mean_token_len"].alias("q_mean_token_len"),
-            q["score"].alias("q_score"),
+            n_tok.cast("int").alias("q_n_tokens"),
+            F.round(punct_ratio, 4).alias("q_punct_ratio"),
+            F.round(stop_ratio, 4).alias("q_stopword_ratio"),
+            F.round(mean_tok_len, 4).alias("q_mean_token_len"),
+            F.round(score, 2).alias("q_score"),
         )
         .drop("__q")
     )
