@@ -97,8 +97,12 @@ def chunk_plan(
             (F.floor((n - capacity + step - 1) / F.lit(step)) + 1).cast("int")
         )
     )
+    # Generate barrier: where(__n > 0) would otherwise push below the
+    # projection by substituting size(tokenize(text)) — two tokenizer
+    # runs per row (Filter + Project).
     staged = docs.select(
-        F.col(id_col), F.size(T.tokenize(F.col(text_col))).alias("__n")
+        F.col(id_col),
+        F.explode(F.array(F.size(T.tokenize(F.col(text_col))))).alias("__n"),
     ).where(F.col("__n") > 0)
     start = F.col("chunk_id").cast("long") * step
     return (

@@ -55,7 +55,15 @@ def bm25_topk(
     (bm25 desc, id asc).
     """
     terms = [str(t) for t in query_terms]
-    arr = docs.select(F.col(id_col), T.tokenize(F.col(text_col)).alias("__arr"))
+    # Generate barrier (explode of a 1-element array): a plain alias gets
+    # inlined by the optimizer into every consumer — the inferred
+    # size>0 filter below the token explode, the doc-length projection,
+    # and the explode input each re-ran the tokenizer (3x per row in the
+    # executed plan). Nothing pushes through a Generate, so the tokenizer
+    # runs ONCE here.
+    arr = docs.select(
+        F.col(id_col), F.explode(F.array(T.tokenize(F.col(text_col)))).alias("__arr")
+    )
     # corpus stats: 1 row (doc count + average length) — a narrow
     # map-side aggregate over per-row array sizes, NO corpus shuffle
     stats = arr.agg(

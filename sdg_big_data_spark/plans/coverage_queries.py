@@ -392,7 +392,6 @@ def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram rows per document through an exchange + sort for nothing).
     docs = table(spark, sf_dir, "documents")
     toks = text.tokenize(F.col("text"))
-    g5 = text.ngrams(toks, 5)
 
     def _stats(g: Column) -> Column:
         hs = F.transform(
@@ -413,16 +412,16 @@ def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    # Empty-doc guard as a CHEAP pre-filter on the exact precondition
-    # (>= 5 tokens ⟺ at least one 5-gram), NOT as `where(struct.isNotNull())`
-    # after the projection: Catalyst pushes an isnotnull predicate THROUGH
-    # the aliasing projection by substituting the full expression, so the
-    # entire md5+sliding-min chain was measured running twice per row
-    # (Filter + Project, both interpreted — no codegen CSE rescues
-    # higher-order functions). The pre-filter re-runs only the tokenizer.
+    # Generate barrier: predicates and aliases cannot push through a
+    # Generate, so the tokenizer runs ONCE per row — the empty-doc guard
+    # (>= 5 tokens ⟺ at least one 5-gram) then filters the materialized
+    # array, and the md5+sliding-min chain runs once on survivors. (The
+    # previous shape — a cheap token_count pre-filter — still re-ran the
+    # tokenizer in the Filter node below the projection.)
     return (
-        docs.where(text.token_count(F.col("text")) >= 5)
-        .select("doc_id", _stats(g5).alias("__s"))
+        docs.select("doc_id", F.explode(F.array(toks)).alias("__toks"))
+        .where(F.size("__toks") >= 5)
+        .select("doc_id", _stats(text.ngrams(F.col("__toks"), 5)).alias("__s"))
         .select("doc_id", "__s.n_fingerprints", "__s.min_fp", "__s.max_fp")
     )
 

@@ -1380,7 +1380,12 @@ def t_ngram_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
 
     docs = table(spark, sf_dir, "documents")
-    docs = docs.select(tokenize(F.col("text")).alias("toks"))
+    # Generate barrier: a plain alias would be inlined into the
+    # is_target test, the explode input, AND the inferred size>0 filter
+    # — three tokenizer runs per row during cache materialization.
+    docs = docs.select(
+        F.explode(F.array(tokenize(F.col("text")))).alias("toks")
+    )
     toks = docs.select(
         F.array_contains(F.col("toks"), "spark").alias("is_target"),
         F.explode("toks").alias("tok"),

@@ -151,7 +151,10 @@ def f8_dictionary_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.withColumn("__c", counts)
+        # Generate barrier: the where(__n > 0) below would otherwise be
+        # pushed through the projection by substituting the whole counts
+        # chain — tokenizer + three filters twice per row.
+        docs.select("doc_id", "lang", F.explode(F.array(counts)).alias("__c"))
         .select(
             "doc_id",
             "lang",
