@@ -615,7 +615,8 @@ def r2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping",
     sql="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
            CAST(o.o_orderdate AS DATE) AS o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -679,7 +680,8 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_volume",
     sql="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -735,6 +737,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             F.expr("CAST((__units + 50) DIV 100 AS DOUBLE) / 100.0"),
         )
+        .select("n_name", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
