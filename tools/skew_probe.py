@@ -197,6 +197,18 @@ def main() -> None:
 
     probe("dup_clique_ssjoin_prefix", p2b)
 
+    # --- probe 2c: giant near-dup CLUSTER through the leakage split -------
+    # 30% of docs collapse into ONE near-dup component (hot variant text
+    # above): connected-components label propagation must converge and the
+    # representative-hash split must run without a giant-cluster straggler
+    # (the component frame join is the stress point).
+    def p2c():
+        from sdg_big_data_spark.pipelines.dataprep import leakage_safe_split
+
+        leakage_safe_split(hot).write.format("noop").mode("overwrite").save()
+
+    probe("giant_cluster_leakage_split", p2c)
+
     # --- probe 3: fat stratum (80% of rows in one group) ------------------
     fat = ev.withColumn(
         "grp",
