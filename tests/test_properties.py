@@ -888,3 +888,110 @@ def test_interpolate_linear_matches_oracle(spark, panel):
                 assert g is not None and abs(g - want) < 1e-9, (
                     f"{k} t={d}: got {g!r} want {want!r} (obs={obs})"
                 )
+
+
+# --- round-4b operators: randomized differentials ---------------------------
+
+_r4_settings = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+
+
+@_r4_settings
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=120)
+)
+def test_cm_sketch_overestimates_and_totals(spark, keys):
+    """Count-min invariants on random multisets: every point estimate
+    upper-bounds the true count, and the cell table sums to depth·rows."""
+    import pyspark.sql.functions as F
+
+    from sdg_big_data_spark.operators.relational import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    sk = cm_sketch(df, "k", depth=3, width=32)
+    total = sk.agg(F.sum("cnt")).collect()[0][0]
+    assert total == 3 * len(keys)
+    est = {
+        r["k"]: r["cm_est"]
+        for r in cm_estimate(
+            sk, df.select("k").distinct(), "k", depth=3, width=32
+        ).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(keys)
+    for k, n in exact.items():
+        assert est[k] >= n
+
+
+@_r4_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # quasi value
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_k_anonymity_mask_iff_class_small(spark, rows):
+    """k-anonymity on random quasi-identifier combos: quasi columns are
+    NULL exactly when the combination's class size < k, and n_class is
+    the true per-combination count."""
+    from collections import Counter
+
+    from sdg_big_data_spark.operators.quality import k_anonymity
+
+    k = 3
+    data = [(i, qa, qb) for i, (qa, qb) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, qa long, qb long")
+    sizes = Counter((qa, qb) for _, qa, qb in data)
+    out = {
+        r["id"]: r
+        for r in k_anonymity(df, ["qa", "qb"], k=k, id_col="id").collect()
+    }
+    assert len(out) == len(data)
+    for i, qa, qb in data:
+        n = sizes[(qa, qb)]
+        r = out[i]
+        assert r["n_class"] == n
+        if n >= k:
+            assert r["is_k_anon"] and r["qa"] == qa and r["qb"] == qb
+        else:
+            assert not r["is_k_anon"] and r["qa"] is None and r["qb"] is None
+
+
+@_r4_settings
+@given(
+    st.lists(
+        st.sampled_from(["alpha beta gamma", "delta epsilon zeta", ""]),
+        min_size=2,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=1),
+)
+def test_dsir_row_order_invariant(spark, texts, rotate):
+    """DSIR log-weights are a pure function of the corpus MULTISET —
+    reordering/rotating the input rows changes nothing (the fit
+    histogram is exact integer counts; scoring is per-row)."""
+    from sdg_big_data_spark.operators.quality import dsir_logweights
+    import pyspark.sql.functions as F
+
+    rows = [(i, "en" if i % 2 == 0 else "de", t) for i, t in enumerate(texts)]
+    perm = rows[len(rows) // 2 :] + rows[: len(rows) // 2] if rotate else rows
+    a = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    b = spark.createDataFrame(perm, "doc_id long, lang string, text string").repartition(7)
+    wa = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_logweights(a, F.col("lang") == "en", buckets=32).collect()
+    }
+    wb = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_logweights(b, F.col("lang") == "en", buckets=32).collect()
+    }
+    assert wa == wb
