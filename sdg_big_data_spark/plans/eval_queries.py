@@ -644,3 +644,72 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t_welch", 4).alias("t_welch"),
         F.round("dof", 2).alias("dof"),
     )
+
+
+# --- dq_benford --------------------------------------------------------------
+
+# Benford first-digit expectation log10(1 + 1/d), rounded once so both
+# engines consume identical literals.
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {p!r})" for d, p in _BENFORD_P.items()
+)
+
+
+@register(
+    "dq_benford",
+    sql=f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM obs),
+    exp_p(digit, p) AS (VALUES {_BENFORD_VALUES})
+    SELECT e.digit, COALESCE(o.n, 0) AS n,
+           round(COALESCE(o.n, 0) / t.t, 6) AS obs_frac,
+           round(CAST(e.p AS DOUBLE), 6) AS benford_p,
+           round(t.t * pow(COALESCE(o.n, 0) / t.t - CAST(e.p AS DOUBLE), 2)
+                 / CAST(e.p AS DOUBLE), 4)
+             AS chi2_term
+    FROM exp_p e
+    LEFT JOIN obs o USING (digit)
+    CROSS JOIN tot t
+    """,
+    tags=("data-quality", "benford"),
+    doc="Benford first-digit drift gate: observed first-significant-digit "
+    "distribution of a monetary column vs log10(1+1/d), with per-digit "
+    "chi-square terms — the classic fabricated-/corrupted-data detector "
+    "for numeric feeds; one map-side-combined 9-row aggregate at any "
+    "corpus size",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    exp_df = obs.sparkSession.createDataFrame(
+        sorted(_BENFORD_P.items()), "digit long, p double"
+    )
+    j = (
+        exp_df.join(obs, "digit", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    frac = F.col("n") / F.col("t")
+    return j.select(
+        "digit",
+        "n",
+        F.round(frac, 6).alias("obs_frac"),
+        F.round(F.col("p"), 6).alias("benford_p"),
+        F.round(F.col("t") * F.pow(frac - F.col("p"), 2) / F.col("p"), 4).alias(
+            "chi2_term"
+        ),
+    )
