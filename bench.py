@@ -191,17 +191,53 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None  # non-standard dir name (e.g. a scaled /tmp/sfx1 fixture)
-    out = {
+    # FULL per-query record (3dp, every catalog entry + errors) goes to a
+    # committed file; the PRINTED line must stay under ~1.9 KB because the
+    # harness that records it captures only the final ~2000 characters of
+    # output — round 4's full-catalog line (~3 KB) started mid-line in
+    # that capture and was recorded as unparseable ("parsed": null), so
+    # the whole round's numbers fell off the record.
+    full = {
         "metric": "headline_query_wall_seconds_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "n": N_RUNS,
+        "n_queries": len(timings),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
+            json.dumps(full, indent=1, sort_keys=True) + "\n"
+        )
+    except OSError:
+        pass  # read-only checkout: the printed line still carries the gist
+    anchored = {q: timings[q] for q in HEADLINE if q in timings}
+    out = {
+        "metric": "headline_query_wall_seconds_total",
+        "value": full["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        # the r1/r3-comparable 61-query anchor total (r3 record: 54.9 s)
+        "anchor61_total": round(sum(anchored.values()), 3),
+        "queries": {q: round(t, 2) for q, t in anchored.items()},
+        "sf": sf,
+        "n": N_RUNS,
+    }
+    if errors:
+        out["n_errors"] = len(errors)
+        out["errors_see"] = "BENCH_FULL.json"
+    line = json.dumps(out, separators=(",", ":"))
+    while len(line) > 1900 and out["queries"]:
+        # drop the cheapest anchored entries until the line fits — their
+        # timings remain in BENCH_FULL.json
+        drop = min(out["queries"], key=out["queries"].get)
+        del out["queries"][drop]
+        out["queries_truncated"] = True
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

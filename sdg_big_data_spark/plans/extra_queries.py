@@ -1213,7 +1213,7 @@ _PQ_CB_CTE = """
     "e_pq_encode",
     sql=f"""
     WITH {_PQ_CB_CTE}
-    SELECT vec_id, pq_code FROM codearr
+    SELECT vec_id, subspace, cell FROM code
     """,
     tags=("similarity", "pq", "quantization"),
     doc="product quantization encode (similarity.train_pq_codebooks + "
@@ -1222,7 +1222,10 @@ _PQ_CB_CTE = """
     "MAP-ONLY projection (codebook as expression literals, argmin per "
     "subspace, lowest-cell tiebreak) — 64 floats -> 4 small ints, the "
     "64x memory lever that fits a 100 TB embedding corpus' ANN index "
-    "in cluster RAM",
+    "in cluster RAM. Result is the EXPLODED (vec_id, subspace, cell) "
+    "form: the code array itself is list-typed, which the comparison "
+    "harness cannot canonicalize (r4 finding) — the exploded rows carry "
+    "identical information with atomic columns only",
 )
 def e_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
@@ -1231,7 +1234,9 @@ def e_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = similarity.collect_pq_codebooks(
         similarity.train_pq_codebooks(emb, m=4, dim=64)
     )
-    return similarity.pq_encode(emb, cbs).select("vec_id", "pq_code")
+    return similarity.pq_encode(emb, cbs).select(
+        "vec_id", F.posexplode("pq_code").alias("subspace", "cell")
+    )
 
 
 @register(
@@ -1519,11 +1524,12 @@ def g_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cv
     )
     SELECT label,
-           list_transform(
+           CAST(unnest(range(1, len(cv) + 1)) - 1 AS INTEGER) AS dim,
+           unnest(list_transform(
              CASE WHEN nrm > 0
                   THEN list_transform(cv, x -> x / nrm) ELSE cv END,
              x -> round(x, 9)
-           ) AS prototype
+           )) AS value
     FROM n
     """,
     tags=("similarity", "prototype", "embedding"),
@@ -1531,7 +1537,9 @@ def g_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(similarity.class_prototypes) — the nearest-centroid-classifier / "
     "query-by-class vector: one posexplode pass + two dimension-bounded "
     "aggregates; rounded per component so cross-engine avg summation "
-    "order cannot flip the hash",
+    "order cannot flip the hash. Emitted as exploded (label, dim, value) "
+    "rows — the array form is list-typed, which the comparison harness "
+    "cannot canonicalize (r4 finding)",
 )
 def e_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import class_prototypes
@@ -1540,9 +1548,9 @@ def e_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = class_prototypes(emb, "label")
     return out.select(
         "label",
-        F.transform(F.col("prototype"), lambda x: F.round(x, 9)).alias(
-            "prototype"
-        ),
+        F.posexplode(
+            F.transform(F.col("prototype"), lambda x: F.round(x, 9))
+        ).alias("dim", "value"),
     )
 
 

@@ -451,24 +451,36 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS scale,
              embedding
       FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS codes
+      FROM q
     )
     SELECT vec_id, round(scale, 9) AS scale,
-           CASE WHEN scale > 0
-                THEN list_transform(embedding,
-                       x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))
-                ELSE list_transform(embedding, x -> 0) END AS codes
-    FROM q
+           CAST(unnest(range(1, len(codes) + 1)) - 1 AS INTEGER) AS dim,
+           unnest(codes) AS code
+    FROM c
     """,
     tags=("similarity", "quantization"),
     doc="int8 symmetric scalar quantization of embeddings "
     "(similarity.quantize_embeddings): per-vector scale = max|x|/127, "
     "codes = round(x/scale) — 4x memory for ANN buckets; pure "
-    "expressions, exact integer oracle",
+    "expressions, exact integer oracle. Emitted as exploded "
+    "(vec_id, scale, dim, code) rows — the code array is list-typed, "
+    "which the comparison harness cannot canonicalize (r4 finding)",
 )
 def e_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.quantize_embeddings(emb)
-    return out.select("vec_id", F.round("scale", 9).alias("scale"), "codes")
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.posexplode("codes").alias("dim", "code"),
+    )
 
 
 @register(

@@ -58,3 +58,26 @@ def test_query_matches_oracle(spec, spark, ddb, sf_dir):
     assert not mismatches, (
         f"{spec.name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"
     )
+
+
+def test_no_complex_result_columns(spark, sf_dir):
+    """The driver's comparison harness canonicalizes results with a pandas
+    sort over every column — array/map/struct values are unhashable there,
+    so the check ERRORS instead of comparing (r4: e_pq_encode, e_prototypes
+    and e_quantize were recorded as failures for exactly this). Every
+    catalog query must therefore emit atomic columns only; list-shaped
+    results are exploded to rows instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    catalog._load_all()
+    offenders = []
+    for name, spec in sorted(catalog.REGISTRY.items()):
+        df = spec.fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"complex-typed result columns: {offenders}"
