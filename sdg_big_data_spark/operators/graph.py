@@ -215,7 +215,12 @@ def pagerank(
     blow-up, just linear plan depth; measured 4.1→~2 s at sf0.1 from
     dropping the per-iteration materializations) — while longer runs
     checkpoint every 2 iterations. Explicit N = materialize every N
-    iterations.
+    iterations. EXCEPTION: when the graph has dangling nodes, each
+    iteration references the prior ranks frame TWICE (the dangling-mass
+    aggregate and the contribution join), so a lazy prior frame would
+    double the un-materialized subtree per iteration (2^n recompute) —
+    the loop therefore re-materializes a lazy ranks frame at the top of
+    every dangling-graph iteration, overriding the cadence.
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -265,8 +270,20 @@ def pagerank(
         "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
     )
     rank_ids: set[int] = set()
+    rank_is_lazy = False  # iteration 0's frame is a projection over the
+    # checkpointed nodes blocks — evaluating it twice is two cheap scans
     base = (1.0 - damping) / float(n_nodes)
     for _i in range(n_iter):
+        if has_dangling and rank_is_lazy:
+            # a dangling graph references the prior ranks frame TWICE per
+            # iteration (the mass aggregate below + the rw join) — left
+            # lazy, each iteration would DOUBLE the un-materialized
+            # subtree (2^n recompute, ADVICE r4), so materialize before
+            # the first of the two consumers regardless of the cadence
+            new_ranks, new_ids = _tracked_checkpoint(ranks)
+            _unpersist_ids(spark, rank_ids)
+            ranks, rank_ids = new_ranks, new_ids
+            rank_is_lazy = False
         if has_dangling:
             dangling = ranks.join(hint(dang), "node").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m")
@@ -324,11 +341,16 @@ def pagerank(
             new_ranks, new_ids = _tracked_checkpoint(stepped)
             _unpersist_ids(spark, rank_ids)  # superseded iteration state
             ranks, rank_ids = new_ranks, new_ids
+            rank_is_lazy = False
         else:
             # lazy step: the next iteration (or the consuming action)
             # extends this plan; any prior checkpoint stays persisted
-            # because the plan still reads from its blocks
+            # because the plan still reads from its blocks. Safe ONLY
+            # because each iteration consumes the previous ranks once —
+            # the dangling double-reference case re-materializes at the
+            # top of the next iteration.
             ranks = stepped
+            rank_is_lazy = True
     from ..cachescope import register_checkpoint_ids
 
     # the final frame is lazy (the last iteration never checkpoints) —

@@ -557,6 +557,17 @@ def ewma(
     vcol = value_col
     gcols = list(group_cols)
 
+    def _norm_key(t: tuple) -> tuple:
+        # NULL group keys must compare EQUAL to themselves across rows:
+        # pandas surfaces them as None or NaN, and NaN != NaN would
+        # restart the recursion on every row of a null-keyed group
+        # (ADVICE r4 — a silent divergence from the groupBy form, which
+        # treats nulls as one group). Map them to a private sentinel.
+        return tuple(
+            "\x00__null" if v is None or (isinstance(v, float) and v != v) else v
+            for v in t
+        )
+
     def fn(batches):
         # carry across Arrow batches: the partition is sorted by
         # (group, order), so a group's rows are contiguous across
@@ -568,7 +579,9 @@ def ewma(
             if n == 0:
                 continue
             xs = pdf[vcol].astype("float64").tolist()
-            keys = list(zip(*(pdf[g].tolist() for g in gcols)))
+            keys = [
+                _norm_key(t) for t in zip(*(pdf[g].tolist() for g in gcols))
+            ]
             out = [0.0] * n
             y = prev_y
             k0 = prev_key

@@ -399,22 +399,40 @@ def k_anonymity(
     identifiers removed.
 
     One map-side-combined ``groupBy(quasi)`` to the equivalence-class
-    histogram (bounded by the quasi-id value space, not the corpus) +
-    one broadcast-out join back — no corpus-wide window. Returns the
-    input ids, the class size ``n_class``, ``is_k_anon``, and each quasi
-    column masked to NULL where the class is small.
+    histogram + one join back — no corpus-wide window. The join-back is
+    NULL-SAFE (``<=>``): NULL is a legal quasi-identifier value and its
+    rows form an equivalence class like any other — a null-unsafe join
+    would silently DROP those rows from the release (ADVICE r4). No
+    broadcast hint either: quasi-combination cardinality approaches the
+    corpus size in exactly the low-k regimes this gate targets, so the
+    histogram is not guaranteed dimension-sized — AQE picks broadcast
+    when the statistics actually allow it. Returns the input ids, the
+    class size ``n_class``, ``is_k_anon``, and each quasi column masked
+    to NULL where the class is small.
     """
     sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n_class"))
-    keep = [F.col(id_col)] if id_col else [c for c in df.columns if c not in quasi_cols]
-    ok = F.col("n_class") >= k
+    left, right = df.alias("__ka_l"), sizes.alias("__ka_r")
+    cond = None
+    for c in quasi_cols:
+        e = F.col(f"__ka_l.{c}").eqNullSafe(F.col(f"__ka_r.{c}"))
+        cond = e if cond is None else (cond & e)
+    keep = (
+        [F.col(f"__ka_l.{id_col}").alias(id_col)]
+        if id_col
+        else [
+            F.col(f"__ka_l.{c}").alias(c)
+            for c in df.columns
+            if c not in quasi_cols
+        ]
+    )
+    ok = F.col("__ka_r.n_class") >= k
     masked = [
-        F.when(ok, F.col(c)).alias(c) for c in quasi_cols
+        F.when(ok, F.col(f"__ka_l.{c}")).alias(c) for c in quasi_cols
     ]
-    out = df.join(F.broadcast(sizes), quasi_cols)
-    return out.select(
+    return left.join(right, cond).select(
         *keep,
         *masked,
-        F.col("n_class"),
+        F.col("__ka_r.n_class").alias("n_class"),
         ok.alias("is_k_anon"),
     )
 

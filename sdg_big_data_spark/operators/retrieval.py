@@ -64,6 +64,12 @@ def bm25_topk(
     arr = docs.select(
         F.col(id_col), F.explode(F.array(T.tokenize(F.col(text_col)))).alias("__arr")
     )
+    # zero-token docs (URL-only text, empty strings) are NOT part of the
+    # scored collection: they can match no term, and the corpus stats
+    # must agree with the unnested-token view an oracle derives dl/N/
+    # avgdl from (ADVICE r4 — counting them skewed idf + length
+    # normalization vs that contract)
+    arr = arr.where(F.size("__arr") > 0)
     # corpus stats: 1 row (doc count + average length) — a narrow
     # map-side aggregate over per-row array sizes, NO corpus shuffle
     stats = arr.agg(

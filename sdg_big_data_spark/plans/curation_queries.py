@@ -564,14 +564,16 @@ def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN sz.n_class >= 5 THEN q.bal_band END AS bal_band,
            sz.n_class,
            sz.n_class >= 5 AS is_k_anon
-    FROM q JOIN sz USING (c_nationkey, bal_band)
+    FROM q JOIN sz ON q.c_nationkey IS NOT DISTINCT FROM sz.c_nationkey
+                  AND q.bal_band IS NOT DISTINCT FROM sz.bal_band
     """,
     tags=("privacy", "data-quality"),
     doc="k-anonymity suppression gate (k=5) over quasi-identifiers "
     "(nation x balance band): equivalence classes below k get their "
     "quasi-ids nulled (Sweeney 2002) — the combination-level privacy "
     "floor PII regex scrubbing cannot give; one bounded-cardinality "
-    "histogram + broadcast join back",
+    "histogram + null-safe join back (NULL quasi values form an "
+    "equivalence class; an equality join would drop those rows)",
 )
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(

@@ -58,6 +58,60 @@ def streaming_content_dedup(
     return streaming_key_dedup(fp, ["__fp"], ts_col, watermark).drop("__fp")
 
 
+def index_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch of :func:`streaming_index_dedup` — module-level so
+    the idempotence contract is directly testable: calling it twice with
+    the same ``batch_id`` (a foreachBatch RETRY after a committed write
+    but failed checkpoint advance) must leave the index identical.
+
+    The retry-critical step is EXCLUDING the batch's own
+    ``ingest_batch=<id>`` partition from the standing-index read: a
+    retry after a successful write otherwise sees the batch's docs
+    already in the index, statuses every one of them ``exact_dup``
+    against itself, and the overwrite then ERASES the batch from the
+    index (data loss, the opposite of idempotence)."""
+    from ..operators import dedup as batch_dedup
+
+    spark = batch.sparkSession
+    keep_min = batch_dedup.exact_dedup(batch, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    self_deduped = batch.join(keep_min, id_col, "left_semi")
+    try:
+        # basePath keeps the hive-style ingest_batch partition column
+        # visible so the batch's OWN prior write (a retry) can be
+        # filtered out — partition pruning drops that subdir at the scan
+        index = (
+            spark.read.option("basePath", index_dir)
+            .parquet(index_dir)
+            .where(F.col("ingest_batch") != F.lit(int(batch_id)))
+            .select(id_col, text_col)
+        )
+        have_index = index.limit(1).count() > 0
+    except Exception:
+        have_index = False
+    if have_index:
+        status = batch_dedup.incremental_dedup(
+            self_deduped, index, id_col, text_col, threshold
+        )
+        kept_ids = status.where(F.col("status") == "kept").select(id_col)
+        kept = self_deduped.join(kept_ids, id_col, "left_semi")
+    else:
+        kept = self_deduped
+    (
+        kept.select(id_col, text_col)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/ingest_batch={batch_id}")
+    )
+
+
 def streaming_index_dedup(
     stream: DataFrame,
     index_dir: str,
@@ -81,6 +135,9 @@ def streaming_index_dedup(
        ``ingest_batch=<id>`` subdirectory, written with overwrite — a
        foreachBatch RETRY of the same batch id rewrites the same
        directory, so the index never double-counts (idempotent sink).
+       The index read EXCLUDES the batch's own partition, so a retry
+       never statuses the batch against its own prior write (see
+       :func:`index_dedup_batch`, where the contract is tested).
 
     State lives entirely in the parquet index (id + text); nothing is
     held in executor memory between batches. At 100 TB the two index
@@ -91,31 +148,9 @@ def streaming_index_dedup(
 
     Returns the started StreamingQuery.
     """
-    from ..operators import dedup as batch_dedup
-
     def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        keep_min = batch_dedup.exact_dedup(batch, id_col, text_col).select(
-            F.col("canonical_id").alias(id_col)
-        )
-        self_deduped = batch.join(keep_min, id_col, "left_semi")
-        try:
-            index = spark.read.parquet(index_dir).select(id_col, text_col)
-            have_index = True
-        except Exception:
-            have_index = False
-        if have_index:
-            status = batch_dedup.incremental_dedup(
-                self_deduped, index, id_col, text_col, threshold
-            )
-            kept_ids = status.where(F.col("status") == "kept").select(id_col)
-            kept = self_deduped.join(kept_ids, id_col, "left_semi")
-        else:
-            kept = self_deduped
-        (
-            kept.select(id_col, text_col)
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/ingest_batch={batch_id}")
+        index_dedup_batch(
+            batch, batch_id, index_dir, id_col, text_col, threshold
         )
 
     writer = stream.writeStream.foreachBatch(_process).option(

@@ -643,6 +643,28 @@ class TestKAnonymity:
         assert row["body"] == "payload"
         assert row["qa"] is None  # class of 1 < 2
 
+    def test_null_quasi_values_form_a_class(self, spark):
+        """NULL is a legal quasi-identifier value (ADVICE r4): every
+        input row must appear in the release — a null-unsafe join-back
+        silently dropped null-quasi rows. Three rows share (NULL, 1) so
+        at k=3 they pass; the lone (NULL, 2) row is suppressed but still
+        EMITTED."""
+        df = spark.createDataFrame(
+            [(1, None, 1), (2, None, 1), (3, None, 1), (4, None, 2),
+             (5, "X", 1), (6, "X", 1), (7, "X", 1)],
+            "id long, qa string, qb long",
+        )
+        rows = {
+            r["id"]: r
+            for r in _rows(quality.k_anonymity(df, ["qa", "qb"], k=3, id_col="id"))
+        }
+        assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7]  # nothing vanishes
+        assert rows[1]["is_k_anon"] and rows[1]["n_class"] == 3
+        assert rows[1]["qa"] is None and rows[1]["qb"] == 1
+        assert not rows[4]["is_k_anon"] and rows[4]["n_class"] == 1
+        assert rows[4]["qb"] is None  # suppressed, not dropped
+        assert rows[5]["is_k_anon"] and rows[5]["qa"] == "X"
+
 
 class TestLeakageSafeSplit:
     def test_near_dups_share_split_and_rep(self, spark, sf_dir):

@@ -236,3 +236,37 @@ class TestTriangleCounts:
                         for n in (a, b, c):
                             naive[n] = naive.get(n, 0) + 1
         assert got == naive and naive  # non-vacuous
+
+def test_dangling_lazy_plan_does_not_blow_up(spark):
+    """ADVICE r4: with dangling nodes each iteration references the prior
+    ranks frame twice (mass aggregate + contribution join); under the
+    lazy n_iter<=4 default the un-materialized subtree used to double
+    per iteration (~2^n recompute). The loop now re-materializes a lazy
+    ranks frame at the top of every dangling-graph iteration — the final
+    plan must therefore reference the initial uniform-rank projection a
+    bounded number of times, not 2^(n-1)."""
+    from sdg_big_data_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"  # c dangling
+    )
+    out = pagerank(df, n_iter=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the uniform initial rank literal (1/n_nodes = 1/3) appears wherever
+    # iteration-0's projection is inlined; lazily-doubled plans inline it
+    # 2^(n-1) = 8 times, the materialized loop at most twice (the final
+    # iteration's two consumers read a checkpoint, not the projection)
+    hits = plan.count("0.3333333333333333")
+    assert hits <= 2, f"iteration-0 subtree inlined {hits}x — lazy blow-up"
+    # values unchanged by the materialization (numpy replay, as above)
+    import numpy as np
+
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    d, n = 0.85, 3
+    r = np.array([1 / 3, 1 / 3, 1 / 3])  # [a, b, c]
+    for _ in range(4):
+        m = r[2]
+        contrib = np.array([0.0, r[0], r[1]])
+        r = np.round((1 - d) / n + d * (contrib + m / n), 9)
+    for node, i in (("a", 0), ("b", 1), ("c", 2)):
+        assert abs(got[node] - r[i]) < 1e-9

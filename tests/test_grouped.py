@@ -251,3 +251,47 @@ class TestEwma:
         a = ewma(df, ["g"], ["t"], "x", 0.5).orderBy("g", "t").collect()
         b = ewma(df.repartition(17), ["g"], ["t"], "x", 0.5).orderBy("g", "t").collect()
         assert a == b
+
+    def test_null_group_key_is_one_group(self, spark):
+        """ADVICE r4: a NULL group key surfaces as None/NaN in the Arrow
+        batch; NaN != NaN meant every row of a null-keyed group restarted
+        the recursion (y = x) instead of accumulating — a silent change
+        from the groupBy semantics, which treat nulls as one group."""
+        import numpy as np
+
+        from sdg_big_data_spark.operators.grouped import ewma
+
+        df = spark.createDataFrame(
+            [(None, 0, 1.0), (None, 1, 0.0), (None, 2, 0.0),
+             ("a", 0, 1.0), ("a", 1, 0.0)],
+            "g string, t long, x double",
+        )
+        got = {
+            (r["g"], r["t"]): r["ewma"]
+            for r in ewma(df, ["g"], ["t"], "x", 0.5).collect()
+        }
+        # null group must ACCUMULATE: 1.0 -> 0.5 -> 0.25, not restart at x
+        assert got[(None, 0)] == 1.0
+        assert np.isclose(got[(None, 1)], 0.5)
+        assert np.isclose(got[(None, 2)], 0.25)
+        # and be independent from the "a" group
+        assert got[("a", 0)] == 1.0 and np.isclose(got[("a", 1)], 0.5)
+
+    def test_nan_numeric_group_key_is_one_group(self, spark):
+        """Same contract for a DOUBLE group column whose null arrives as
+        NaN in pandas."""
+        import numpy as np
+
+        from sdg_big_data_spark.operators.grouped import ewma
+
+        df = spark.createDataFrame(
+            [(None, 0, 2.0), (None, 1, 0.0), (5.0, 0, 2.0)],
+            "g double, t long, x double",
+        )
+        got = {
+            (None if r["g"] is None else r["g"], r["t"]): r["ewma"]
+            for r in ewma(df, ["g"], ["t"], "x", 0.5).collect()
+        }
+        assert got[(None, 0)] == 2.0
+        assert np.isclose(got[(None, 1)], 1.0)  # accumulated, not restarted
+        assert got[(5.0, 0)] == 2.0

@@ -61,3 +61,27 @@ def test_partition_invariance(spark):
         for r in bm25_topk(df.repartition(13), ["gamma", "beta"], k=15).collect()
     ]
     assert a == b
+
+
+def test_zero_token_docs_excluded_from_corpus_stats(spark):
+    """ADVICE r4: a doc that tokenizes to empty (URL-only text) must not
+    count in N/avgdl — the oracle derives both from the unnested token
+    table, which such a doc never reaches. With it wrongly counted, idf
+    and length normalization shift for EVERY hit."""
+    base = [(1, "cat cat dog"), (2, "dog bird")]
+    with_empty = base + [(99, "http://only.a.link/")]  # tokenizes to []
+    a = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(
+            spark.createDataFrame(base, "doc_id long, text string"),
+            ["cat", "dog"], k=10,
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(
+            spark.createDataFrame(with_empty, "doc_id long, text string"),
+            ["cat", "dog"], k=10,
+        ).collect()
+    }
+    assert a == b  # the empty doc changes neither scores nor membership

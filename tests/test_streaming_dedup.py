@@ -156,3 +156,55 @@ def test_streaming_index_dedup_grows_index_without_dups(spark, tmp_path):
     q.awaitTermination()
     after2 = {r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()}
     assert after2 == {1, 2, 12}  # 10 exact-dup, 11 near-dup both rejected
+
+
+def test_index_dedup_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch retry contract (ADVICE r4, high): re-invoking the
+    batch processor with the SAME batch_id after a committed write — the
+    retry-after-failed-checkpoint-commit case — must leave the index
+    unchanged. Before the fix, the retry read the batch's own
+    ingest_batch partition back as 'the index', statused every doc as an
+    exact dup of itself, and the overwrite ERASED the batch's docs."""
+    from sdg_big_data_spark.streaming.dedup import index_dedup_batch
+
+    t0 = dt.datetime(2021, 1, 1, 12, 0, 0)
+    idx = str(tmp_path / "idx")
+    doc_a = (
+        "alpha document with some real content about distributed query "
+        "engines and their shuffle behavior at large scale"
+    )
+    doc_b = (
+        "beta document covering a wholly different topic of sampling "
+        "strategies for stratified survey estimation pipelines"
+    )
+    b0 = spark.createDataFrame(
+        [(1, t0, doc_a), (2, t0, doc_b)],
+        "doc_id long, ts timestamp, text string",
+    )
+    index_dedup_batch(b0, 0, idx, threshold=0.5)
+    after_first = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(idx).collect()
+    )
+    assert [d for d, _ in after_first] == [1, 2]
+
+    # retry of the SAME batch id: index must be byte-identical after
+    index_dedup_batch(b0, 0, idx, threshold=0.5)
+    after_retry = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(idx).collect()
+    )
+    assert after_retry == after_first
+
+    # a LATER batch still dedups against batch 0's docs (the partition
+    # exclusion is scoped to the batch's own id, not the whole index)
+    b1 = spark.createDataFrame(
+        [(10, t0, doc_a), (11, t0, "novel gamma content entirely new "
+                                   "tokens nothing shared with the index")],
+        "doc_id long, ts timestamp, text string",
+    )
+    index_dedup_batch(b1, 1, idx, threshold=0.5)
+    ids = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+    assert ids == {1, 2, 11}
+    # and retrying batch 1 changes nothing either
+    index_dedup_batch(b1, 1, idx, threshold=0.5)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+    assert ids2 == {1, 2, 11}
