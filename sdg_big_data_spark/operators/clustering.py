@@ -19,6 +19,8 @@ order, as in every distributed k-means.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,10 +70,20 @@ def kmeans(
     vec_col: str = "embedding",
     max_iter: int = 10,
     tol: float = 1e-6,
+    round_dp: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means. Returns (assignments frame with ``cluster_id``,
     final centroids). Deterministic init: the k rows with the smallest
-    key hash (stable across partitionings/reruns — SURVEY §7.5.5)."""
+    key hash (stable across partitionings/reruns — SURVEY §7.5.5).
+
+    ``round_dp`` pins the float trajectory for exact cross-engine
+    replay (the pagerank/EWMA discipline): each UPDATED centroid
+    component is rounded to ``floor(v·10^dp + 0.5)/10^dp`` — the same
+    formula a SQL oracle can state verbatim, so per-iteration
+    summation-order differences between engines cannot compound across
+    iterations. Initial centroids stay unrounded (float32→double is
+    exact in both engines), as do carried-over centroids of emptied
+    clusters."""
     init_rows = (
         df.select(id_col, vec_col)
         .orderBy(hash_bucket(F.col(id_col)), F.col(id_col))
@@ -95,7 +107,13 @@ def kmeans(
         for r in new_rows:
             acc.setdefault(r["cluster_id"], {})[r["pos"]] = r["v"]
         for cid, comps in acc.items():
-            new_cents[cid] = [comps[p] for p in sorted(comps)]
+            vals = [comps[p] for p in sorted(comps)]
+            if round_dp is not None:
+                m = 10.0 ** round_dp
+                # floor(v*10^dp + 0.5)/10^dp — NOT Python round() (it is
+                # half-even) — so the oracle can replay it verbatim
+                vals = [math.floor(v * m + 0.5) / m for v in vals]
+            new_cents[cid] = vals
         shift = max(
             sum((a - b) ** 2 for a, b in zip(old, new)) ** 0.5
             for old, new in zip(centroids, new_cents)

@@ -480,3 +480,54 @@ def temperature_mixture(
         F.round(rate, 6).alias("rate"),
         F.floor(rate * F.col("src_tokens")).cast("long").alias("expected_tokens"),
     )
+
+
+def chi2_categorical_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    laplace: float = 0.5,
+) -> DataFrame:
+    """Chi-square drift gate between a reference and a current CATEGORICAL
+    distribution — the discrete sibling of :func:`ks_statistic` (KS only
+    orders numeric values). The production question it answers: did the
+    event-type / source / language mix shift between two ingest windows?
+
+    expected_cur(c) = t_cur · (n_ref(c) + ``laplace``) / (t_ref + ``laplace``·k)
+    — Laplace smoothing keeps categories absent from the reference
+    finite-scored instead of dividing by zero; chi2_term(c) =
+    (n_cur(c) − expected)² / expected, Σ terms ~ χ²(k−1) under no drift.
+
+    Two map-side-combined category histograms + a full-outer join on the
+    category key + one category-sized totals aggregate broadcast back —
+    nothing corpus-sized shuffles twice, and the output is k rows.
+    Returns (category, n_ref, n_cur, expected_cur, chi2_term).
+    """
+    rc = ref.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    cc = cur.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    cats = (
+        rc.join(cc, "category", "full_outer")
+        .fillna(0, ["n_ref", "n_cur"])
+    )
+    tot = cats.agg(
+        F.sum("n_ref").alias("__t_ref"),
+        F.sum("n_cur").alias("__t_cur"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    j = cats.crossJoin(F.broadcast(tot))
+    p_ref = (F.col("n_ref") + F.lit(float(laplace))) / (
+        F.col("__t_ref") + F.lit(float(laplace)) * F.col("__k")
+    )
+    expected = p_ref * F.col("__t_cur")
+    term = (F.col("n_cur") - expected) * (F.col("n_cur") - expected) / expected
+    return j.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        F.round(expected, 6).alias("expected_cur"),
+        F.round(term, 6).alias("chi2_term"),
+    )

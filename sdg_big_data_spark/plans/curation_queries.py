@@ -626,3 +626,51 @@ def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.temperature_mixture(
         docs, _TEMP_ALPHA, _TEMP_BUDGET, source_col="source", text_col="text"
     )
+
+
+@register(
+    "dq_chi2_drift",
+    sql="""
+    WITH r AS (
+      SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_ref
+      FROM events WHERE day(ts) <= 15 GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_cur
+      FROM events WHERE day(ts) > 15 GROUP BY event_type
+    ),
+    cats AS (
+      SELECT COALESCE(r.category, c.category) AS category,
+             COALESCE(r.n_ref, 0) AS n_ref,
+             COALESCE(c.n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c ON r.category = c.category
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cats
+    )
+    SELECT category, n_ref, n_cur,
+           round((n_ref + 0.5) / (t_ref + 0.5 * k) * t_cur, 6)
+             AS expected_cur,
+           round(power(n_cur - (n_ref + 0.5) / (t_ref + 0.5 * k) * t_cur, 2)
+                 / ((n_ref + 0.5) / (t_ref + 0.5 * k) * t_cur), 6)
+             AS chi2_term
+    FROM cats CROSS JOIN tot
+    """,
+    tags=("data-quality", "drift"),
+    doc="chi-square categorical drift between ingest windows "
+    "(quality.chi2_categorical_drift): event-type mix of the first half "
+    "of the month vs the second — the discrete sibling of dq_ks_drift "
+    "(KS needs an ordered value). Two category histograms, full-outer "
+    "join on the category key, Laplace-smoothed expected counts; "
+    "category-sized everything after the two scans",
+)
+def dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import chi2_categorical_drift
+
+    ev = table(spark, sf_dir, "events")
+    ref = ev.where(F.dayofmonth("ts") <= 15)
+    cur = ev.where(F.dayofmonth("ts") > 15)
+    return chi2_categorical_drift(ref, cur, "event_type")

@@ -1617,3 +1617,104 @@ def a_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "suppkey").select(
         "suppkey", "exact_cnt", F.col("cm_est")
     )
+
+
+# --- e_kmeans_lloyd ----------------------------------------------------------
+
+
+def _kmeans_sql(k: int = 4, n_iter: int = 3, dp: int = 6) -> str:
+    """Exact unrolled-CTE oracle for Lloyd's k-means (the pagerank/BPE
+    discipline: a fixed-iteration distributed algorithm replayed as
+    declarative SQL). Distances use ORDERED list folds (list_sum over
+    list_transform — the same sequential component order as the engine's
+    zip_with+aggregate), and every UPDATED centroid component is pinned
+    to floor(avg·10^dp + 0.5)/10^dp in both engines, so per-iteration
+    summation-order differences cannot compound."""
+    m = 10 ** dp
+    hashexpr = "(CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296"
+    blocks = [
+        f"""
+    vecd AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT vec_id, unnest(range(1, len(v) + 1)) - 1 AS pos, unnest(v) AS x
+      FROM vecd
+    ),
+    centarr0 AS (
+      SELECT row_number() OVER (ORDER BY {hashexpr}, vec_id) - 1
+               AS cluster_id,
+             v AS cv
+      FROM vecd ORDER BY {hashexpr}, vec_id LIMIT {k}
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        blocks.append(
+            f"""
+    d{i} AS (
+      SELECT t.vec_id, c.cluster_id,
+             list_sum(list_transform(range(1, len(t.v) + 1),
+               j -> (t.v[j] - c.cv[j]) * (t.v[j] - c.cv[j]))) AS dist
+      FROM vecd t CROSS JOIN centarr{i - 1} c
+    ),
+    a{i} AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cluster_id ASC) AS rn
+        FROM d{i}) WHERE rn = 1
+    ),
+    upd{i} AS (
+      SELECT a.cluster_id, c.pos,
+             floor(avg(c.x) * {m} + 0.5) / {m} AS cv
+      FROM a{i} a JOIN comp c USING (vec_id)
+      GROUP BY a.cluster_id, c.pos
+    ),
+    centarr{i} AS (
+      SELECT p.cluster_id,
+             CASE WHEN u.cluster_id IS NULL THEN p.cv ELSE u.cva END AS cv
+      FROM centarr{i - 1} p
+      LEFT JOIN (
+        SELECT cluster_id, list(cv ORDER BY pos) AS cva
+        FROM upd{i} GROUP BY cluster_id) u
+      ON u.cluster_id = p.cluster_id
+    )"""
+        )
+    return f"""
+    WITH {",".join(blocks)}
+    SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id FROM (
+      SELECT t.vec_id, c.cluster_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_sum(list_transform(range(1, len(t.v) + 1),
+                 j -> (t.v[j] - c.cv[j]) * (t.v[j] - c.cv[j]))) ASC,
+               c.cluster_id ASC) AS rn
+      FROM vecd t CROSS JOIN centarr{n_iter} c
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "e_kmeans_lloyd",
+    sql=_kmeans_sql(),
+    tags=("similarity", "clustering", "iterative"),
+    doc="distributed Lloyd k-means (clustering.kmeans): k=4, 3 fixed "
+    "iterations over the embedding corpus. Deterministic init (k "
+    "smallest multiplicative-hash keys), assignment is a MAP-ONLY "
+    "projection per iteration (centroids ride in as expression "
+    "literals — the same plan shape as IVF assign / PQ encode), the "
+    "update is one posexplode + (cluster x dim)-sized map-side-combined "
+    "aggregate; nothing corpus-sized is ever collected or broadcast. "
+    "The oracle replays all 3 iterations as unrolled CTEs with the "
+    "float trajectory pinned per iteration (floor(avg*1e6+0.5)/1e6 in "
+    "both engines) — an iterative Spark algorithm with an exact "
+    "declarative oracle, like g_pagerank and t_bpe_merges",
+)
+def e_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(
+        emb, k=4, max_iter=3, tol=0.0, round_dp=6
+    )
+    return assigned.select("vec_id", "cluster_id")

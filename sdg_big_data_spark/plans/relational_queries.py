@@ -1053,3 +1053,430 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H classic shapes, round 5 — the remaining canonical OLAP patterns
+# (existence semi-join, pure-scan aggregate, conditional-sum pivot, promo
+# ratio, anti-join + distinct-count, disjunctive join predicates,
+# NOT-EXISTS + scalar subquery). Columns the TPC-H-ish fixture lacks
+# (l_shipmode, l_commitdate, p_container, c_phone) are substituted with
+# in-schema analogues that preserve each query's PLAN shape.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_priority_count",
+    sql="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("tpch", "q4", "semi-join"),
+    doc="TPC-H Q4 shape (order-priority checking): EXISTS correlated "
+    "subquery -> left-semi join with a NON-equi conjunct (late "
+    "shipment: l_shipdate > o_orderdate + 90 days; the fixture lacks "
+    "l_commitdate/l_receiptdate). The semi-join keeps each order at "
+    "most once regardless of how many lines are late — a plain inner "
+    "join + distinct would shuffle the multiplicity; the semi stops "
+    "probing a key at first match",
+)
+def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    sql="""
+    SELECT ((sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+             + 50) // 100) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "q6", "scan-agg"),
+    doc="TPC-H Q6 shape (forecasting revenue change): zero-join "
+    "scan-aggregate whose entire cost is the parquet scan — all four "
+    "predicates and the 3-column projection must reach the reader "
+    "(PushedFilters + ReadSchema; the plan gate for pushdown is "
+    "test_plans.py::test_filter_pushdown_reaches_scan). Revenue in "
+    "integer 1e-4 units, half-up to cents at the end — float-sum-order "
+    "proof like the other tpch_* entries",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+                .cast("long")
+            ).alias("__units")
+        )
+        .select(
+            F.expr("CAST((__units + 50) DIV 100 AS DOUBLE) / 100.0").alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q12_priority_by_flag",
+    sql="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("tpch", "q12", "conditional-agg"),
+    doc="TPC-H Q12 shape (shipping modes / order priority): fact-fact "
+    "equi-join with the date filter pushed to the lineitem scan, then "
+    "conditional sums pivoting priority into columns (the fixture "
+    "lacks l_shipmode; l_returnflag plays the mode dimension). The "
+    "CASE-sum form aggregates in one pass — no second groupBy per "
+    "priority class",
+)
+def tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    sql="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000) AS BIGINT) ELSE 0 END)
+             / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000) AS BIGINT)),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    tags=("tpch", "q14", "ratio"),
+    doc="TPC-H Q14 shape (promotion effect): one-month lineitem slice "
+    "joined to the part dimension (broadcast-eligible), promo share of "
+    "revenue as a conditional-sum ratio in a single aggregate pass. "
+    "Integer 1e-4 revenue units keep numerator and denominator exact, "
+    "so the ratio is engine-portable at 6dp",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", units).otherwise(0)).alias(
+                "__promo"
+            ),
+            F.sum(units).alias("__total"),
+        )
+        .select(
+            F.round(
+                100.0 * F.col("__promo") / F.col("__total"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    sql="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 50
+    """,
+    tags=("tpch", "q16", "anti-join"),
+    doc="TPC-H Q16 shape (parts/supplier relationship): lineitem stands "
+    "in for partsupp (the fixture has no partsupp table) — part-attr "
+    "filters pushed to the broadcast dimension, NOT IN complaint "
+    "suppliers as a left-anti join (negative s_acctbal plays the "
+    "'Customer Complaints' comment filter), then count(DISTINCT "
+    "suppkey) per (brand, type, size). The anti side is "
+    "dimension-sized and broadcast; the distinct-agg is the one "
+    "corpus shuffle",
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#4")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    )
+    bad_supp = table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            li["l_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            "p_brand",
+            "p_type",
+            "p_size",
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    sql="""
+    SELECT ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "q19", "disjunctive"),
+    doc="TPC-H Q19 shape (discounted revenue): three OR'd "
+    "brand/size/quantity conjunction branches spanning BOTH join sides "
+    "(p_container/l_shipmode substituted by in-schema columns). The "
+    "join stays a hash equi-join on partkey with the disjunction as a "
+    "post-join filter; per-side prefixes (quantity <= 30, size >= 1) "
+    "are what the optimizer can factor out and push to the scans",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    b = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        j.where(b)
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("__units")
+        )
+        .select(
+            F.expr("CAST((__units + 50) DIV 100 AS DOUBLE) / 100.0").alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    sql="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    )
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           round(CAST(sum(c.c_acctbal) AS DOUBLE), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    tags=("tpch", "q22", "anti-join", "scalar-subquery"),
+    doc="TPC-H Q22 shape (global sales opportunity): scalar-subquery "
+    "average balance (1-row broadcast crossJoin), NOT EXISTS orders as "
+    "a left-anti join on custkey, grouped by nation (standing in for "
+    "the c_phone country prefix the fixture lacks). The anti-join is "
+    "the one real shuffle; the average rides in as a literal-like "
+    "1-row frame",
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(nations)
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__a")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__a"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal").cast("double"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    sql="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "q7", "join"),
+    doc="TPC-H Q7 shape (volume shipping between nations): 6-table join "
+    "where the selective predicate is a DISJUNCTION over a PAIR of "
+    "dimension attributes on opposite sides of the fact — each nation "
+    "filter prunes its dimension scan, but the cross-side pairing can "
+    "only apply after both joins; grouped by (supp_nation, cust_nation, "
+    "ship year). All dimensions broadcast; lineitem-orders is the one "
+    "real shuffle",
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_3", "NATION_7")
+    nation = table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(*pair)
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("__sk"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        F.col("s_nationkey") == F.col("__sk"),
+    ).select("s_suppkey", "supp_nation")
+    cust = table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("__ck"),
+            F.col("n_name").alias("cust_nation"),
+        )),
+        F.col("c_nationkey") == F.col("__ck"),
+    ).select("c_custkey", "cust_nation")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("__units")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.expr("CAST((__units + 50) DIV 100 AS DOUBLE) / 100.0").alias(
+                "revenue"
+            ),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

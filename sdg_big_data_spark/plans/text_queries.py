@@ -442,3 +442,92 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=20)
+
+
+_BIGRAM_LAMBDA = 0.7
+
+
+@register(
+    "t_bigram_ppl",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS t FROM documents
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+      FROM big GROUP BY w1, w2
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(avg(-ln(
+             {_BIGRAM_LAMBDA} * CAST(bc.cb AS DOUBLE) / u1.cu
+             + {1.0 - _BIGRAM_LAMBDA} * CAST(u2.cu AS DOUBLE) / tot.total
+           ))), 4) AS ppl
+    FROM big b
+    JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN uni u1 ON u1.tok = b.w1
+    JOIN uni u2 ON u2.tok = b.w2
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+    doc="interpolated bigram language-model perplexity per document "
+    "(Jelinek-Mercer smoothing, lambda=0.7 on the bigram MLE, 0.3 on "
+    "the unigram): the stronger CCNet-style quality gate — boilerplate "
+    "and keyword-stuffed docs score fluent under unigrams but have "
+    "improbable TRANSITIONS. Counts train in two corpus shuffles "
+    "(unigram + bigram); scoring joins the count tables back on token "
+    "keys (broadcast at vocab scale, shuffle fallback above); score = "
+    "exp(mean -ln p(w2|w1)); docs under 2 tokens have no transitions "
+    "and are excluded by contract",
+)
+def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam = _BIGRAM_LAMBDA
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokenize(F.col("text")).alias("t"))
+    # cached: feeds the unigram counts, the bigram counts AND the per-doc
+    # scoring pass — uncached the tokenizer chain runs three times
+    toks = scoped_cache(toks)
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").cast("double").alias("total"))
+    big = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
+    p = (
+        F.lit(lam) * F.col("cb").cast("double") / F.col("cu1")
+        + F.lit(1.0 - lam) * F.col("cu2").cast("double") / F.col("total")
+    )
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(F.avg(-F.log(p))), 4).alias("ppl"),
+        )
+    )
