@@ -62,6 +62,16 @@ PROBES = [
     # partition-exact), top-k tie-breaks through two ANN paths
     "a_cm_heavy_hitters",
     "ev_ann_recall",
+    # round 5: iterative k-means (hash-ordered init rows + per-iteration
+    # avg summation order under 200 partitions), bigram LM (two count
+    # shuffles joined back), calendar-window categorical drift (day-of-
+    # month derivation is timezone-sensitive), and the ship-year
+    # derivation + integer-cents accumulation of the new TPC-H shapes
+    "e_kmeans_lloyd",
+    "t_bigram_ppl",
+    "dq_chi2_drift",
+    "tpch_q7_nation_volume",
+    "tpch_q4_priority_count",
 ]
 
 
