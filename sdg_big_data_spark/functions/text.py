@@ -87,13 +87,27 @@ def ngrams(tokens: Column, n: int) -> Column:
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct) for near-dup detection."""
-    return F.array_distinct(ngrams(tokenize(col), n))
+    return shingles_from_tokens(tokenize(col), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """:func:`shingles` over an ALREADY-tokenized array — lets a consumer
+    that needs several token derivatives (fingerprint + shingles + bands)
+    run the regex tokenizer once and share the frame."""
+    return F.array_distinct(ngrams(toks, n))
 
 
 def doc_fingerprint(col: Column) -> Column:
     """Exact-dup fingerprint: md5 of normalized, whitespace-collapsed text.
     md5 is identical across engines → oracle-checkable."""
-    return F.md5(F.concat_ws(" ", tokenize(col)))
+    return doc_fingerprint_from_tokens(tokenize(col))
+
+
+def doc_fingerprint_from_tokens(toks: Column) -> Column:
+    """:func:`doc_fingerprint` over an already-tokenized array (same
+    md5-of-space-joined-tokens value — the normalized token stream IS the
+    fingerprint input)."""
+    return F.md5(F.concat_ws(" ", toks))
 
 
 # --- language ID (n-gram/stopword heuristic) --------------------------------

@@ -348,16 +348,26 @@ def incremental_dedup(
     aggregate and (b) one band frame — both linear passes with narrow
     outputs; the candidate join is new-bands x index-bands on the band
     key (never all-pairs, and never index x index); the verify walk is
-    O(Σ_pairs shingles) exactly as in ``near_dup_removal``. At 100 TB
+    O(Σ_pairs shingles) exactly as in ``near_dup_removal``. Each side's
+    regex tokenizer runs ONCE into a scoped-cached (id, tokens) frame
+    that the fingerprint, band and shingle derivatives all read (the
+    uncached form re-tokenized each side three times — the dominant
+    cost of the whole operator at fixture scale). At 100 TB
     the index's fingerprint + band frames are the natural thing to
     PERSIST between batches (both are id-plus-hash width, a tiny
     fraction of corpus bytes) — this function recomputes them from
     ``index_docs`` so the oracle can replay everything from raw text."""
-    fps = new_docs.select(
-        F.col(id_col), T.doc_fingerprint(F.col(text_col)).alias("fp")
+    toks_new = scoped_cache(
+        new_docs.select(F.col(id_col), T.tokenize(F.col(text_col)).alias("__toks"))
     )
-    idx_fp = index_docs.select(
-        T.doc_fingerprint(F.col(text_col)).alias("fp")
+    toks_idx = scoped_cache(
+        index_docs.select(F.col(id_col), T.tokenize(F.col(text_col)).alias("__toks"))
+    )
+    fps = toks_new.select(
+        F.col(id_col), T.doc_fingerprint_from_tokens(F.col("__toks")).alias("fp")
+    )
+    idx_fp = toks_idx.select(
+        T.doc_fingerprint_from_tokens(F.col("__toks")).alias("fp")
     ).distinct()
     # cached: three consumers (the anti-join feeding bands, the one
     # feeding shingles, and the final status join) would otherwise each
@@ -368,22 +378,28 @@ def incremental_dedup(
             F.col(id_col), F.lit(True).alias("is_exact")
         )
     )
-    rest = new_docs.join(exact.select(id_col), id_col, "left_anti")
+    rest_toks = toks_new.join(exact.select(id_col), id_col, "left_anti")
+
+    def _sh(toks_frame: DataFrame) -> DataFrame:
+        return toks_frame.select(
+            F.col(id_col),
+            F.explode(T.shingles_from_tokens(F.col("__toks"), n)).alias("shingle"),
+        )
 
     keys = ["band"] + [f"__m{i}" for i in range(rows_per_band)]
-    b_new = minhash_bands(rest, id_col, text_col, n, rows_per_band).select(
-        F.col(id_col).alias("id_new"), *keys
-    )
-    b_idx = minhash_bands(index_docs, id_col, text_col, n, rows_per_band).select(
-        F.col(id_col).alias("id_idx"), *keys
-    )
+    b_new = minhash_bands(
+        rest_toks, id_col, text_col, n, rows_per_band, shingles=_sh(rest_toks)
+    ).select(F.col(id_col).alias("id_new"), *keys)
+    b_idx = minhash_bands(
+        toks_idx, id_col, text_col, n, rows_per_band, shingles=_sh(toks_idx)
+    ).select(F.col(id_col).alias("id_idx"), *keys)
     cand = scoped_cache(
         b_new.join(b_idx, keys).select("id_new", "id_idx").distinct()
     )
-    sh_new = shingle_table(rest, id_col, text_col, n).join(
+    sh_new = _sh(rest_toks).join(
         cand.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    sh_idx = shingle_table(index_docs, id_col, text_col, n).join(
+    sh_idx = _sh(toks_idx).join(
         cand.select(F.col("id_idx").alias(id_col)).distinct(), id_col, "left_semi"
     )
     sz_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new"))
