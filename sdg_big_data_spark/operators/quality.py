@@ -531,3 +531,64 @@ def chi2_categorical_drift(
         F.round(expected, 6).alias("expected_cur"),
         F.round(term, 6).alias("chi2_term"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, round_dp: int = 6) -> DataFrame:
+    """Join/groupBy-key skew diagnostic — the profile to run BEFORE
+    keying a 100 TB shuffle on a column: a single hot key serializes one
+    reducer no matter how many executors exist (the reason
+    ``joins.salted_join`` and AQE skew-join exist; this operator tells
+    you whether you need them).
+
+    Returns ONE row: total rows, distinct keys, the hottest key (ties →
+    smallest key string), its share of all rows, the mean rows-per-key,
+    and the normalized Shannon entropy of the key distribution (1 =
+    perfectly uniform, →0 = one key dominates).
+
+    One map-side-combined ``groupBy(key)`` histogram + one key-sized
+    aggregate over it — the corpus is touched once; nothing key-sized
+    leaves the executors."""
+    from ..cachescope import scoped_cache
+
+    # cached: three key-sized consumers (totals, hottest-key tie-break,
+    # entropy) over the one corpus-touching histogram
+    hist = scoped_cache(
+        df.groupBy(F.col(key_col).cast("string").alias("__k")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+    )
+    totals = hist.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("__maxc"),
+    )
+    top_key = (
+        hist.join(F.broadcast(totals.select("__maxc")), hist["__c"] == F.col("__maxc"))
+        .agg(F.min("__k").alias("top_key"))
+    )
+    ent = hist.crossJoin(F.broadcast(totals.select("n_rows"))).agg(
+        F.sum(
+            -(F.col("__c") / F.col("n_rows"))
+            * F.log(F.col("__c") / F.col("n_rows"))
+        ).alias("__h")
+    )
+    return (
+        totals.crossJoin(F.broadcast(top_key))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_rows",
+            "n_keys",
+            "top_key",
+            F.round(F.col("__maxc") / F.col("n_rows"), round_dp).alias(
+                "top_share"
+            ),
+            F.round(F.col("n_rows") / F.col("n_keys"), round_dp).alias(
+                "mean_rows_per_key"
+            ),
+            F.round(
+                F.when(F.col("n_keys") > 1, F.col("__h") / F.log(F.col("n_keys")))
+                .otherwise(F.lit(0.0)),
+                round_dp,
+            ).alias("norm_entropy"),
+        )
+    )

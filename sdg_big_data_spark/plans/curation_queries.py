@@ -674,3 +674,46 @@ def dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.where(F.dayofmonth("ts") <= 15)
     cur = ev.where(F.dayofmonth("ts") > 15)
     return chi2_categorical_drift(ref, cur, "event_type")
+
+
+@register(
+    "dq_key_skew",
+    sql="""
+    WITH h AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS maxc
+      FROM h
+    ),
+    tk AS (
+      SELECT min(h.k) AS top_key FROM h, t WHERE h.c = t.maxc
+    ),
+    e AS (
+      SELECT sum(-(CAST(c AS DOUBLE) / n_rows) * ln(CAST(c AS DOUBLE) / n_rows))
+               AS hh
+      FROM h, t GROUP BY n_rows
+    )
+    SELECT t.n_rows, t.n_keys, tk.top_key,
+           round(CAST(t.maxc AS DOUBLE) / t.n_rows, 6) AS top_share,
+           round(CAST(t.n_rows AS DOUBLE) / t.n_keys, 6) AS mean_rows_per_key,
+           round(CASE WHEN t.n_keys > 1 THEN e.hh / ln(t.n_keys)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM t, tk, e
+    """,
+    tags=("data-quality", "skew", "diagnostics"),
+    doc="join-key skew profile (quality.key_skew_profile) over the "
+    "lineitem part key: rows, distinct keys, hottest key + its share, "
+    "mean rows/key, normalized key-distribution entropy — the profile "
+    "to run BEFORE keying a 100 TB shuffle (decides whether "
+    "salted_join / AQE skew handling is needed). One corpus-touching "
+    "histogram, three key-sized aggregates over its cache",
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import key_skew_profile
+
+    li = table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_partkey")

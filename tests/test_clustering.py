@@ -50,3 +50,39 @@ def test_kmeans_deterministic(planted):
     # tolerance (summation order may differ)
     for a, b in zip(c1, c2):
         assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+
+
+def test_kmeans_round_dp_pins_trajectory(planted):
+    """round_dp must make centroids EXACTLY reproducible across
+    partitionings (not merely float-tolerant): every updated component is
+    floor(avg*10^dp + 0.5)/10^dp, so summation-order noise below the
+    rounding grain cannot leak into the next iteration."""
+    from sdg_big_data_spark.operators.clustering import kmeans
+
+    _, c1 = kmeans(planted, k=3, max_iter=4, tol=0.0, round_dp=6)
+    _, c2 = kmeans(planted.repartition(13), k=3, max_iter=4, tol=0.0, round_dp=6)
+    assert c1 == c2  # bitwise, not approx
+    for cent in c1:
+        for v in cent:
+            assert v == int(v * 1e6 + (0.5 if v >= 0 else -0.5)) / 1e6 or abs(
+                v * 1e6 - round(v * 1e6)
+            ) < 1e-6  # every component sits on the 1e-6 grid
+
+
+def test_kmeans_assignment_is_map_only(planted):
+    """The per-iteration assignment must stay a narrow projection: the
+    centroid codebook rides in as expression literals, so the plan has
+    NO Exchange, no Join and no Python eval below the scan — the same
+    gate the PQ encoder has (a shuffle here would be per-iteration
+    corpus movement at 100 TB)."""
+    from sdg_big_data_spark.operators.clustering import assign_clusters, kmeans
+
+    _, cents = kmeans(planted, k=3, max_iter=2, tol=0.0, round_dp=6)
+    plan = (
+        assign_clusters(planted, cents, "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"assignment plan contains {bad}:\n{plan[:800]}"

@@ -742,3 +742,28 @@ class TestTemperatureMixture:
         }
         assert out["a"]["q"] == pytest.approx(0.75)
         assert out["b"]["q"] == pytest.approx(0.25)
+
+
+class TestKeySkewProfile:
+    def test_hand_computed(self, spark):
+        import math as m
+
+        from sdg_big_data_spark.operators.quality import key_skew_profile
+
+        # key 7 x4, key 3 x4 (tie -> smallest key string '3'), key 9 x2
+        df = spark.createDataFrame(
+            [(7,)] * 4 + [(3,)] * 4 + [(9,)] * 2, "k long"
+        )
+        r = key_skew_profile(df, "k").collect()[0]
+        assert r["n_rows"] == 10 and r["n_keys"] == 3
+        assert r["top_key"] == "3" and r["top_share"] == 0.4
+        assert r["mean_rows_per_key"] == round(10 / 3, 6)
+        h = -(0.4 * m.log(0.4) * 2 + 0.2 * m.log(0.2))
+        assert r["norm_entropy"] == round(h / m.log(3), 6)
+
+    def test_single_key_degenerate(self, spark):
+        from sdg_big_data_spark.operators.quality import key_skew_profile
+
+        df = spark.createDataFrame([(1,)] * 5, "k long")
+        r = key_skew_profile(df, "k").collect()[0]
+        assert r["top_share"] == 1.0 and r["norm_entropy"] == 0.0
