@@ -592,3 +592,67 @@ def key_skew_profile(df: DataFrame, key_col: str, round_dp: int = 6) -> DataFram
             ).alias("norm_entropy"),
         )
     )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Interpolated bigram language-model perplexity per document
+    (Jelinek-Mercer: p(w2|w1) = lam·MLE_bigram + (1−lam)·MLE_unigram) —
+    the transition-level CCNet-style quality gate; boilerplate and
+    keyword-stuffed docs look fluent to unigrams but have improbable
+    transitions. Returns (id, n_bigrams, ppl); docs under 2 tokens have
+    no transitions and are excluded by contract.
+
+    Two map-side-combined count shuffles (unigram + bigram) train the
+    model; scoring joins the count tables back on token keys (broadcast
+    at vocabulary scale — sublinear by Heaps' law — with the plain
+    shuffle join as the automatic fallback). A HOT token (boilerplate
+    filler) concentrates its bigram pairs on one key, but both count
+    aggregates collapse map-side before the exchange, so the shuffle
+    carries distinct pairs, not occurrences (probed in
+    tools/skew_probe.py)."""
+    from ..cachescope import scoped_cache
+    from ..functions.text import tokenize
+
+    toks = scoped_cache(
+        docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
+    )
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").cast("double").alias("total"))
+    big = toks.where(F.size("t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
+    p = (
+        F.lit(float(lam)) * F.col("cb").cast("double") / F.col("cu1")
+        + F.lit(1.0 - float(lam)) * F.col("cu2").cast("double") / F.col("total")
+    )
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(F.avg(-F.log(p))), round_dp).alias("ppl"),
+        )
+    )

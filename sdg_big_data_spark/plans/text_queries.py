@@ -491,43 +491,7 @@ _BIGRAM_LAMBDA = 0.7
     "and are excluded by contract",
 )
 def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lam = _BIGRAM_LAMBDA
+    from ..operators.quality import bigram_perplexity
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", T.tokenize(F.col("text")).alias("t"))
-    # cached: feeds the unigram counts, the bigram counts AND the per-doc
-    # scoring pass — uncached the tokenizer chain runs three times
-    toks = scoped_cache(toks)
-    uni = (
-        toks.select(F.explode("t").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
-    total = uni.agg(F.sum("cu").cast("double").alias("total"))
-    big = toks.where(F.size("t") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.expr("slice(t, 1, size(t) - 1)"),
-                F.expr("slice(t, 2, size(t) - 1)"),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    u1 = uni.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
-    u2 = uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
-    p = (
-        F.lit(lam) * F.col("cb").cast("double") / F.col("cu1")
-        + F.lit(1.0 - lam) * F.col("cu2").cast("double") / F.col("total")
-    )
-    return (
-        big.join(bc, ["w1", "w2"])
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.exp(F.avg(-F.log(p))), 4).alias("ppl"),
-        )
-    )
+    return bigram_perplexity(docs, "doc_id", "text", lam=_BIGRAM_LAMBDA)

@@ -230,6 +230,32 @@ def main() -> None:
 
     probe("fat_stratum_prefix_sum", p3)
 
+    # --- probe 4: hot token (boilerplate filler dominates the corpus) -----
+    # 60% of docs become the SAME 40-token filler line: one token pair
+    # owns most bigram occurrences, so the bigram-count aggregate is
+    # maximally hot on one key. The guard is map-side partial
+    # aggregation — the exchange carries distinct (w1, w2) pairs, not
+    # occurrences — plus AQE for the scoring join-back.
+    hottok = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 6,
+            F.concat(
+                F.lit(("spam " * 40).strip() + " "),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+    def p4():
+        from sdg_big_data_spark.operators.quality import bigram_perplexity
+
+        bigram_perplexity(hottok, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    probe("hot_token_bigram_ppl", p4)
+
     ok = all(v["pass"] for v in report.values())
     print(json.dumps({"bound": RATIO_BOUND, "pass": ok, "probes": report}))
     spark.stop()
