@@ -1,0 +1,91 @@
+"""Streaming drift monitor: per-micro-batch chi-square vs the batch
+gate (stream-batch parity), retry idempotence, and the alert flag."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sdg_big_data_spark.streaming.monitor import (
+    drift_monitor_batch,
+    streaming_drift_monitor,
+)
+
+
+def _ref(spark):
+    # reference mix: a x6, b x3, c x1
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    return spark.createDataFrame(rows, "cat string")
+
+
+def test_stream_matches_batch_gate(spark, tmp_path):
+    from sdg_big_data_spark.operators.quality import chi2_categorical_drift
+
+    ref = _ref(spark)
+    t0 = dt.datetime(2021, 1, 1)
+    batch_rows = [(1, t0, "a")] * 2 + [(2, t0, "b")] * 5 + [(3, t0, "d")] * 3
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    bdf = spark.createDataFrame(batch_rows, "id long, ts timestamp, cat string")
+    bdf.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = streaming_drift_monitor(
+        spark.readStream.schema("id long, ts timestamp, cat string").parquet(src),
+        ref,
+        "cat",
+        out,
+        ckpt,
+        alert_chi2=5.0,
+    )
+    q.awaitTermination()
+
+    got = {
+        r["category"]: r
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["category"]: r
+        for r in chi2_categorical_drift(ref, bdf, "cat").collect()
+    }
+    assert set(got) == set(want)  # categories from BOTH sides survive
+    for c in want:
+        assert got[c]["n_ref"] == want[c]["n_ref"]
+        assert got[c]["n_cur"] == want[c]["n_cur"]
+        assert got[c]["chi2_term"] == want[c]["chi2_term"]
+    # total = sum of terms, alert flag consistent with the threshold
+    tot = round(sum(r["chi2_term"] for r in want.values()), 6)
+    for r in got.values():
+        assert abs(r["chi2_total"] - tot) < 1e-6
+        assert r["alert"] == (tot > 5.0)
+
+
+def test_batch_retry_is_idempotent(spark, tmp_path):
+    ref = _ref(spark)
+    out = str(tmp_path / "out")
+    b = spark.createDataFrame([("a",)] * 4 + [("b",)] * 1, "cat string")
+    drift_monitor_batch(b, 0, ref, "cat", out)
+    first = sorted(map(tuple, spark.read.parquet(out).collect()))
+    drift_monitor_batch(b, 0, ref, "cat", out)  # foreachBatch retry
+    second = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert first == second
+    # a LATER batch appends its own partition without touching batch 0
+    b1 = spark.createDataFrame([("c",)] * 5, "cat string")
+    drift_monitor_batch(b1, 1, ref, "cat", out)
+    ids = {r["batch_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {0, 1}
+
+
+def test_no_drift_scores_near_zero(spark, tmp_path):
+    ref = _ref(spark)
+    out = str(tmp_path / "out")
+    # current mix proportional to the reference -> tiny chi2 (only the
+    # Laplace smoothing perturbs expected counts)
+    cur = spark.createDataFrame(
+        [("a",)] * 12 + [("b",)] * 6 + [("c",)] * 2, "cat string"
+    )
+    drift_monitor_batch(cur, 0, ref, "cat", out, alert_chi2=1.0)
+    rows = spark.read.parquet(out).collect()
+    assert all(not r["alert"] for r in rows)
+    assert rows[0]["chi2_total"] < 0.2
