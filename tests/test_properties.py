@@ -995,3 +995,139 @@ def test_dsir_row_order_invariant(spark, texts, rotate):
         for r in dsir_logweights(b, F.col("lang") == "en", buckets=32).collect()
     }
     assert wa == wb
+
+
+# --- round 5: k-means, bigram LM, chi2 drift differentials ------------------
+
+
+def _lloyd_ref(vecs: dict[int, list[float]], k: int, n_iter: int, dp: int = 6):
+    """Independent pure-Python Lloyd replay of clustering.kmeans's exact
+    contract: init = k smallest (knuth-hash, id) rows, argmin with
+    lowest-cluster tiebreak, updated centroids floor-rounded to the
+    1e-dp grid, emptied clusters keep their previous centroid."""
+    import math as m
+
+    def kh(x):
+        return (x % 2**32) * 2654435761 % 2**32
+
+    ids = sorted(vecs, key=lambda i: (kh(i), i))[:k]
+    cents = [list(map(float, vecs[i])) for i in ids]
+
+    def assign():
+        out = {}
+        for i, v in vecs.items():
+            best, bd = None, None
+            for c, cv in enumerate(cents):
+                d = sum((a - b) ** 2 for a, b in zip(v, cv))
+                if bd is None or d < bd:
+                    best, bd = c, d
+            out[i] = best
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        sums: dict[int, list[float]] = {}
+        cnts: dict[int, int] = {}
+        for i, c in a.items():
+            s = sums.setdefault(c, [0.0] * len(vecs[i]))
+            for j, x in enumerate(vecs[i]):
+                s[j] += float(x)
+            cnts[c] = cnts.get(c, 0) + 1
+        for c, s in sums.items():
+            cents[c] = [
+                m.floor((x / cnts[c]) * 10**dp + 0.5) / 10**dp for x in s
+            ]
+    return assign()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_kmeans_matches_pure_python_lloyd(spark, seed):
+    """Randomized differential: the distributed kmeans assignment after
+    3 rounds equals an independently-written driver-side Lloyd replay
+    (same init rule, same rounding grid, same tiebreak)."""
+    import numpy as np
+
+    from sdg_big_data_spark.operators.clustering import kmeans
+
+    rng = np.random.RandomState(seed)
+    n, dim, k = 60, 6, 3
+    vecs = {int(i): [float(x) for x in rng.randn(dim).round(3)] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    assigned, _ = kmeans(df, k=k, max_iter=3, tol=0.0, round_dp=6)
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    want = _lloyd_ref(vecs, k, 3)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bigram_ppl_matches_pure_python_model(spark, seed):
+    """Randomized differential: per-doc interpolated bigram perplexity
+    equals an independent Python count model over the same tokens."""
+    import math as m
+    import random
+
+    from sdg_big_data_spark.operators.quality import bigram_perplexity
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        for i in range(30)
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in bigram_perplexity(df, "doc_id", "text", lam=0.7).collect()
+    }
+    toks = {i: t.split() for i, t in docs.items() if t}
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    total = sum(uni.values())
+    for i, t in toks.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            assert i not in got  # <2 tokens: excluded by contract
+            continue
+        nll = [
+            -m.log(0.7 * bi[(a, b)] / uni[a] + 0.3 * uni[b] / total)
+            for a, b in pairs
+        ]
+        want = round(m.exp(sum(nll) / len(nll)), 4)
+        assert got[i][0] == len(pairs)
+        assert abs(got[i][1] - want) < 1e-9, (i, got[i], want)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_chi2_drift_matches_hand_model(spark, seed):
+    """Randomized differential: chi2_categorical_drift equals the
+    Laplace-smoothed hand formula, and every category from EITHER side
+    appears exactly once."""
+    import random
+
+    from sdg_big_data_spark.operators.quality import chi2_categorical_drift
+
+    rng = random.Random(seed)
+    cats = ["a", "b", "c", "d", "e"]
+    ref = [rng.choice(cats[:4]) for _ in range(rng.randint(5, 40))]
+    cur = [rng.choice(cats[1:]) for _ in range(rng.randint(5, 40))]
+    rdf = spark.createDataFrame([(c,) for c in ref], "cat string")
+    cdf = spark.createDataFrame([(c,) for c in cur], "cat string")
+    got = {r["category"]: r for r in chi2_categorical_drift(rdf, cdf, "cat").collect()}
+    union = set(ref) | set(cur)
+    assert set(got) == union
+    k = len(union)
+    t_ref, t_cur = len(ref), len(cur)
+    for c in union:
+        nr, nc = ref.count(c), cur.count(c)
+        exp = (nr + 0.5) / (t_ref + 0.5 * k) * t_cur
+        term = (nc - exp) ** 2 / exp
+        assert got[c]["n_ref"] == nr and got[c]["n_cur"] == nc
+        assert abs(got[c]["expected_cur"] - round(exp, 6)) < 1e-9
+        assert abs(got[c]["chi2_term"] - round(term, 6)) < 1e-9
