@@ -276,6 +276,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k — the inverted-file scale path:
 
@@ -288,9 +289,18 @@ def ivf_topk(
 
     Recall/latency tunes via ``nprobe``; exact baseline is
     ``brute_force_topk``.
+
+    ``centroids``: pass an explicit ``(label_col, cv array<double>)``
+    codebook frame to search against — e.g. the output of
+    ``clustering.kmeans`` (the production regime: train offline, search
+    online). Default trains per-label mean centroids from the corpus.
     """
-    cent = train_centroids(corpus, label_col, vec_col).select(
-        F.col(label_col).alias("__cell"), "cv"
+    cent = (
+        centroids.select(F.col(label_col).alias("__cell"), "cv")
+        if centroids is not None
+        else train_centroids(corpus, label_col, vec_col).select(
+            F.col(label_col).alias("__cell"), "cv"
+        )
     )
     assign = _nearest_cells(
         corpus.select(id_col, vec_col), cent, id_col, vec_col, 1

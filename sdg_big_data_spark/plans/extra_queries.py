@@ -1622,14 +1622,9 @@ def a_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- e_kmeans_lloyd ----------------------------------------------------------
 
 
-def _kmeans_sql(k: int = 4, n_iter: int = 3, dp: int = 6) -> str:
-    """Exact unrolled-CTE oracle for Lloyd's k-means (the pagerank/BPE
-    discipline: a fixed-iteration distributed algorithm replayed as
-    declarative SQL). Distances use ORDERED list folds (list_sum over
-    list_transform — the same sequential component order as the engine's
-    zip_with+aggregate), and every UPDATED centroid component is pinned
-    to floor(avg·10^dp + 0.5)/10^dp in both engines, so per-iteration
-    summation-order differences cannot compound."""
+def _kmeans_blocks(k: int = 4, n_iter: int = 3, dp: int = 6) -> str:
+    """The unrolled Lloyd CTE chain (vecd/comp/centarr0..centarr{n}) —
+    shared by the k-means oracle and the kmeans-trained IVF oracle."""
     m = 10 ** dp
     hashexpr = "(CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296"
     blocks = [
@@ -1681,8 +1676,19 @@ def _kmeans_sql(k: int = 4, n_iter: int = 3, dp: int = 6) -> str:
       ON u.cluster_id = p.cluster_id
     )"""
         )
+    return ",".join(blocks)
+
+
+def _kmeans_sql(k: int = 4, n_iter: int = 3, dp: int = 6) -> str:
+    """Exact unrolled-CTE oracle for Lloyd's k-means (the pagerank/BPE
+    discipline: a fixed-iteration distributed algorithm replayed as
+    declarative SQL). Distances use ORDERED list folds (list_sum over
+    list_transform — the same sequential component order as the engine's
+    zip_with+aggregate), and every UPDATED centroid component is pinned
+    to floor(avg·10^dp + 0.5)/10^dp in both engines, so per-iteration
+    summation-order differences cannot compound."""
     return f"""
-    WITH {",".join(blocks)}
+    WITH {_kmeans_blocks(k, n_iter, dp)}
     SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id FROM (
       SELECT t.vec_id, c.cluster_id,
              row_number() OVER (PARTITION BY t.vec_id ORDER BY
@@ -1718,3 +1724,71 @@ def e_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=4, max_iter=3, tol=0.0, round_dp=6
     )
     return assigned.select("vec_id", "cluster_id")
+
+
+@register(
+    "e_ivf_kmeans_topk",
+    sql=f"""
+    WITH {_kmeans_blocks()},
+    cvec AS (SELECT cluster_id AS cell, cv FROM centarr3),
+    kdists AS (
+      SELECT e.vec_id, e.v, c.cell,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+      FROM vecd e CROSS JOIN cvec c
+    ),
+    kassign AS (
+      SELECT vec_id AS neighbor_id, v, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS rn
+        FROM kdists) WHERE rn = 1
+    ),
+    kqprobe AS (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS rn
+        FROM kdists WHERE vec_id < 5) WHERE rn <= 2
+    ),
+    kscored AS (
+      SELECT q.query_id, a.neighbor_id,
+             list_dot_product(q.qv, a.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(a.v, a.v))) AS cos
+      FROM kqprobe q JOIN kassign a ON a.cell = q.cell
+      WHERE a.neighbor_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+    FROM (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM kscored)
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "ann-ivf", "clustering", "composition"),
+    doc="the full production ANN story as ONE oracle-exact lineage: "
+    "k-means TRAINS the codebook (clustering.kmeans, 3 Lloyd "
+    "iterations, trajectory-pinned), IVF indexes the corpus against it "
+    "and searches nprobe=2 cells (similarity.ivf_topk with an explicit "
+    "centroid frame — the train-offline/search-online regime, vs "
+    "e_ivf_topk's label-mean codebook). Train, index and search all "
+    "replay declaratively: the oracle chains the unrolled Lloyd CTEs "
+    "into the IVF assignment/probe/score CTEs",
+)
+def e_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    from ..operators.clustering import kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    _, cents = kmeans(emb, k=4, max_iter=3, tol=0.0, round_dp=6)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "label int, cv array<double>",
+    )
+    out = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, nprobe=2, centroids=cent_df
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
+    )
