@@ -72,6 +72,9 @@ PROBES = [
     "dq_chi2_drift",
     "tpch_q7_nation_volume",
     "tpch_q4_priority_count",
+    # round 5b: the composed train->index->search lineage (k-means
+    # trajectory + IVF probe tie-breaks, end to end)
+    "e_ivf_kmeans_topk",
 ]
 
 
