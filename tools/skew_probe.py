@@ -87,6 +87,15 @@ def _stage_ratios(ui: str) -> list[dict]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated probe names to run (default all) — used to "
+        "re-run a single probe at a scaled fixture without paying for "
+        "the deliberately-quadratic giant-cluster probe, which is "
+        "sf0.1-only by design (30%% of docs in ONE near-dup clique is "
+        "corpus-quadratic in candidate pairs at any engine)",
+    )
     args = ap.parse_args()
 
     from sdg_big_data_spark.session import get_spark
@@ -103,7 +112,11 @@ def main() -> None:
 
     report: dict[str, dict] = {}
 
+    only = {s.strip() for s in args.only.split(",") if s.strip()}
+
     def probe(name: str, fn) -> None:
+        if only and name not in only:
+            return
         before = {r["stage"] for r in _stage_ratios(ui)}
         fn()
         rows = [r for r in _stage_ratios(ui) if r["stage"] not in before]
