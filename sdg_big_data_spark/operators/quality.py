@@ -502,6 +502,12 @@ def chi2_categorical_drift(
     category key + one category-sized totals aggregate broadcast back —
     nothing corpus-sized shuffles twice, and the output is k rows.
     Returns (category, n_ref, n_cur, expected_cur, chi2_term).
+
+    The join is NULL-SAFE (``eqNullSafe``): a NULL category present in
+    both windows is ONE category with both counts, not two half-rows —
+    a plain equi-join never matches NULL keys, which would inflate k
+    and corrupt expected_cur/chi2_term for feeds with null event types
+    (the same null-key discipline as :func:`k_anonymity`).
     """
     rc = ref.groupBy(F.col(cat_col).alias("category")).agg(
         F.count(F.lit(1)).alias("n_ref")
@@ -510,8 +516,12 @@ def chi2_categorical_drift(
         F.count(F.lit(1)).alias("n_cur")
     )
     cats = (
-        rc.join(cc, "category", "full_outer")
-        .fillna(0, ["n_ref", "n_cur"])
+        rc.join(cc, rc["category"].eqNullSafe(cc["category"]), "full_outer")
+        .select(
+            F.coalesce(rc["category"], cc["category"]).alias("category"),
+            F.coalesce(rc["n_ref"], F.lit(0)).alias("n_ref"),
+            F.coalesce(cc["n_cur"], F.lit(0)).alias("n_cur"),
+        )
     )
     tot = cats.agg(
         F.sum("n_ref").alias("__t_ref"),
@@ -547,15 +557,23 @@ def key_skew_profile(df: DataFrame, key_col: str, round_dp: int = 6) -> DataFram
 
     One map-side-combined ``groupBy(key)`` histogram + one key-sized
     aggregate over it — the corpus is touched once; nothing key-sized
-    leaves the executors."""
+    leaves the executors.
+
+    NULL keys hash to one reducer like any other value, so they are a
+    real skew hazard — the histogram coalesces them to the sentinel
+    ``"<NULL>"`` so a null-dominated column reports ``top_key='<NULL>'``
+    instead of a NULL that ``min`` would silently drop from the
+    tie-break."""
     from ..cachescope import scoped_cache
 
     # cached: three key-sized consumers (totals, hottest-key tie-break,
     # entropy) over the one corpus-touching histogram
     hist = scoped_cache(
-        df.groupBy(F.col(key_col).cast("string").alias("__k")).agg(
-            F.count(F.lit(1)).alias("__c")
-        )
+        df.groupBy(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")).alias(
+                "__k"
+            )
+        ).agg(F.count(F.lit(1)).alias("__c"))
     )
     totals = hist.agg(
         F.sum("__c").alias("n_rows"),
@@ -600,6 +618,7 @@ def bigram_perplexity(
     text_col: str = "text",
     lam: float = 0.7,
     round_dp: int = 4,
+    broadcast_vocab_max: int = 2_000_000,
 ) -> DataFrame:
     """Interpolated bigram language-model perplexity per document
     (Jelinek-Mercer: p(w2|w1) = lam·MLE_bigram + (1−lam)·MLE_unigram) —
@@ -609,24 +628,31 @@ def bigram_perplexity(
     no transitions and are excluded by contract.
 
     Two map-side-combined count shuffles (unigram + bigram) train the
-    model; scoring joins the count tables back on token keys (broadcast
-    at vocabulary scale — sublinear by Heaps' law — with the plain
-    shuffle join as the automatic fallback). A HOT token (boilerplate
-    filler) concentrates its bigram pairs on one key, but both count
-    aggregates collapse map-side before the exchange, so the shuffle
-    carries distinct pairs, not occurrences (probed in
-    tools/skew_probe.py)."""
+    model; scoring joins the count tables back on token keys. The
+    broadcast of the unigram table is SIZE-GATED (the
+    ``connected_components`` pattern, graph.py): at ≤
+    ``broadcast_vocab_max`` distinct tokens — any plausible vocabulary
+    by Heaps' law — the hint forces a broadcast hash join; above it the
+    hint is withheld and the joins degrade to plain shuffle joins
+    instead of OOM-ing the driver. The gating count runs over the
+    cached unigram histogram (vocabulary-sized, one cheap job). A HOT
+    token (boilerplate filler) concentrates its bigram pairs on one
+    key, but both count aggregates collapse map-side before the
+    exchange, so the shuffle carries distinct pairs, not occurrences
+    (probed in tools/skew_probe.py)."""
     from ..cachescope import scoped_cache
     from ..functions.text import tokenize
 
     toks = scoped_cache(
         docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
     )
-    uni = (
+    uni = scoped_cache(
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
+    vocab_small = uni.count() <= broadcast_vocab_max
+    hint = F.broadcast if vocab_small else (lambda d: d)
     total = uni.agg(F.sum("cu").cast("double").alias("total"))
     big = toks.where(F.size("t") >= 2).select(
         F.col(id_col),
@@ -647,8 +673,8 @@ def bigram_perplexity(
     )
     return (
         big.join(bc, ["w1", "w2"])
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(hint(u1), "w1")
+        .join(hint(u2), "w2")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(

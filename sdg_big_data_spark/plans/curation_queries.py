@@ -643,7 +643,7 @@ def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COALESCE(r.category, c.category) AS category,
              COALESCE(r.n_ref, 0) AS n_ref,
              COALESCE(c.n_cur, 0) AS n_cur
-      FROM r FULL OUTER JOIN c ON r.category = c.category
+      FROM r FULL OUTER JOIN c ON r.category IS NOT DISTINCT FROM c.category
     ),
     tot AS (
       SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
@@ -680,7 +680,8 @@ def dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_key_skew",
     sql="""
     WITH h AS (
-      SELECT CAST(l_partkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+      SELECT COALESCE(CAST(l_partkey AS VARCHAR), '<NULL>') AS k,
+             CAST(count(*) AS BIGINT) AS c
       FROM lineitem GROUP BY 1
     ),
     t AS (

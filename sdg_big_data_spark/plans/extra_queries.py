@@ -1213,7 +1213,12 @@ _PQ_CB_CTE = """
     "e_pq_encode",
     sql=f"""
     WITH {_PQ_CB_CTE}
-    SELECT vec_id, subspace, cell FROM code
+    SELECT vec_id,
+           CAST(len(pq_code) AS INTEGER) AS n_subspaces,
+           ('0x' || substr(md5(array_to_string(
+              list_transform(pq_code, x -> CAST(x AS VARCHAR)), ',')), 1, 15)
+           )::BIGINT AS code_digest
+    FROM codearr
     """,
     tags=("similarity", "pq", "quantization"),
     doc="product quantization encode (similarity.train_pq_codebooks + "
@@ -1222,20 +1227,26 @@ _PQ_CB_CTE = """
     "MAP-ONLY projection (codebook as expression literals, argmin per "
     "subspace, lowest-cell tiebreak) — 64 floats -> 4 small ints, the "
     "64x memory lever that fits a 100 TB embedding corpus' ANN index "
-    "in cluster RAM. Result is the EXPLODED (vec_id, subspace, cell) "
-    "form: the code array itself is list-typed, which the comparison "
-    "harness cannot canonicalize (r4 finding) — the exploded rows carry "
-    "identical information with atomic columns only",
+    "in cluster RAM. The code array (list-typed — the comparison "
+    "harness cannot canonicalize lists, r4 finding) is verified through "
+    "a per-vector 60-bit md5 digest of its comma-joined form: one "
+    "scalar expression per row instead of the r5 posexplode (a Generate "
+    "barrier that re-ran the argmin lambdas per emitted row)",
 )
 def e_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
+    from ..operators.dedup import portable_hash60
 
     emb = table(spark, sf_dir, "embeddings")
     cbs = similarity.collect_pq_codebooks(
         similarity.train_pq_codebooks(emb, m=4, dim=64)
     )
     return similarity.pq_encode(emb, cbs).select(
-        "vec_id", F.posexplode("pq_code").alias("subspace", "cell")
+        "vec_id",
+        F.size("pq_code").alias("n_subspaces"),
+        portable_hash60(
+            F.array_join(F.col("pq_code").cast("array<string>"), ",")
+        ).alias("code_digest"),
     )
 
 

@@ -461,25 +461,35 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q
     )
     SELECT vec_id, round(scale, 9) AS scale,
-           CAST(unnest(range(1, len(codes) + 1)) - 1 AS INTEGER) AS dim,
-           unnest(codes) AS code
+           CAST(len(codes) AS INTEGER) AS n_dims,
+           ('0x' || substr(md5(array_to_string(
+              list_transform(codes, x -> CAST(x AS VARCHAR)), ',')), 1, 15)
+           )::BIGINT AS codes_digest
     FROM c
     """,
     tags=("similarity", "quantization"),
     doc="int8 symmetric scalar quantization of embeddings "
     "(similarity.quantize_embeddings): per-vector scale = max|x|/127, "
     "codes = round(x/scale) — 4x memory for ANN buckets; pure "
-    "expressions, exact integer oracle. Emitted as exploded "
-    "(vec_id, scale, dim, code) rows — the code array is list-typed, "
-    "which the comparison harness cannot canonicalize (r4 finding)",
+    "expressions, exact integer oracle. The code array (list-typed — "
+    "the comparison harness cannot canonicalize lists, r4 finding) is "
+    "verified through a per-vector 60-bit md5 digest of its "
+    "comma-joined form: one scalar expression per row instead of the "
+    "r5 posexplode (64 rows/vector + a Generate barrier), which paid "
+    "~0.5 s/query in plan width alone",
 )
 def e_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash60
+
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.quantize_embeddings(emb)
     return out.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
-        F.posexplode("codes").alias("dim", "code"),
+        F.size("codes").alias("n_dims"),
+        portable_hash60(
+            F.array_join(F.col("codes").cast("array<string>"), ",")
+        ).alias("codes_digest"),
     )
 
 

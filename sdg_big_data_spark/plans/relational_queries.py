@@ -1354,15 +1354,18 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_idle_customers",
     sql="""
     WITH avg_bal AS (
-      SELECT avg(c_acctbal) AS a FROM customer
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) AS a_cents
+      FROM customer
       WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
     )
     SELECT c.c_nationkey,
            count(*) AS numcust,
-           round(CAST(sum(c.c_acctbal) AS DOUBLE), 2) AS totacctbal
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-      AND c.c_acctbal > avg_bal.a
+      AND CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.a_cents
       AND NOT EXISTS (
         SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
       )
@@ -1375,25 +1378,29 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a left-anti join on custkey, grouped by nation (standing in for "
     "the c_phone country prefix the fixture lacks). The anti-join is "
     "the one real shuffle; the average rides in as a literal-like "
-    "1-row frame",
+    "1-row frame. Both the average-balance threshold and the final sum "
+    "run in integer cents (exact bigint summation) so the comparison "
+    "and the 2dp total are summation-order-proof between engines — the "
+    "same float-order pinning as the other tpch_* entries",
 )
 def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations = [1, 3, 5, 7, 9, 11, 13]
     cust = table(spark, sf_dir, "customer").where(
         F.col("c_nationkey").isin(nations)
     )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__a")
+        (F.sum(cents).cast("double") / F.count(F.lit(1))).alias("__a_cents")
     )
     orders = table(spark, sf_dir, "orders").select("o_custkey")
     return (
         cust.crossJoin(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("__a"))
+        .where(cents > F.col("__a_cents"))
         .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal").cast("double"), 2).alias("totacctbal"),
+            (F.sum(cents).cast("double") / 100.0).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )

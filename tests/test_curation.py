@@ -767,3 +767,64 @@ class TestKeySkewProfile:
         df = spark.createDataFrame([(1,)] * 5, "k long")
         r = key_skew_profile(df, "k").collect()[0]
         assert r["top_share"] == 1.0 and r["norm_entropy"] == 0.0
+
+    def test_null_hot_key_reported_as_sentinel(self, spark):
+        """A NULL-dominated key column must report the hot key, not drop
+        it: NULLs coalesce to the '<NULL>' sentinel before the histogram
+        so min()-based tie-break and top_share stay well-defined."""
+        from sdg_big_data_spark.operators.quality import key_skew_profile
+
+        df = spark.createDataFrame(
+            [(None,)] * 6 + [(4,)] * 3 + [(5,)], "k bigint"
+        )
+        r = key_skew_profile(df, "k").collect()[0]
+        assert r["n_rows"] == 10 and r["n_keys"] == 3
+        assert r["top_key"] == "<NULL>" and r["top_share"] == 0.6
+
+
+class TestChi2NullCategory:
+    def test_null_category_is_one_row(self, spark):
+        """A NULL category present in BOTH windows is ONE category (the
+        eqNullSafe join), with both counts on the same row — not two
+        half-rows that inflate k."""
+        from sdg_big_data_spark.operators.quality import (
+            chi2_categorical_drift,
+        )
+
+        rdf = spark.createDataFrame(
+            [("a",), (None,), (None,), ("b",)], "cat string"
+        )
+        cdf = spark.createDataFrame(
+            [("a",), ("a",), (None,), ("c",)], "cat string"
+        )
+        rows = {
+            r["category"]: r
+            for r in chi2_categorical_drift(rdf, cdf, "cat").collect()
+        }
+        # categories: a, b, c, NULL -> k = 4 exactly
+        assert len(rows) == 4 and None in rows
+        nr, nc = rows[None]["n_ref"], rows[None]["n_cur"]
+        assert (nr, nc) == (2, 1)
+        # expected/term use k=4 (not the 5 a null-splitting join yields)
+        exp = (2 + 0.5) / (4 + 0.5 * 4) * 4
+        assert rows[None]["expected_cur"] == round(exp, 6)
+        assert rows[None]["chi2_term"] == round((1 - exp) ** 2 / exp, 6)
+
+
+class TestBigramBroadcastGate:
+    def test_shuffle_fallback_matches_broadcast_path(self, spark):
+        """broadcast_vocab_max=0 withholds the hint (shuffle-join path);
+        results must be identical to the default broadcast path."""
+        from sdg_big_data_spark.operators.quality import bigram_perplexity
+
+        df = spark.createDataFrame(
+            [(1, "a b a c"), (2, "b b a"), (3, "c a b a c")],
+            "doc_id long, text string",
+        )
+        want = sorted(
+            map(tuple, bigram_perplexity(df).collect())
+        )
+        got = sorted(
+            map(tuple, bigram_perplexity(df, broadcast_vocab_max=0).collect())
+        )
+        assert got == want
