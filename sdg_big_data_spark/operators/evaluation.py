@@ -692,3 +692,59 @@ def ab_test(
         "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
         t.alias("t_welch"), dof.alias("dof"),
     )
+
+
+def selection_diversity(
+    sel: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit: int = 1_000_000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-diversity of a SELECTED set (an active-learning top-k
+    batch, a dedup survivor sample): the reference's mean / mean-max
+    pairwise-cosine diversity scores
+    (`twitter-analytics/code/3-model_evaluation/diversity/
+    compute_diversity.py:34-39,163-166`), which it computes as one k×k
+    torch matrix on a GPU. Returns ONE row:
+
+    - ``mean_diversity``  = −Σ_{i,j} cos(i,j) / k²  (diagonal included,
+      as in the reference — each row contributes its self-similarity 1)
+    - ``mean_max_diversity`` = mean_i max_j (−cos(i,j)) — how far each
+      selected item is from its NEAREST other selection; high = spread
+      out, low = the batch collapsed onto near-duplicates.
+
+    Physical strategy: the selection is k-sized BY CONTRACT (the
+    reference caps it at topk=10000), so one side is broadcast and the
+    k² pair scores stream through a map-side-combined per-i aggregate —
+    the corpus itself is never touched, and nothing bigger than k rows
+    shuffles. For k beyond ~10⁵ pre-bucket with
+    ``similarity.lsh_bucket_topk`` instead; an exact k² matrix is the
+    wrong tool at that size in ANY engine.
+
+    Float-order proofing: each pairwise cosine is pinned to integer
+    ``1/unit`` units before summation (exact long arithmetic, engine-
+    independent), the same trajectory-pinning as the tpch_* entries.
+    """
+    from .similarity import cosine
+
+    a = sel.select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__va"))
+    b = sel.select(F.col(vec_col).alias("__vb"))
+    cu = F.round(cosine(F.col("__va"), F.col("__vb")) * unit).cast("long")
+    per_i = (
+        a.join(F.broadcast(b))
+        .select(F.col("__i"), cu.alias("__cu"))
+        .groupBy("__i")
+        .agg(F.max(-F.col("__cu")).alias("__mx"), F.sum("__cu").alias("__s"))
+    )
+    k = F.count(F.lit(1)).cast("long")
+    u = F.lit(float(unit))
+    return per_i.agg(
+        k.alias("n_selected"),
+        F.round(
+            -F.sum("__s").cast("double") / (u * k * k), round_dp
+        ).alias("mean_diversity"),
+        F.round(
+            F.sum("__mx").cast("double") / (u * k), round_dp
+        ).alias("mean_max_diversity"),
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
     from . import extra_queries  # noqa: F401
     from . import llm_queries  # noqa: F401
     from . import relational_queries  # noqa: F401
+    from . import streaming_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import window_queries  # noqa: F401
 

@@ -713,3 +713,45 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@register(
+    "ev_diversity",
+    sql="""
+    WITH sel AS (
+      SELECT vec_id AS i,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 17 = 0
+    ),
+    pairs AS (
+      SELECT a.i,
+             CAST(round(
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) * 1000000
+             ) AS BIGINT) AS cu
+      FROM sel a CROSS JOIN sel b
+    ),
+    per_i AS (
+      SELECT i, max(-cu) AS mx, CAST(sum(cu) AS BIGINT) AS s
+      FROM pairs GROUP BY i
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_selected,
+           round(CAST(-sum(s) AS DOUBLE)
+                 / (1000000.0 * count(*) * count(*)), 6) AS mean_diversity,
+           round(CAST(sum(mx) AS DOUBLE)
+                 / (1000000.0 * count(*)), 6) AS mean_max_diversity
+    FROM per_i
+    """,
+    tags=("evaluation", "diversity", "embeddings"),
+    doc="embedding-diversity of a selected set "
+    "(evaluation.selection_diversity — the reference's mean / mean-max "
+    "pairwise-cosine diversity, compute_diversity.py:34-39,163-166): "
+    "every 17th vector stands in for an active-learning top-k batch; "
+    "k-sized broadcast x k-sized scan, per-pair cosines pinned to "
+    "integer 1e-6 units before the exact long summation",
+)
+def ev_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    sel = emb.where(F.col("vec_id") % 17 == 0)
+    return evaluation.selection_diversity(sel)

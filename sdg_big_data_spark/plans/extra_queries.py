@@ -198,18 +198,22 @@ def f7_kskip_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming-window",),
-    doc="tumbling 1-hour event-time window (F.window) — identical "
-    "aggregation runs under Structured Streaming with a watermark "
-    "(streaming/incremental.py)",
+    doc="tumbling 1-hour event-time window — calls "
+    "streaming/windowed.py tumbling_counts VERBATIM on the batch frame "
+    "(the module function's watermark attaches only to streaming "
+    "inputs), so the driver's value-hash gate covers the exact "
+    "expression the stream runs per micro-batch",
 )
 def w_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windowed import tumbling_counts
+
     events = table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(
-            F.col("w.start").alias("hour_start"), "event_type", "n", "total_value"
-        )
+    out = tumbling_counts(events, "ts", window_len="1 hour")
+    return out.select(
+        F.col("win_start").alias("hour_start"),
+        "event_type",
+        F.col("n_events").alias("n"),
+        F.round("total_value", 2).alias("total_value"),
     )
 
 

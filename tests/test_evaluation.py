@@ -323,3 +323,37 @@ class TestMeanReciprocalRank:
         df = spark.createDataFrame(rows, "qid string, id long, p double, y int")
         out = mean_reciprocal_rank(df, "y", "p", "qid", "id").collect()[0]
         assert abs(out["mrr"] - 0.5) < 1e-12
+
+
+class TestSelectionDiversity:
+    def test_hand_computed(self, spark):
+        """a=[1,0], b=[-1,0], c=[0,1] — reference semantics include the
+        diagonal: mean = -sum(cos)/k^2 = -1/9; mean-max row maxima of
+        -cos are (1, 1, 0) -> 2/3."""
+        from sdg_big_data_spark.operators.evaluation import (
+            selection_diversity,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        r = selection_diversity(df).collect()[0]
+        assert r["n_selected"] == 3
+        assert r["mean_diversity"] == round(-1 / 9, 6)
+        assert r["mean_max_diversity"] == round(2 / 3, 6)
+
+    def test_identical_set_collapses(self, spark):
+        """All-identical selection: every cosine is 1 -> mean -1 and
+        mean-max -1 (the degenerate batch a diversity gate must flag)."""
+        from sdg_big_data_spark.operators.evaluation import (
+            selection_diversity,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [3.0, 4.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        r = selection_diversity(df).collect()[0]
+        assert r["mean_diversity"] == -1.0
+        assert r["mean_max_diversity"] == -1.0
