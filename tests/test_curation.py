@@ -828,3 +828,57 @@ class TestBigramBroadcastGate:
             map(tuple, bigram_perplexity(df, broadcast_vocab_max=0).collect())
         )
         assert got == want
+
+
+class TestPsiDrift:
+    @staticmethod
+    def _py_psi(ref, cur, bins=10):
+        import math as m
+
+        n = len(ref)
+        srt = sorted(ref)
+        positions = sorted({(j * n) // bins for j in range(1, bins)} - {0})
+        edges = sorted(srt[p - 1] for p in positions)  # rank p is 1-based
+        def b(x):
+            return sum(1 for e in edges if e < x)
+        hist = {}
+        for x in ref:
+            hist.setdefault(b(x), [0, 0])[0] += 1
+        for x in cur:
+            hist.setdefault(b(x), [0, 0])[1] += 1
+        k, tr, tc = len(hist), len(ref), len(cur)
+        out = {}
+        for bn, (nr, nc) in hist.items():
+            pr = (nr + 0.5) / (tr + 0.5 * k)
+            pc = (nc + 0.5) / (tc + 0.5 * k)
+            out[bn] = (nr, nc, round(pr, 6), round(pc, 6),
+                       round((pc - pr) * m.log(pc / pr), 6))
+        return out
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_matches_pure_python(self, spark, seed):
+        """Randomized differential: psi_drift equals an independent
+        Python model using the same rank-based edges and smoothing."""
+        import random
+
+        from sdg_big_data_spark.operators.quality import psi_drift
+
+        rng = random.Random(seed)
+        ref = [round(rng.uniform(0, 100), 2) for _ in range(rng.randint(40, 120))]
+        cur = [round(rng.uniform(20, 140), 2) for _ in range(rng.randint(40, 120))]
+        rdf = spark.createDataFrame([(x,) for x in ref], "v double")
+        cdf = spark.createDataFrame([(x,) for x in cur], "v double")
+        got = {
+            r["bin"]: (r["n_ref"], r["n_cur"], r["p_ref"], r["p_cur"],
+                       r["psi_term"])
+            for r in psi_drift(rdf, cdf, "v").collect()
+        }
+        assert got == self._py_psi(ref, cur)
+
+    def test_identical_distributions_near_zero(self, spark):
+        from sdg_big_data_spark.operators.quality import psi_drift
+
+        vals = [(float(i % 50),) for i in range(500)]
+        df = spark.createDataFrame(vals, "v double")
+        rows = psi_drift(df, df, "v").collect()
+        assert sum(abs(r["psi_term"]) for r in rows) < 1e-9

@@ -75,6 +75,15 @@ PROBES = [
     # round 5b: the composed train->index->search lineage (k-means
     # trajectory + IVF probe tie-breaks, end to end)
     "e_ivf_kmeans_topk",
+    # round 6: PSI bin edges from the scalable range-shuffle rank (edge
+    # VALUES must be partition-invariant), session windows over
+    # second-truncated event time (timezone-sensitive day/hour math),
+    # the pairwise-cosine diversity fold, and Q15's exact-units
+    # max-equality membership (any summation drift changes the row set)
+    "dq_psi_drift",
+    "s_session_window",
+    "ev_diversity",
+    "tpch_q15_top_supplier",
 ]
 
 

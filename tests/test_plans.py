@@ -555,3 +555,29 @@ def test_tpch_q18_semi_join_prunes_orders(spark, sf_dir):
     q = REGISTRY["tpch_q18_big_orders"].fn(spark, sf_dir)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_tpch_q8_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    """Q8's six-table star: part/customer-region/supplier-nation all ride
+    in as broadcasts; the only shuffle joins are fact-fact
+    (lineitem-orders). The part type predicate reaches its scan."""
+    plan = _plan(spark, sf_dir, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "PushedFilters" in plan and "p_type" in plan, plan
+
+
+def test_tpch_q21_is_aggregate_decorrelated(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS must stay the decorrelated two-aggregate
+    form — no nested-loop or cartesian probe anywhere."""
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_psi_drift_single_corpus_histogram_pass(spark, sf_dir):
+    """dq_psi_drift: the bin histogram is map-side combined (partial
+    aggregate before the exchange) and the edge array arrives by
+    broadcast — no corpus-sized sort feeding the bin stage."""
+    plan = _plan(spark, sf_dir, "dq_psi_drift")
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "BroadcastExchange" in plan, plan
