@@ -23,7 +23,8 @@ Coverage map (module -> driver-checkable entry):
   language_gate, the exact functions it composes); its dedup arm is
   d_exact_dedup / d_incremental_dedup.
 - streaming/monitor.py    -> dq_chi2_drift (same
-  ``chi2_categorical_drift`` call, curation_queries).
+  ``chi2_categorical_drift`` call) and dq_psi_drift (same
+  ``psi_drift`` call), both in curation_queries.
 - streaming/dedup.py      -> d_exact_dedup (same ``doc_fingerprint``
   key + keep-min), d_incremental_dedup (same index merge).
 - streaming/incremental.py-> inc_overlap_merge / inc_agg_state

@@ -79,3 +79,73 @@ def streaming_drift_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def psi_monitor_batch(
+    batch: DataFrame,
+    batch_id: int,
+    ref: DataFrame,
+    value_col: str,
+    out_dir: str,
+    bins: int = 10,
+    alert_psi: float | None = None,
+) -> None:
+    """One micro-batch of :func:`streaming_psi_monitor` — the NUMERIC
+    sibling of :func:`drift_monitor_batch` (same per-batch contract,
+    same idempotent ``batch_id=<id>`` hive-partition sink): the batch's
+    ``value_col`` distribution is PSI-scored against the pinned
+    reference's exact decile bins (``operators.quality.psi_drift`` —
+    the exact batch gate, not a reimplementation).
+
+    ``alert_psi``: the scorecard-monitoring page threshold on TOTAL PSI
+    (rule of thumb: 0.1 watch, 0.25 page)."""
+    from ..operators.quality import psi_drift
+
+    drift = psi_drift(ref, batch, value_col, bins=bins)
+    total = drift.agg(F.sum("psi_term").alias("__psi_total"))
+    out = drift.crossJoin(F.broadcast(total))
+    if alert_psi is not None:
+        out = out.withColumn(
+            "alert", F.col("__psi_total") > F.lit(float(alert_psi))
+        )
+    (
+        out.withColumnRenamed("__psi_total", "psi_total")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/batch_id={batch_id}")
+    )
+
+
+def streaming_psi_monitor(
+    stream: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    bins: int = 10,
+    alert_psi: float | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous NUMERIC-distribution drift monitoring: every
+    micro-batch's ``value_col`` is PSI-compared against the PINNED
+    reference frame over the reference's exact decile edges — the
+    gate a production scorecard monitor pages on, next to
+    :func:`streaming_drift_monitor`'s categorical chi-square.
+
+    The reference edges are recomputed from ``ref`` per batch (they are
+    rank positions over the pinned frame, so every batch sees identical
+    edges); at scale pass a pre-aggregated/persisted reference — or
+    materialize ``ref``'s decile values once and feed a bins-row frame.
+    State: none in executors; the sink is idempotent per batch id.
+    Returns the started StreamingQuery."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        psi_monitor_batch(
+            batch, batch_id, ref, value_col, out_dir, bins, alert_psi
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -357,3 +357,22 @@ class TestSelectionDiversity:
         r = selection_diversity(df).collect()[0]
         assert r["mean_diversity"] == -1.0
         assert r["mean_max_diversity"] == -1.0
+
+    def test_arrow_backend_matches_fold(self, spark):
+        """use_arrow=True (BLAS batch path) equals the expression-fold
+        default on random vectors — same 1/unit pinning both sides."""
+        import random
+
+        from sdg_big_data_spark.operators.evaluation import (
+            selection_diversity,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        want = selection_diversity(df).collect()[0]
+        got = selection_diversity(df, use_arrow=True).collect()[0]
+        assert tuple(got) == tuple(want)

@@ -89,3 +89,60 @@ def test_no_drift_scores_near_zero(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert all(not r["alert"] for r in rows)
     assert rows[0]["chi2_total"] < 0.2
+
+
+def test_psi_stream_matches_batch_gate(spark, tmp_path):
+    """streaming_psi_monitor scores each micro-batch with the EXACT
+    batch psi_drift gate (stream-batch parity), carries the total and
+    the alert flag."""
+    from sdg_big_data_spark.operators.quality import psi_drift
+    from sdg_big_data_spark.streaming.monitor import streaming_psi_monitor
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "v double"
+    )
+    t0 = dt.datetime(2021, 1, 1)
+    batch_rows = [(i, t0, float(60 + i % 50)) for i in range(80)]
+    src = str(tmp_path / "psrc")
+    out = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    bdf = spark.createDataFrame(batch_rows, "id long, ts timestamp, v double")
+    bdf.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = streaming_psi_monitor(
+        spark.readStream.schema("id long, ts timestamp, v double").parquet(src),
+        ref,
+        "v",
+        out,
+        ckpt,
+        alert_psi=0.25,
+    )
+    q.awaitTermination()
+
+    got = {r["bin"]: r for r in spark.read.parquet(out).collect()}
+    want = {r["bin"]: r for r in psi_drift(ref, bdf, "v").collect()}
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b]["n_ref"] == want[b]["n_ref"]
+        assert got[b]["n_cur"] == want[b]["n_cur"]
+        assert got[b]["psi_term"] == want[b]["psi_term"]
+    tot = round(sum(r["psi_term"] for r in want.values()), 6)
+    for r in got.values():
+        assert abs(r["psi_total"] - tot) < 1e-6
+        # shifted-right batch vs uniform ref must page at 0.25
+        assert r["alert"] is True
+
+
+def test_psi_monitor_batch_retry_idempotent(spark, tmp_path):
+    """Re-running the same batch id (foreachBatch retry) overwrites its
+    own partition only — the sink state is identical after the rerun."""
+    from sdg_big_data_spark.streaming.monitor import psi_monitor_batch
+
+    ref = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    b0 = spark.createDataFrame([(float(i % 10),) for i in range(30)], "v double")
+    out = str(tmp_path / "ridem")
+    psi_monitor_batch(b0, 0, ref, "v", out)
+    first = sorted(map(tuple, spark.read.parquet(out).collect()))
+    psi_monitor_batch(b0, 0, ref, "v", out)  # retry
+    again = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert first == again
