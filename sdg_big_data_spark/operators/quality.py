@@ -712,10 +712,17 @@ def psi_drift(
     Laplace-smoothed over the OBSERVED bin count (an empty-in-cur bin
     scores finite, the same discipline as the chi-square gate).
 
-    Shape: one cached narrow pass over ref (count + rank), a bins-sized
-    edge array broadcast into ONE union scan of both sides, one
-    map-side-combined bin histogram, k-row output. Nothing corpus-sized
-    moves twice.
+    Shape: one cached narrow pass over ref (count + rank); the bins−1
+    edge VALUES are dimension-sized by construction, so they come back
+    to the driver and ride into ONE union scan of both sides as literal
+    comparisons (the same expression-level-codebook pattern as
+    `pq_encode` / `assign_clusters` / DSIR scoring) — bins−1 codegen'd
+    `e < v` terms per row, inside whole-stage codegen. The first form
+    shipped the edges as a broadcast ARRAY column filtered by a lambda;
+    higher-order functions are interpreted, and that one expression was
+    measured as 81 of the 96 s at the 100x universe (60M rows) — the
+    literal form bins the same rows in ~3 s. One map-side-combined bin
+    histogram, k-row output; nothing corpus-sized moves twice.
     """
     from ..cachescope import scoped_cache
     from .windows import global_rank
@@ -732,22 +739,22 @@ def psi_drift(
     positions = sorted({(j * n) // bins for j in range(1, bins)} - {0})
     if positions:
         ranked = global_rank(v_ref, ["__v"], ascending=True, rank_col="__r")
-        edges = ranked.where(F.col("__r").isin(positions)).agg(
-            F.array_sort(F.collect_list("__v")).alias("__edges")
+        edge_vals = sorted(
+            r["__v"]
+            for r in ranked.where(F.col("__r").isin(positions))
+            .select("__v")
+            .collect()
         )
     else:  # degenerate tiny reference: one bin, PSI trivially 0 per bin
-        edges = v_ref.sparkSession.range(1).select(
-            F.array().cast("array<double>").alias("__edges")
-        )
+        edge_vals = []
+    v = F.col("__v")
+    bin_expr = F.lit(0)
+    for e in edge_vals:  # bin = #edges strictly below v, unrolled
+        bin_expr = bin_expr + F.when(F.lit(float(e)) < v, 1).otherwise(0)
     both = v_ref.withColumn("__side", F.lit(0)).unionByName(
         v_cur.withColumn("__side", F.lit(1))
     )
-    binned = both.crossJoin(F.broadcast(edges)).select(
-        "__side",
-        F.size(
-            F.filter(F.col("__edges"), lambda e: e < F.col("__v"))
-        ).alias("bin"),
-    )
+    binned = both.select("__side", bin_expr.alias("bin"))
     h = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
         .cast("long").alias("n_ref"),

@@ -576,8 +576,14 @@ def test_tpch_q21_is_aggregate_decorrelated(spark, sf_dir):
 
 def test_psi_drift_single_corpus_histogram_pass(spark, sf_dir):
     """dq_psi_drift: the bin histogram is map-side combined (partial
-    aggregate before the exchange) and the edge array arrives by
-    broadcast — no corpus-sized sort feeding the bin stage."""
+    aggregate before the exchange), the edges ride as LITERAL codegen
+    comparisons (no interpreted higher-order filter — measured 81 of
+    96 s at 100x before the literal form), and nothing joins the corpus
+    to anything."""
     plan = _plan(spark, sf_dir, "dq_psi_drift")
     assert "partial_sum" in plan or "partial_count" in plan, plan
-    assert "BroadcastExchange" in plan, plan
+    assert "ArrayFilter" not in plan and "lambdafunction" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop join is the 1-row totals frame riding back
+    # onto the k-row histogram (the repo-wide scalar-broadcast pattern)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
