@@ -882,3 +882,27 @@ class TestPsiDrift:
         df = spark.createDataFrame(vals, "v double")
         rows = psi_drift(df, df, "v").collect()
         assert sum(abs(r["psi_term"]) for r in rows) < 1e-9
+
+    def test_broadcast_gate_switches_join_strategy(self, spark):
+        """Plan gate for the size-gated unigram broadcast. With the
+        planner's auto-broadcast disabled (so only the operator's own
+        hint can force one): under the default cap the scoring joins
+        are hint-forced broadcast hash joins; with the cap at 0 the
+        documented shuffle-join fallback actually materializes."""
+        from sdg_big_data_spark.operators.quality import bigram_perplexity
+
+        df = spark.createDataFrame(
+            [(i, "a b c d e f g h " * 3) for i in range(20)],
+            "doc_id long, text string",
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            hinted = bigram_perplexity(df)
+            p1 = hinted._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in p1, p1
+            gated = bigram_perplexity(df, broadcast_vocab_max=0)
+            p2 = gated._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2, p2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
