@@ -6,11 +6,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is fully executed via the no-op sink (so write/collect costs
 don't pollute the measurement). Per-query time is the MEDIAN of
 $SPARK_GRAFT_BENCH_N (default 3) timed runs after
-$SPARK_GRAFT_BENCH_WARMUPS (default 2) untimed warm-up passes — n=1
+$SPARK_GRAFT_BENCH_WARMUPS (default 1) untimed warm-up passes — n=1
 under the documented 3-15x first-run/load noise made round-over-round
-comparisons meaningless (r1 judge finding), and one warm-up leaves the
-JIT still compiling through the timed passes of a 187-query catalog
-(measured 15-20% median inflation). Caches a
+comparisons meaningless (r1 judge finding). Caches a
 query legitimately builds (self-join DAGs) are cleared between queries so
 repeated invocations measure the real plan, not an accumulating cache
 pool, and storage memory stays flat across the run.
@@ -32,13 +30,16 @@ from sdg_big_data_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
-# Untimed warm-up passes before the timed ones. 2 by default (r6): with a
-# 187-query catalog the JVM is still JIT-compiling through a single
-# warm-up — the same catalog measured 133.1 s at 6 total passes vs
-# ~162 s at 4 (per-query medians 15-20% higher purely from measurement
-# depth). Two warm passes put the timed runs on the steady-state plateau
-# a resident cluster actually operates on.
-N_WARMUPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2")))
+# Untimed warm-up passes before the timed ones. Default 1 — the r1-r5
+# protocol, kept so round-over-round totals stay comparable and the
+# per-round driver run stays inside its time budget. NOTE (measured,
+# r6): one warm-up leaves the JVM still JIT-compiling through the timed
+# passes of a ~190-query catalog — the same catalog measured 133.1 s at
+# 6 total passes vs ~162 s at 4, a UNIFORM 15-20% median inflation from
+# measurement depth alone. Set SPARK_GRAFT_BENCH_WARMUPS=2 for
+# steady-state anchor measurements (COVERAGE.md "driver-session
+# planning gap" has the full decomposition).
+N_WARMUPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1")))
 
 HEADLINE = [
     "a11_threshold_indicator",
