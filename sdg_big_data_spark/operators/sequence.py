@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_seconds
+
 
 def funnel(
     df: DataFrame,
@@ -123,3 +125,74 @@ def transitions(
         "n",
         (F.col("n") / F.sum("n").over(wt)).alias("p"),
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    from_type: str,
+    to_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Time-to-convert distribution — the latency companion to
+    :func:`funnel` (which counts WHO converts, not HOW LONG it takes):
+    per user, the whole-second delta between the earliest ``from_type``
+    event and the earliest ``to_type`` event STRICTLY after it. Returns
+    ONE row: (n_converted, mean_s, q50_s, q90_s, ...).
+
+    Quantiles are EXACT type-1 (discrete) order statistics — the value
+    at sorted position ceil(q·n), ranked by the scalable range-shuffle
+    :func:`~.windows.global_rank` (never a single-partition sort, never
+    percentile_approx — an approx quantile cannot hash-match an
+    oracle). Deltas are exact integer seconds (floor-epoch on both
+    ends, the g_sessionize discipline), so mean = Σ/n is exact long
+    arithmetic until the final rounding.
+
+    Shape: two user-keyed min-aggregates + one users-sized rank +
+    a quantile-count-sized aggregate. Nothing corpus-sized moves
+    after the two event scans; the two scans prune to the two event
+    types at the source (pushed IN filter).
+    """
+    import math
+
+    from .windows import global_rank
+
+    sec = epoch_seconds  # already floor-to-seconds BIGINT (DuckDB epoch())
+    firsts = (
+        df.where(F.col(type_col) == from_type)
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__t0"))
+    )
+    conv = (
+        df.where(F.col(type_col) == to_type)
+        .select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__t1"))
+        .join(firsts, "__u")
+        .where(F.col("__t1") > F.col("__t0"))
+        .groupBy("__u", "__t0")
+        .agg(F.min("__t1").alias("__t1"))
+        .select(
+            "__u",
+            (sec(F.col("__t1")) - sec(F.col("__t0"))).alias("__d"),
+        )
+    )
+    ranked = global_rank(conv, ["__d", "__u"], ascending=True, rank_col="__r")
+    from ..cachescope import scoped_cache
+
+    ranked = scoped_cache(ranked)
+    n = ranked.count()
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.sum("__d").cast("double") / F.count(F.lit(1)), round_dp)
+        .alias("mean_s"),
+    ]
+    for q in quantiles:
+        pos = max(1, math.ceil(q * n))
+        aggs.append(
+            F.min(F.when(F.col("__r") == pos, F.col("__d"))).alias(
+                f"q{int(q * 100)}_s"
+            )
+        )
+    return ranked.agg(*aggs)

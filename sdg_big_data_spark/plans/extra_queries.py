@@ -1807,3 +1807,58 @@ def e_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
     )
+
+
+@register(
+    "g_time_to_convert",
+    sql="""
+    WITH c AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, c.t0, min(e.ts) AS t1
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t0
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id, c.t0
+    ),
+    d AS (
+      SELECT user_id,
+             CAST(floor(epoch(t1)) AS BIGINT)
+               - CAST(floor(epoch(t0)) AS BIGINT) AS delta_s
+      FROM p
+    ),
+    nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(delta_s) AS BIGINT) AS s
+      FROM d
+    ),
+    r AS (
+      SELECT delta_s,
+             row_number() OVER (ORDER BY delta_s, user_id) AS rk
+      FROM d
+    )
+    SELECT nn.n AS n_converted,
+           round(CAST(nn.s AS DOUBLE) / nn.n, 4) AS mean_s,
+           (SELECT delta_s FROM r, nn
+             WHERE rk = greatest(1, CAST(ceil(0.5 * nn.n) AS BIGINT)))
+             AS q50_s,
+           (SELECT delta_s FROM r, nn
+             WHERE rk = greatest(1, CAST(ceil(0.9 * nn.n) AS BIGINT)))
+             AS q90_s
+    FROM nn
+    """,
+    tags=("sequence", "funnel", "latency"),
+    doc="time-to-convert distribution (sequence.conversion_latency) — "
+    "the latency companion to g_funnel: per user, whole seconds from "
+    "first click to the first strictly-later purchase; mean + EXACT "
+    "type-1 p50/p90 order statistics at rank ceil(q*n) via the "
+    "scalable range-shuffle global_rank (percentile_approx cannot "
+    "hash-match an oracle). Two user-keyed min-aggregates + one "
+    "users-sized rank; event-type filters prune both scans",
+)
+def g_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import conversion_latency
+
+    ev = table(spark, sf_dir, "events")
+    return conversion_latency(ev, "click", "purchase")

@@ -4,6 +4,8 @@ row-normalized probabilities."""
 
 from __future__ import annotations
 
+import pytest
+
 from sdg_big_data_spark.operators.sequence import funnel, transitions
 
 
@@ -64,3 +66,50 @@ def test_transitions_counts_and_probabilities(spark):
     assert out[("a", "c")] == (1, 1 / 3)
     assert out[("b", "a")] == (1, 1.0)
     assert len(out) == 3  # final events (no successor) emit nothing
+
+
+class TestConversionLatency:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_matches_pure_python(self, spark, seed):
+        """Randomized differential: conversion_latency equals the hand
+        model (first A, first B strictly after, whole-second deltas,
+        exact ceil(q*n) order statistics)."""
+        import datetime as dt
+        import math
+        import random
+
+        from sdg_big_data_spark.operators.sequence import conversion_latency
+
+        rng = random.Random(seed)
+        base = dt.datetime(2021, 3, 1)
+        rows = []
+        for u in range(30):
+            for _ in range(rng.randint(0, 8)):
+                rows.append(
+                    (u, base + dt.timedelta(seconds=rng.randint(0, 86400)),
+                     rng.choice(["click", "purchase", "view"]))
+                )
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        got = conversion_latency(df, "click", "purchase").collect()[0]
+
+        t0, t1 = {}, {}
+        for u, ts, t in rows:
+            if t == "click":
+                t0[u] = min(t0.get(u, ts), ts)
+        for u, ts, t in rows:
+            if t == "purchase" and u in t0 and ts > t0[u]:
+                t1[u] = min(t1.get(u, ts), ts)
+        deltas = sorted(
+            (int(t1[u].timestamp()) - int(t0[u].timestamp()), u)
+            for u in t1
+        )
+        n = len(deltas)
+        if n == 0:
+            assert got["n_converted"] == 0
+            return
+        assert got["n_converted"] == n
+        assert got["mean_s"] == round(sum(d for d, _ in deltas) / n, 4)
+        assert got["q50_s"] == deltas[max(1, math.ceil(0.5 * n)) - 1][0]
+        assert got["q90_s"] == deltas[max(1, math.ceil(0.9 * n)) - 1][0]
