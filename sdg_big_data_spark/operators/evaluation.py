@@ -797,3 +797,58 @@ def selection_diversity(
             F.sum("__mx").cast("double") / (u * k), round_dp
         ).alias("mean_max_diversity"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Average precision (the area under the precision-recall curve by
+    the step integral — sklearn's ``average_precision_score``
+    semantics): AP = Σ_t (R_t − R_{t−1})·P_t over distinct score
+    thresholds descending. The PR companion to :func:`auc` — the metric
+    that stays informative under the heavy class imbalance every
+    data-curation gate lives with (ROC-AUC saturates when negatives
+    dominate; precision does not).
+
+    Exactness: ΔTP at threshold t is simply the positive count AT that
+    score, so no lag/window over the threshold list is needed — AP =
+    Σ (__p/P) · (cum_tp/(cum_tp+cum_fp)) where every factor is a ratio
+    of exact integer prefix sums (the :func:`roc_points` machinery:
+    one groupBy(score) corpus collapse, both running sums on one
+    scalable `grouped_prefix_sum` pass). Returns ONE row
+    (n_pos, n_neg, avg_precision).
+    """
+    from .windows import grouped_prefix_sum
+
+    y = F.col(label_col).cast("long")
+    per_score = (
+        df.select(F.col(score_col).alias("__s"), y.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("__p"),
+            (F.count(F.lit(1)) - F.sum("__y")).alias("__n"),
+        )
+    )
+    cum = grouped_prefix_sum(
+        per_score.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("__s").desc()],
+        ["__p", "__n"],
+        ["cum_tp", "cum_fp"],
+    )
+    totals = per_score.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+    )
+    term = (F.col("__p").cast("double") / F.col("n_pos")) * (
+        F.col("cum_tp").cast("double")
+        / (F.col("cum_tp") + F.col("cum_fp"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_pos", "n_neg")
+        .agg(F.round(F.sum(term), round_dp).alias("avg_precision"))
+    )

@@ -755,3 +755,58 @@ def ev_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     sel = emb.where(F.col("vec_id") % 17 == 0)
     return evaluation.selection_diversity(sel)
+
+
+@register(
+    "ev_pr_auc",
+    sql="""
+    WITH s AS (
+      SELECT CAST(((event_id % 1000003) * 2654435761) % 1000 AS DOUBLE)
+               / CAST(1000 AS DOUBLE) AS p,
+             CASE WHEN ((event_id % 1000003) * 1299709 + 7) % 1000
+                       < ((event_id % 1000003) * 2654435761) % 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    per AS (
+      SELECT p AS score,
+             CAST(sum(y) AS BIGINT) AS p_cnt,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_cnt
+      FROM s GROUP BY p
+    ),
+    c AS (
+      SELECT score, p_cnt,
+             CAST(sum(p_cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cum_tp,
+             CAST(sum(n_cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cum_fp
+      FROM per
+    ),
+    t AS (
+      SELECT CAST(sum(p_cnt) AS BIGINT) AS n_pos,
+             CAST(sum(n_cnt) AS BIGINT) AS n_neg
+      FROM per
+    )
+    SELECT t.n_pos, t.n_neg,
+           round(sum((CAST(p_cnt AS DOUBLE) / t.n_pos)
+                     * (CAST(cum_tp AS DOUBLE) / (cum_tp + cum_fp))), 6)
+             AS avg_precision
+    FROM c, t GROUP BY t.n_pos, t.n_neg
+    """,
+    tags=("evaluation", "pr-auc"),
+    doc="average precision / PR-AUC by the step integral "
+    "(evaluation.average_precision, sklearn average_precision_score "
+    "semantics) — the class-imbalance-robust companion to ev_auc, over "
+    "the SAME deterministic score/label fixture as ev_roc_points. "
+    "Delta-TP at a threshold is the positive count AT that score, so "
+    "the whole metric is one groupBy(score) collapse + the scalable "
+    "prefix-sum pass + a 1-row aggregate — no lag window, no "
+    "percentile approximation",
+)
+def ev_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h1 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(2654435761)) % 1000
+    h2 = (F.pmod(F.col("event_id"), F.lit(1000003)) * F.lit(1299709) + 7) % 1000
+    scores = ev.select(
+        (h1.cast("double") / F.lit(1000.0)).alias("p"),
+        (h2 < h1).cast("int").alias("y"),
+    )
+    return evaluation.average_precision(scores, "y", "p")

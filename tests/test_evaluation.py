@@ -376,3 +376,56 @@ class TestSelectionDiversity:
         want = selection_diversity(df).collect()[0]
         got = selection_diversity(df, use_arrow=True).collect()[0]
         assert tuple(got) == tuple(want)
+
+
+class TestAveragePrecision:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_matches_pure_python_step_integral(self, spark, seed):
+        """Randomized differential vs the hand step integral
+        AP = sum_t (R_t - R_{t-1}) * P_t over distinct thresholds
+        descending (sklearn average_precision_score semantics,
+        including tied scores collapsing to one threshold)."""
+        import random
+
+        from sdg_big_data_spark.operators.evaluation import (
+            average_precision,
+        )
+
+        rng = random.Random(seed)
+        rows = [
+            (round(rng.choice([0.1, 0.25, 0.5, 0.75, 0.9]) + rng.randint(0, 3) * 0.01, 3),
+             rng.randint(0, 1))
+            for _ in range(200)
+        ]
+        if not any(y for _, y in rows):
+            rows[0] = (rows[0][0], 1)
+        df = spark.createDataFrame(rows, "p double, y int")
+        got = average_precision(df, "y", "p").collect()[0]
+
+        per = {}  # score -> [negatives, positives]
+        for p, y in rows:
+            c = per.setdefault(p, [0, 0])
+            c[1 if y else 0] += 1
+        P = sum(c[1] for c in per.values())
+        N = sum(c[0] for c in per.values())
+        ctp = cfp = 0
+        ap = 0.0
+        for sc in sorted(per, reverse=True):
+            neg, pos = per[sc][0], per[sc][1]
+            ctp += pos
+            cfp += neg
+            ap += (pos / P) * (ctp / (ctp + cfp))
+        assert got["n_pos"] == P and got["n_neg"] == N
+        assert got["avg_precision"] == round(ap, 6)
+
+    def test_perfect_ranker_is_one(self, spark):
+        from sdg_big_data_spark.operators.evaluation import (
+            average_precision,
+        )
+
+        rows = [(0.9 + i * 1e-4, 1) for i in range(10)] + [
+            (0.1 + i * 1e-4, 0) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "p double, y int")
+        r = average_precision(df, "y", "p").collect()[0]
+        assert r["avg_precision"] == 1.0
