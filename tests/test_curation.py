@@ -906,3 +906,15 @@ class TestPsiDrift:
             assert "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2, p2
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_single_row_reference_degenerates_to_one_bin(self, spark):
+        """n=1 reference: every quantile position floors to 0, so there
+        are no edges and everything lands in bin 0 — finite PSI, no
+        crash (the degenerate branch)."""
+        from sdg_big_data_spark.operators.quality import psi_drift
+
+        ref = spark.createDataFrame([(5.0,)], "v double")
+        cur = spark.createDataFrame([(1.0,), (9.0,), (5.0,)], "v double")
+        rows = psi_drift(ref, cur, "v").collect()
+        assert len(rows) == 1 and rows[0]["bin"] == 0
+        assert rows[0]["n_ref"] == 1 and rows[0]["n_cur"] == 3
