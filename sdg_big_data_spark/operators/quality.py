@@ -18,6 +18,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .windows import grouped_prefix_sum
 
@@ -779,4 +780,60 @@ def psi_drift(
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), round_dp).alias(
             "psi_term"
         ),
+    )
+
+
+def cusum_alerts(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k_units: int,
+    h_units: int,
+    unit: int = 100,
+    round_dp: int = 2,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection over the daily mean of a
+    metric — the WHEN companion to the distribution gates (PSI/KS/
+    chi-square say THAT two windows differ; CUSUM localizes the day a
+    level shift began, the classic Page 1954 sequential test a
+    production monitor pages on).
+
+    S_t = max(0, S_{t-1} + x_t − k) has a non-recursive closed form:
+    with P_t = Σ_{j≤t}(x_j − k),  S_t = P_t − min(0, min_{j≤t} P_j) —
+    a prefix SUM and a prefix MIN, so the whole recursion is two window
+    passes instead of a sequential loop. Alert when S_t > ``h_units``.
+
+    Exactness: x_t is the day's FLOOR-DIVIDED mean in integer ``1/unit``
+    units (sum of round(value·unit) longs // count — exact in any
+    engine), and k/h are integers, so every S_t is exact long
+    arithmetic; the only doubles are the final /unit display columns.
+
+    Scale shape: the corpus collapses to one row per day in a map-side
+    combined aggregate (the ONLY corpus-sized pass); the two window
+    passes run over the day-sized series — hundreds of rows for a year
+    at any corpus size, the sanctioned tiny-frame single-partition
+    window (same class as roc/rank offset frames).
+    """
+    daily = df.groupBy(
+        F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.sum(F.round(F.col(value_col) * unit).cast("long")).alias("__u"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    x = F.expr("__u DIV __n")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = daily.select("day", x.alias("__x")).withColumn(
+        "__p", F.sum(F.col("__x") - F.lit(int(k_units))).over(w)
+    )
+    s = p.withColumn(
+        "__s",
+        F.col("__p")
+        - F.least(F.lit(0).cast("long"), F.min("__p").over(w)),
+    )
+    u = float(unit)
+    return s.select(
+        "day",
+        F.round(F.col("__x").cast("double") / u, round_dp).alias("mean_v"),
+        F.round(F.col("__s").cast("double") / u, round_dp).alias("cusum"),
+        (F.col("__s") > F.lit(int(h_units))).cast("int").alias("alert"),
     )

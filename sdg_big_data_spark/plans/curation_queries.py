@@ -784,3 +784,46 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = li.where(F.dayofmonth("l_shipdate") <= 15)
     cur = li.where(F.dayofmonth("l_shipdate") > 15)
     return psi_drift(ref, cur, "l_extendedprice")
+
+
+@register(
+    "dq_cusum",
+    sql="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS u,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    x AS (SELECT day, u // n AS xv FROM d),
+    p AS (
+      SELECT day, xv,
+             CAST(sum(xv - 4950) OVER (ORDER BY day) AS BIGINT) AS pp
+      FROM x
+    ),
+    s AS (
+      SELECT day, xv,
+             pp - least(CAST(0 AS BIGINT), min(pp) OVER (ORDER BY day)) AS ss
+      FROM p
+    )
+    SELECT day,
+           round(CAST(xv AS DOUBLE) / 100, 2) AS mean_v,
+           round(CAST(ss AS DOUBLE) / 100, 2) AS cusum,
+           CAST(ss > 1000 AS INT) AS alert
+    FROM s
+    """,
+    tags=("data-quality", "change-point", "cusum"),
+    doc="one-sided CUSUM change-point detection (quality.cusum_alerts, "
+    "Page 1954) over the daily mean event value: S_t = max(0, S_{t-1} "
+    "+ x_t - k) via its closed form P_t - min(0, min prefix P) — a "
+    "prefix sum + prefix min instead of a sequential loop. The WHEN "
+    "companion to the PSI/KS/chi-square distribution gates. Exact: "
+    "daily means are floor-divided integer 1e-2 units, k=49.50, "
+    "h=10.00. One corpus-collapsing day aggregate; the window passes "
+    "run on the day-sized series",
+)
+def dq_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import cusum_alerts
+
+    ev = table(spark, sf_dir, "events")
+    return cusum_alerts(ev, "ts", "value", k_units=4950, h_units=1000)

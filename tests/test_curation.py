@@ -918,3 +918,59 @@ class TestPsiDrift:
         rows = psi_drift(ref, cur, "v").collect()
         assert len(rows) == 1 and rows[0]["bin"] == 0
         assert rows[0]["n_ref"] == 1 and rows[0]["n_cur"] == 3
+
+
+class TestCusumAlerts:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_matches_recursive_definition(self, spark, seed):
+        """The prefix-sum/prefix-min closed form equals the textbook
+        recursion S_t = max(0, S_{t-1} + x_t - k) on random dailies."""
+        import datetime as dt
+        import random
+
+        from sdg_big_data_spark.operators.quality import cusum_alerts
+
+        rng = random.Random(seed)
+        rows = []
+        day_vals = {}
+        for d in range(20):
+            day = dt.datetime(2022, 1, 1 + d)
+            vals = [round(rng.uniform(0, 100), 2) for _ in range(rng.randint(1, 9))]
+            day_vals[day.date()] = vals
+            rows += [(day + dt.timedelta(hours=h % 24), v) for h, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        k, h = 5000, 800
+        got = {
+            r["day"]: r for r in cusum_alerts(df, "ts", "value", k, h).collect()
+        }
+        s = 0
+        for day in sorted(day_vals):
+            units = sum(round(v * 100) for v in day_vals[day])
+            x = units // len(day_vals[day])
+            s = max(0, s + x - k)
+            r = got[day]
+            assert r["mean_v"] == round(x / 100, 2)
+            assert r["cusum"] == round(s / 100, 2)
+            assert r["alert"] == int(s > h)
+
+    def test_shift_is_localized(self, spark):
+        """A level shift mid-series alerts from (shortly after) the
+        shift day onward and never before it."""
+        import datetime as dt
+
+        from sdg_big_data_spark.operators.quality import cusum_alerts
+
+        rows = []
+        for d in range(20):
+            v = 10.0 if d < 10 else 30.0  # shift at day 10
+            rows.append((dt.datetime(2022, 2, 1 + d), v))
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        out = sorted(
+            cusum_alerts(df, "ts", "value", k_units=1100, h_units=2000).collect(),
+            key=lambda r: r["day"],
+        )
+        alerts = [r["alert"] for r in out]
+        assert all(a == 0 for a in alerts[:10])
+        assert alerts[-1] == 1 and 1 in alerts[10:]
+        first = alerts.index(1)
+        assert all(a == 1 for a in alerts[first:])
