@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..barrier import pushdown_barrier
 from ..cachescope import scoped_cache
 from ..functions import text
 from ..operators import dedup
@@ -31,17 +32,28 @@ def quality_gate(
     docs: DataFrame, text_col: str = "text", min_score: float = 0.6
 ) -> DataFrame:
     """Keep documents with composite quality score >= ``min_score``
-    (length / punctuation / stopword / token-shape heuristics)."""
-    feats = text.quality_features(docs, text_col)
+    (length / punctuation / stopword / token-shape heuristics).
+
+    The featurizer sits behind a :func:`~..barrier.pushdown_barrier`:
+    without it, ``PushDownPredicates`` substitutes the q_score alias
+    chain into the Filter and the optimized plan re-runs the tokenizer
+    per predicate reference (measured 13×/row, 271 s vs ~96 s
+    sum-of-parts at the 100x fixture for the composed gate chain).
+    Callers should filter RAW columns before the gate — raw predicates
+    do not push through the barrier."""
+    feats = pushdown_barrier(text.quality_features(docs, text_col))
     return feats.where(F.col("q_score") >= min_score)
 
 
 def language_gate(
     docs: DataFrame, text_col: str = "text", keep_langs: tuple[str, ...] = ("en",)
 ) -> DataFrame:
-    """Keep documents whose heuristic language ID is in ``keep_langs``."""
+    """Keep documents whose heuristic language ID is in ``keep_langs``.
+    Barriered for the same reason as :func:`quality_gate` — the isin
+    filter would otherwise inline the whole lang-id argmax into the
+    Filter node alongside the projection's copy."""
     out = docs.withColumn("lang_pred", text.lang_id(F.col(text_col)))
-    return out.where(F.col("lang_pred").isin(*keep_langs))
+    return pushdown_barrier(out).where(F.col("lang_pred").isin(*keep_langs))
 
 
 def exact_dedup_keep_min(

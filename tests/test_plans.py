@@ -587,3 +587,24 @@ def test_psi_drift_single_corpus_histogram_pass(spark, sf_dir):
     # the only nested-loop join is the 1-row totals frame riding back
     # onto the k-row histogram (the repo-wide scalar-broadcast pattern)
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_gate_chain_evaluates_featurizer_once(spark, sf_dir):
+    """The curation gates (quality_gate -> language_gate) must keep
+    their featurizers OUT of the Filter nodes: PushDownPredicates used
+    to substitute the q_score / lang_pred alias chains into the Filter,
+    re-running the tokenizer 25x per row (271 s vs ~96 s sum-of-parts
+    at the 100x fixture). The pushdown_barrier pins it: tokenizer runs
+    exactly twice overall (quality counters + lang-id), zero times
+    inside any Filter."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    from sdg_big_data_spark.plans import catalog
+
+    df = catalog.queries()["s_gate_replay"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.lstrip("+- :").startswith("Filter"):
+            assert "regexp_replace" not in line, line
+    # 2 tokenize sites + 1 punctuation regex = 3; anything more means an
+    # optimizer rule re-inlined a featurizer copy somewhere
+    assert plan.count("regexp_replace") <= 3, plan.count("regexp_replace")
