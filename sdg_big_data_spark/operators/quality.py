@@ -713,54 +713,123 @@ def psi_drift(
     Laplace-smoothed over the OBSERVED bin count (an empty-in-cur bin
     scores finite, the same discipline as the chi-square gate).
 
-    Shape: one cached narrow pass over ref (count + rank); the bins−1
-    edge VALUES are dimension-sized by construction, so they come back
-    to the driver and ride into ONE union scan of both sides as literal
-    comparisons (the same expression-level-codebook pattern as
-    `pq_encode` / `assign_clusters` / DSIR scoring) — bins−1 codegen'd
-    `e < v` terms per row, inside whole-stage codegen. The first form
-    shipped the edges as a broadcast ARRAY column filtered by a lambda;
-    higher-order functions are interpreted, and that one expression was
-    measured as 81 of the 96 s at the 100x universe (60M rows) — the
-    literal form bins the same rows in ~3 s. One map-side-combined bin
-    histogram, k-row output; nothing corpus-sized moves twice.
+    Shape: one cached narrow pass over ref (count + rank + histogram,
+    released before returning); the bins−1 edge VALUES and the ≤ bins
+    reference counts are dimension-sized by construction, so they come
+    back to the driver (:func:`psi_reference_model`) and the current
+    side is scored against LITERALS (:func:`psi_from_model`) — bins−1
+    codegen'd `e < v` terms per row inside whole-stage codegen, one
+    map-side-combined histogram, k-row output (the same
+    expression-level-codebook pattern as `pq_encode` /
+    `assign_clusters` / DSIR scoring). The first form shipped the edges
+    as a broadcast ARRAY column filtered by a lambda; higher-order
+    functions are interpreted, and that one expression was measured as
+    81 of the 96 s at the 100x universe (60M rows) — the literal form
+    bins the same rows in ~3 s. The model/score split exists for the
+    streaming monitor: the reference is ranked ONCE per query, not once
+    per micro-batch.
     """
-    from ..cachescope import scoped_cache
+    model = psi_reference_model(ref, value_col, bins=bins)
+    return psi_from_model(cur, model, value_col, laplace=laplace,
+                          round_dp=round_dp)
+
+
+def psi_reference_model(
+    ref: DataFrame, value_col: str, bins: int = 10
+) -> tuple[list[float], list[tuple[int, int]]]:
+    """Materialize the PSI reference ONCE: the exact ``bins``-quantile
+    edge values and the per-bin reference counts — both dimension-sized
+    (≤ bins rows), returned as plain Python so a streaming monitor can
+    compute them a single time outside ``foreachBatch`` and score every
+    micro-batch against literals (the first monitor form called
+    :func:`psi_drift` per batch, re-ranking the full reference and
+    leaking one un-released rank checkpoint + cache registration per
+    batch on a continuous stream).
+
+    Every cache and rank-checkpoint this pass creates is released
+    before returning (``cache_scope`` + explicit persistent-RDD-id
+    registration for :func:`~.windows.global_rank`'s lazy layout pin,
+    which no registry tracked before)."""
+    from ..cachescope import cache_scope, register_checkpoint_ids, scoped_cache
     from .windows import global_rank
 
-    v_ref = scoped_cache(
-        ref.select(F.col(value_col).cast("double").alias("__v")).where(
-            F.col("__v").isNotNull()
+    spark = ref.sparkSession
+    jsc = spark.sparkContext._jsc
+    with cache_scope():
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
+        v_ref = scoped_cache(
+            ref.select(F.col(value_col).cast("double").alias("__v")).where(
+                F.col("__v").isNotNull()
+            )
         )
-    )
+        n = v_ref.count()
+        positions = sorted({(j * n) // bins for j in range(1, bins)} - {0})
+        if positions:
+            ranked = global_rank(v_ref, ["__v"], ascending=True, rank_col="__r")
+            edge_vals = sorted(
+                r["__v"]
+                for r in ranked.where(F.col("__r").isin(positions))
+                .select("__v")
+                .collect()
+            )
+        else:  # degenerate tiny reference: one bin, PSI trivially 0 per bin
+            edge_vals = []
+        ref_hist = sorted(
+            (r["bin"], r["n"])
+            for r in v_ref.select(_psi_bin_expr(edge_vals).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+        # global_rank's lazy localCheckpoint (layout pin) is invisible to
+        # the cache registry; sweep it into this scope by RDD-id delta
+        register_checkpoint_ids(
+            spark, set(jsc.getPersistentRDDs().keySet().toArray()) - before
+        )
+    return edge_vals, ref_hist
+
+
+def _psi_bin_expr(edge_vals: list[float]) -> Column:
+    """bin = #edges strictly below the value, unrolled to LITERAL
+    codegen comparisons (the interpreted-HOF form was 81 of 96 s at the
+    100x universe)."""
+    v = F.col("__v")
+    bin_expr = F.lit(0)
+    for e in edge_vals:
+        bin_expr = bin_expr + F.when(F.lit(float(e)) < v, 1).otherwise(0)
+    return bin_expr
+
+
+def psi_from_model(
+    cur: DataFrame,
+    model: tuple[list[float], list[tuple[int, int]]],
+    value_col: str,
+    laplace: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PSI of ``cur`` against a pinned :func:`psi_reference_model` —
+    ONE narrow pass over ``cur`` (literal-codegen binning + map-side
+    combined histogram); the reference rides in as a ≤ bins-row literal
+    frame. Value-identical to :func:`psi_drift` on the same inputs (the
+    stream-batch parity test drives both)."""
+    edge_vals, ref_hist = model
+    spark = cur.sparkSession
     v_cur = cur.select(F.col(value_col).cast("double").alias("__v")).where(
         F.col("__v").isNotNull()
     )
-    n = v_ref.count()
-    positions = sorted({(j * n) // bins for j in range(1, bins)} - {0})
-    if positions:
-        ranked = global_rank(v_ref, ["__v"], ascending=True, rank_col="__r")
-        edge_vals = sorted(
-            r["__v"]
-            for r in ranked.where(F.col("__r").isin(positions))
-            .select("__v")
-            .collect()
-        )
-    else:  # degenerate tiny reference: one bin, PSI trivially 0 per bin
-        edge_vals = []
-    v = F.col("__v")
-    bin_expr = F.lit(0)
-    for e in edge_vals:  # bin = #edges strictly below v, unrolled
-        bin_expr = bin_expr + F.when(F.lit(float(e)) < v, 1).otherwise(0)
-    both = v_ref.withColumn("__side", F.lit(0)).unionByName(
-        v_cur.withColumn("__side", F.lit(1))
+    cur_h = (
+        v_cur.select(_psi_bin_expr(edge_vals).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+        .withColumn("n_ref", F.lit(0).cast("long"))
     )
-    binned = both.select("__side", bin_expr.alias("bin"))
-    h = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
-        .cast("long").alias("n_ref"),
-        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
-        .cast("long").alias("n_cur"),
+    ref_h = spark.createDataFrame(
+        [(int(b), int(c)) for b, c in ref_hist], "bin int, n_ref long"
+    ).withColumn("n_cur", F.lit(0).cast("long"))
+    h = (
+        cur_h.unionByName(ref_h)
+        .groupBy("bin")
+        .agg(F.sum("n_ref").alias("n_ref"), F.sum("n_cur").alias("n_cur"))
     )
     tot = h.agg(
         F.sum("n_ref").alias("__t_ref"),
@@ -820,7 +889,12 @@ def cusum_alerts(
         F.sum(F.round(F.col(value_col) * unit).cast("long")).alias("__u"),
         F.count(F.lit(1)).alias("__n"),
     )
-    x = F.expr("__u DIV __n")
+    # FLOOR division, not Spark's truncate-toward-zero DIV: pmod's
+    # non-negative remainder makes (__u - pmod) exactly divisible, so
+    # negative day-sums (deltas, P&L, temperatures) floor like the
+    # oracle's `//` instead of rounding toward zero — exact long
+    # arithmetic throughout.
+    x = F.expr("(__u - pmod(__u, __n)) DIV __n")
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     p = daily.select("day", x.alias("__x")).withColumn(
         "__p", F.sum(F.col("__x") - F.lit(int(k_units))).over(w)

@@ -795,7 +795,10 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1
     ),
-    x AS (SELECT day, u // n AS xv FROM d),
+    -- FLOOR-divided mean in exact long arithmetic: DuckDB's // (like
+    -- Spark's DIV) truncates toward zero, so subtract the non-negative
+    -- pmod remainder first — matches the engine on negative day sums
+    x AS (SELECT day, (u - ((u % n + n) % n)) // n AS xv FROM d),
     p AS (
       SELECT day, xv,
              CAST(sum(xv - 4950) OVER (ORDER BY day) AS BIGINT) AS pp

@@ -84,7 +84,7 @@ def streaming_drift_monitor(
 def psi_monitor_batch(
     batch: DataFrame,
     batch_id: int,
-    ref: DataFrame,
+    ref,
     value_col: str,
     out_dir: str,
     bins: int = 10,
@@ -94,14 +94,24 @@ def psi_monitor_batch(
     sibling of :func:`drift_monitor_batch` (same per-batch contract,
     same idempotent ``batch_id=<id>`` hive-partition sink): the batch's
     ``value_col`` distribution is PSI-scored against the pinned
-    reference's exact decile bins (``operators.quality.psi_drift`` —
-    the exact batch gate, not a reimplementation).
+    reference's exact decile bins.
+
+    ``ref`` is either a pre-materialized
+    :func:`~..operators.quality.psi_reference_model` (edges + per-bin
+    counts — what :func:`streaming_psi_monitor` passes, computed ONCE
+    outside ``foreachBatch``) or a reference DataFrame, materialized
+    here per call (the directly-testable batch contract). Scoring is
+    :func:`~..operators.quality.psi_from_model` — one narrow
+    literal-binned pass over the batch, value-identical to the batch
+    ``psi_drift`` gate by construction.
 
     ``alert_psi``: the scorecard-monitoring page threshold on TOTAL PSI
     (rule of thumb: 0.1 watch, 0.25 page)."""
-    from ..operators.quality import psi_drift
+    from ..operators.quality import psi_from_model, psi_reference_model
 
-    drift = psi_drift(ref, batch, value_col, bins=bins)
+    if isinstance(ref, DataFrame):
+        ref = psi_reference_model(ref, value_col, bins=bins)
+    drift = psi_from_model(batch, ref, value_col)
     total = drift.agg(F.sum("psi_term").alias("__psi_total"))
     out = drift.crossJoin(F.broadcast(total))
     if alert_psi is not None:
@@ -131,16 +141,21 @@ def streaming_psi_monitor(
     gate a production scorecard monitor pages on, next to
     :func:`streaming_drift_monitor`'s categorical chi-square.
 
-    The reference edges are recomputed from ``ref`` per batch (they are
-    rank positions over the pinned frame, so every batch sees identical
-    edges); at scale pass a pre-aggregated/persisted reference — or
-    materialize ``ref``'s decile values once and feed a bins-row frame.
+    The reference is materialized ONCE here — edges + per-bin counts
+    via :func:`~..operators.quality.psi_reference_model`, both ≤ bins
+    rows — and every micro-batch bins against those LITERALS. The first
+    form called the full batch gate per micro-batch, which re-ranked
+    the reference corpus every trigger and leaked one un-released rank
+    checkpoint + cache registration per batch on a continuous stream.
     State: none in executors; the sink is idempotent per batch id.
     Returns the started StreamingQuery."""
+    from ..operators.quality import psi_reference_model
+
+    model = psi_reference_model(ref, value_col, bins=bins)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         psi_monitor_batch(
-            batch, batch_id, ref, value_col, out_dir, bins, alert_psi
+            batch, batch_id, model, value_col, out_dir, bins, alert_psi
         )
 
     writer = stream.writeStream.foreachBatch(_process).option(

@@ -953,6 +953,37 @@ class TestCusumAlerts:
             assert r["cusum"] == round(s / 100, 2)
             assert r["alert"] == int(s > h)
 
+    def test_negative_values_floor_divide(self, spark):
+        """Days whose summed units are NEGATIVE (deltas, P&L) must floor
+        the daily mean like Python's // — Spark's DIV truncates toward
+        zero, which shifted x_t by one unit and diverged the whole CUSUM
+        trajectory before the pmod fix."""
+        import datetime as dt
+        import random
+
+        from sdg_big_data_spark.operators.quality import cusum_alerts
+
+        rng = random.Random(7)
+        rows, day_vals = [], {}
+        for d in range(15):
+            day = dt.datetime(2022, 3, 1 + d)
+            vals = [round(rng.uniform(-50, 20), 2) for _ in range(rng.randint(1, 7))]
+            day_vals[day.date()] = vals
+            rows += [(day + dt.timedelta(hours=h % 24), v) for h, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        k, h = -1000, 900
+        got = {r["day"]: r for r in cusum_alerts(df, "ts", "value", k, h).collect()}
+        s = 0
+        for day in sorted(day_vals):
+            units = sum(round(v * 100) for v in day_vals[day])
+            assert units < 0 or len(day_vals[day]) > 0  # exercise negatives
+            x = units // len(day_vals[day])
+            s = max(0, s + x - k)
+            r = got[day]
+            assert r["mean_v"] == round(x / 100, 2)
+            assert r["cusum"] == round(s / 100, 2)
+            assert r["alert"] == int(s > h)
+
     def test_shift_is_localized(self, spark):
         """A level shift mid-series alerts from (shortly after) the
         shift day onward and never before it."""

@@ -146,3 +146,20 @@ def test_psi_monitor_batch_retry_idempotent(spark, tmp_path):
     psi_monitor_batch(b0, 0, ref, "v", out)  # retry
     again = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert first == again
+
+
+def test_psi_reference_model_releases_everything(spark):
+    """The model pass must leave NOTHING persisted behind — the first
+    monitor form leaked one rank localCheckpoint + cache registration
+    per micro-batch on a continuous stream (never swept by any scope)."""
+    from sdg_big_data_spark.cachescope import live_cache_count
+    from sdg_big_data_spark.operators.quality import psi_reference_model
+
+    ref = spark.range(0, 2000).selectExpr("cast(id % 97 as double) as v")
+    jsc = spark.sparkContext._jsc
+    caches0 = live_cache_count()
+    rdds0 = set(jsc.getPersistentRDDs().keySet().toArray())
+    edges, hist = psi_reference_model(ref, "v")
+    assert len(edges) == 9 and sum(c for _, c in hist) == 2000
+    assert live_cache_count() == caches0
+    assert set(jsc.getPersistentRDDs().keySet().toArray()) <= rdds0
