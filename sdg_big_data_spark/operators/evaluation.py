@@ -734,10 +734,11 @@ def selection_diversity(
     it in one BLAS ``A @ Q.T`` — measured 253 s → 11.1 s
     at a 12k-vector selection (the interpreted per-element fold is the
     entire cost of the default path). Same 1/unit pinning applied in
-    numpy BEFORE the exact int64 row sums, so the two backends agree
-    everywhere except a cosine sitting within ~1e-16 of a unit
-    boundary; the default stays the fold for bit-identical oracle
-    trajectories at fixture scale.
+    numpy BEFORE the exact int64 row sums, with the SAME tie rule —
+    HALF_UP (away from zero), matching ``F.round`` — so the two
+    backends agree everywhere except a cosine sitting within ~1e-16 of
+    a unit boundary; the default stays the fold for bit-identical
+    oracle trajectories at fixture scale.
     """
     from .similarity import cosine
 
@@ -761,9 +762,11 @@ def selection_diversity(
                     continue
                 cm = np.array(list(pdf["__va"]), dtype=np.float64)
                 cn = np.linalg.norm(cm, axis=1)
-                cu = np.rint(
-                    (cm @ qm.T) / np.outer(cn, qn) * u
-                ).astype(np.int64)
+                raw = (cm @ qm.T) / np.outer(cn, qn) * u
+                # HALF_UP like F.round (ties away from zero) — np.rint's
+                # half-to-even would systematically diverge from the
+                # default backend on exact .5 unit boundaries
+                cu = np.trunc(raw + np.copysign(0.5, raw)).astype(np.int64)
                 yield pd.DataFrame(
                     {
                         "__i": pdf["__i"].to_numpy(),

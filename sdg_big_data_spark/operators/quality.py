@@ -561,19 +561,23 @@ def key_skew_profile(df: DataFrame, key_col: str, round_dp: int = 6) -> DataFram
     leaves the executors.
 
     NULL keys hash to one reducer like any other value, so they are a
-    real skew hazard — the histogram coalesces them to the sentinel
+    real skew hazard — the histogram keys them under the sentinel
     ``"<NULL>"`` so a null-dominated column reports ``top_key='<NULL>'``
     instead of a NULL that ``min`` would silently drop from the
-    tie-break."""
+    tie-break. Real values are histogrammed under a ``v:`` prefix so a
+    GENUINE string key ``'<NULL>'`` never merges with actual nulls
+    (their counts stay separate rows; the prefix is stripped on output,
+    and nulls sort before every value in the tie-break)."""
     from ..cachescope import scoped_cache
 
     # cached: three key-sized consumers (totals, hottest-key tie-break,
     # entropy) over the one corpus-touching histogram
     hist = scoped_cache(
         df.groupBy(
-            F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")).alias(
-                "__k"
-            )
+            F.coalesce(
+                F.concat(F.lit("v:"), F.col(key_col).cast("string")),
+                F.lit("<NULL>"),
+            ).alias("__k")
         ).agg(F.count(F.lit(1)).alias("__c"))
     )
     totals = hist.agg(
@@ -583,7 +587,12 @@ def key_skew_profile(df: DataFrame, key_col: str, round_dp: int = 6) -> DataFram
     )
     top_key = (
         hist.join(F.broadcast(totals.select("__maxc")), hist["__c"] == F.col("__maxc"))
-        .agg(F.min("__k").alias("top_key"))
+        .agg(F.min("__k").alias("__tk"))
+        .select(
+            F.when(F.col("__tk") == "<NULL>", F.col("__tk"))
+            .otherwise(F.substring(F.col("__tk"), 3, 2_000_000_000))
+            .alias("top_key")
+        )
     )
     ent = hist.crossJoin(F.broadcast(totals.select("n_rows"))).agg(
         F.sum(
@@ -620,6 +629,7 @@ def bigram_perplexity(
     lam: float = 0.7,
     round_dp: int = 4,
     broadcast_vocab_max: int = 2_000_000,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Interpolated bigram language-model perplexity per document
     (Jelinek-Mercer: p(w2|w1) = lam·MLE_bigram + (1−lam)·MLE_unigram) —
@@ -635,8 +645,15 @@ def bigram_perplexity(
     ``broadcast_vocab_max`` distinct tokens — any plausible vocabulary
     by Heaps' law — the hint forces a broadcast hash join; above it the
     hint is withheld and the joins degrade to plain shuffle joins
-    instead of OOM-ing the driver. The gating count runs over the
-    cached unigram histogram (vocabulary-sized, one cheap job). A HOT
+    instead of OOM-ing the driver. CAVEAT: the gating count is an EAGER
+    job at plan-construction time (one full tokenize+count over the
+    cached unigram histogram — its result is reused by the model, but
+    building the DataFrame lazily is impossible with a driver-side
+    gate). Callers composing plans without executing them (plan dumps,
+    audits) or who know their vocabulary size should pass
+    ``broadcast_vocab=True``/``False`` explicitly — that skips the
+    gating job entirely (the catalog entry passes ``True``: its corpus
+    vocabulary is dimension-sized by construction). A HOT
     token (boilerplate filler) concentrates its bigram pairs on one
     key, but both count aggregates collapse map-side before the
     exchange, so the shuffle carries distinct pairs, not occurrences
@@ -652,7 +669,11 @@ def bigram_perplexity(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    vocab_small = uni.count() <= broadcast_vocab_max
+    vocab_small = (
+        broadcast_vocab
+        if broadcast_vocab is not None
+        else uni.count() <= broadcast_vocab_max
+    )
     hint = F.broadcast if vocab_small else (lambda d: d)
     total = uni.agg(F.sum("cu").cast("double").alias("total"))
     big = toks.where(F.size("t") >= 2).select(

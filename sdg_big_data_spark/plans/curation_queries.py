@@ -680,7 +680,9 @@ def dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_key_skew",
     sql="""
     WITH h AS (
-      SELECT COALESCE(CAST(l_partkey AS VARCHAR), '<NULL>') AS k,
+      -- 'v:' prefix disambiguates genuine '<NULL>' strings from real
+      -- nulls (stripped in tk below), mirroring the engine
+      SELECT COALESCE('v:' || CAST(l_partkey AS VARCHAR), '<NULL>') AS k,
              CAST(count(*) AS BIGINT) AS c
       FROM lineitem GROUP BY 1
     ),
@@ -691,7 +693,9 @@ def dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     ),
     tk AS (
-      SELECT min(h.k) AS top_key FROM h, t WHERE h.c = t.maxc
+      SELECT CASE WHEN min(h.k) = '<NULL>' THEN min(h.k)
+                  ELSE substr(min(h.k), 3) END AS top_key
+      FROM h, t WHERE h.c = t.maxc
     ),
     e AS (
       SELECT sum(-(CAST(c AS DOUBLE) / n_rows) * ln(CAST(c AS DOUBLE) / n_rows))

@@ -494,4 +494,10 @@ def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import bigram_perplexity
 
     docs = table(spark, sf_dir, "documents")
-    return bigram_perplexity(docs, "doc_id", "text", lam=_BIGRAM_LAMBDA)
+    # broadcast_vocab=True: the fixture vocabulary is dimension-sized by
+    # construction, and the explicit flag keeps plan construction lazy
+    # (the default size-gate runs an eager tokenize+count job, which
+    # plan dumps / HOF audits / lazy compositions would trigger)
+    return bigram_perplexity(
+        docs, "doc_id", "text", lam=_BIGRAM_LAMBDA, broadcast_vocab=True
+    )

@@ -781,6 +781,19 @@ class TestKeySkewProfile:
         assert r["n_rows"] == 10 and r["n_keys"] == 3
         assert r["top_key"] == "<NULL>" and r["top_share"] == 0.6
 
+    def test_literal_null_string_not_merged_with_real_nulls(self, spark):
+        """A GENUINE '<NULL>' string key must stay a separate histogram
+        row from real nulls — the bare-sentinel form merged them,
+        inflating that key's count/top_share."""
+        from sdg_big_data_spark.operators.quality import key_skew_profile
+
+        df = spark.createDataFrame(
+            [("<NULL>",)] * 3 + [(None,)] * 3 + [("a",)] * 4, "k string"
+        )
+        r = key_skew_profile(df, "k").collect()[0]
+        assert r["n_keys"] == 3  # '<NULL>' string, real nulls, 'a'
+        assert r["top_key"] == "a" and r["top_share"] == 0.4
+
 
 class TestChi2NullCategory:
     def test_null_category_is_one_row(self, spark):
@@ -906,6 +919,28 @@ class TestPsiDrift:
             assert "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2, p2
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_explicit_broadcast_vocab_skips_gating_job(self, spark):
+        """broadcast_vocab=True/False must build the plan WITHOUT
+        running the eager vocabulary-count job (plan dumps, HOF audits,
+        lazy compositions) — and still match the gated result."""
+        from unittest.mock import patch
+
+        from pyspark.sql import DataFrame
+
+        from sdg_big_data_spark.operators.quality import bigram_perplexity
+
+        df = spark.createDataFrame(
+            [(i, "a b c d e f " * 2) for i in range(10)],
+            "doc_id long, text string",
+        )
+        with patch.object(
+            DataFrame, "count", side_effect=AssertionError("eager job ran")
+        ):
+            explicit = bigram_perplexity(df, broadcast_vocab=True)
+        want = {r["doc_id"]: r for r in bigram_perplexity(df).collect()}
+        for r in explicit.collect():
+            assert r["ppl"] == want[r["doc_id"]]["ppl"]
 
     def test_single_row_reference_degenerates_to_one_bin(self, spark):
         """n=1 reference: every quantile position floors to 0, so there

@@ -377,6 +377,25 @@ class TestSelectionDiversity:
         got = selection_diversity(df, use_arrow=True).collect()[0]
         assert tuple(got) == tuple(want)
 
+    def test_arrow_backend_half_up_on_exact_tie(self, spark):
+        """A cosine landing EXACTLY on a .5 unit boundary must round
+        HALF_UP in both backends: cos(a,b)=1/4 is exact in floats
+        (dot=1, norms 1 and 4), so unit=2 puts the pinned value at 0.5
+        — np.rint's half-to-even rounded it to 0 while F.round gave 1,
+        a systematic backend divergence before the copysign fix."""
+        from sdg_big_data_spark.operators.evaluation import (
+            selection_diversity,
+        )
+
+        a = [1.0] + [0.0] * 15
+        b = [1.0] * 16  # |b| = 4 exactly
+        df = spark.createDataFrame(
+            [(0, a), (1, b)], "vec_id long, embedding array<double>"
+        )
+        want = selection_diversity(df, unit=2).collect()[0]
+        got = selection_diversity(df, unit=2, use_arrow=True).collect()[0]
+        assert tuple(got) == tuple(want)
+
 
 class TestAveragePrecision:
     @pytest.mark.parametrize("seed", range(3))
