@@ -931,6 +931,80 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KLL_EPS = 0.05  # KLL k=200 rank-error bound ~1.65% (99% conf); generous
+# headroom so the per-quantile verdict is deterministically TRUE across
+# runs (merge order / compaction randomness move the ESTIMATE, never
+# outside the guarantee at this margin)
+
+
+@register(
+    "a_kll_quantiles",
+    sql="""
+    SELECT l_returnflag, phi,
+           CAST(count(*) AS BIGINT) AS n,
+           1 AS within_bound
+    FROM lineitem
+    CROSS JOIN (
+      SELECT UNNEST([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS phi
+    ) q
+    GROUP BY l_returnflag, phi
+    """,
+    tags=("A-sketch", "kll", "rollup"),
+    doc="mergeable KLL quantile rollup (relational.kll_quantile_rollup): "
+    "per-(returnflag, shipdate) sketches merged up to returnflag, "
+    "p25/p50/p75 read off the merged sketch. A sketch ESTIMATE is not "
+    "hash-able (merge order moves it within the error bound), so the "
+    "entry oracles the GUARANTEE itself: the engine recomputes each "
+    "returned quantile's EXACT normalized rank in one corpus pass and "
+    "emits within_bound = |rank - phi| <= eps per probe — a boolean "
+    "that IS hash-stable, compared against the oracle's literal TRUE "
+    "(a broken merge or guarantee violation flips it and fails the "
+    "hash). The estimating-regime tolerance is additionally covered by "
+    "tests/test_plans.py::test_kll_rollup_rank_error",
+)
+def a_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import kll_quantile_rollup
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    roll = kll_quantile_rollup(
+        li,
+        ["l_returnflag", "l_shipdate"],
+        ["l_returnflag"],
+        "l_extendedprice",
+        quantiles=(0.25, 0.5, 0.75),
+    )
+    est = roll.selectExpr(
+        "l_returnflag",
+        "stack(3, 0.25D, q_0_25, 0.5D, q_0_5, 0.75D, q_0_75) AS (phi, __v)",
+    )
+    # exact-rank verification: the 9-row estimate frame broadcasts back
+    # onto ONE corpus pass; rank fractions are exact long arithmetic.
+    # Interval form handles ties: the returned value v satisfies the
+    # guarantee iff [frac(<v), frac(<=v)] intersects [phi-eps, phi+eps].
+    j = li.join(F.broadcast(est), "l_returnflag")
+    agg = j.groupBy("l_returnflag", "phi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("__v"), 1).otherwise(0)
+        ).alias("__lt"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("__v"), 1).otherwise(0)
+        ).alias("__le"),
+    )
+    eps = F.lit(_KLL_EPS)
+    return agg.select(
+        "l_returnflag",
+        "phi",
+        "n",
+        (
+            (F.col("__lt") / F.col("n") - eps <= F.col("phi"))
+            & (F.col("phi") <= F.col("__le") / F.col("n") + eps)
+        ).cast("int").alias("within_bound"),
+    )
+
+
 @register(
     "a_theta_overlap",
     sql="""
