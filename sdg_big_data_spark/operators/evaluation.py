@@ -700,7 +700,8 @@ def selection_diversity(
     vec_col: str = "embedding",
     unit: int = 1_000_000,
     round_dp: int = 6,
-    use_arrow: bool = False,
+    use_arrow: bool | None = None,
+    arrow_min_k: int = 2_000,
 ) -> DataFrame:
     """Embedding-diversity of a SELECTED set (an active-learning top-k
     batch, a dedup survivor sample): the reference's mean / mean-max
@@ -727,11 +728,19 @@ def selection_diversity(
     ``1/unit`` units before summation (exact long arithmetic, engine-
     independent), the same trajectory-pinning as the tpch_* entries.
 
-    ``use_arrow=True`` is the scale backend (the ``arrow_verify`` /
-    ``pandas_cosine_topk`` pattern): the k×dim selection matrix is
-    closed over (k-sized by contract — the same budget as broadcasting
-    it) and each Arrow batch computes its rows' cosines against ALL of
-    it in one BLAS ``A @ Q.T`` — measured 253 s → 11.1 s
+    ``use_arrow`` selects the backend; the default ``None`` AUTO-SELECTS
+    by counting the selection (one cheap job on a k-sized frame): the
+    expression fold below ``arrow_min_k`` — bit-identical oracle
+    trajectories where fixtures live — and Arrow/BLAS above it, because
+    the fold's interpreted per-element cost is quadratic in k (a 12k
+    selection measured 327 s fold vs 11.1 s Arrow; a catalog fixture
+    whose selection GREW with the corpus walked into that cliff at the
+    100x universe before auto-selection). ``use_arrow=True`` is the
+    scale backend (the ``arrow_verify`` / ``pandas_cosine_topk``
+    pattern): the k×dim selection matrix is closed over (k-sized by
+    contract — the same budget as broadcasting it) and each Arrow batch
+    computes its rows' cosines against ALL of it in one BLAS
+    ``A @ Q.T`` — measured 253 s → 11.1 s
     at a 12k-vector selection (the interpreted per-element fold is the
     entire cost of the default path). Same 1/unit pinning applied in
     numpy BEFORE the exact int64 row sums, with the SAME tie rule —
@@ -743,6 +752,8 @@ def selection_diversity(
     from .similarity import cosine
 
     a = sel.select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__va"))
+    if use_arrow is None:
+        use_arrow = a.count() > arrow_min_k
     if use_arrow:
         import numpy as np
 

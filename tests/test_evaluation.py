@@ -377,6 +377,28 @@ class TestSelectionDiversity:
         got = selection_diversity(df, use_arrow=True).collect()[0]
         assert tuple(got) == tuple(want)
 
+    def test_auto_backend_switches_on_selection_size(self, spark):
+        """use_arrow=None (default) must pick the fold below arrow_min_k
+        and the BLAS path above it — the fixed catalog fixture walked
+        into the quadratic fold at a corpus-grown 12k selection (327 s
+        vs 11.1 s at 100x) before auto-selection. Both choices must
+        return identical values."""
+        import random
+
+        from sdg_big_data_spark.operators.evaluation import (
+            selection_diversity,
+        )
+
+        rng = random.Random(11)
+        rows = [
+            (i, [round(rng.uniform(-1, 1), 3) for _ in range(6)])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        fold = selection_diversity(df, arrow_min_k=100).collect()[0]
+        arrow = selection_diversity(df, arrow_min_k=10).collect()[0]
+        assert tuple(arrow) == tuple(fold)
+
     def test_arrow_backend_half_up_on_exact_tie(self, spark):
         """A cosine landing EXACTLY on a .5 unit boundary must round
         HALF_UP in both backends: cos(a,b)=1/4 is exact in floats
