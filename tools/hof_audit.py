@@ -11,18 +11,31 @@ exactly that bug: ONE ``size(filter(edges, e -> e < v))`` over a
 broadcast 9-element array was 81 of its 96 s at the 100x universe;
 rewritten to unrolled literal comparisons it fell to 7.2 s.
 
-This tool renders every catalog query's executed plan at sf0.001 and
-counts HOF call sites, so the class of bug is visible per round instead
-of rediscovered by profiling:
+Worse, the OPTIMIZER can multiply interpreted sites the source never
+wrote: ``PushDownPredicates`` substitutes let-bound aliases into Filter
+nodes (the curation gates evaluated their tokenizer 25x per row before
+the pushdown_barrier), ``CollapseProject`` inlines multi-referenced
+aliases, and ``InferFiltersFromGenerate`` plants extra copies under
+explodes. So the audit counts each query's HOF sites THREE ways:
+
+- ``analyzed``   — what the source wrote (pre-optimization plan);
+- ``optimized``  — what will actually run, post-Catalyst;
+- ``in_filter``  — optimized sites sitting inside Filter nodes, the
+  signature of pushdown re-inlining.
+
+``dup_factor`` = optimized / analyzed, counted on RAW ``lambdafunction(``
+occurrences — the named-function regex undercounts deeply-nested lambdas
+(its argument matcher only spans one paren level), which manufactured
+fake 2x "duplication" on the PQ plans in the first plan-diff sweep. A
+factor > 1, or any ``in_filter`` count on an expensive lambda, is the
+smell worth a decomposition probe; a factor of 1 with sites on token
+arrays is the workload, not a bug. Known benign inflation: a cached
+subtree (InMemoryRelation) renders its PHYSICAL plan inside the
+optimized string, so a query whose cache body contains lambdas can show
+a small spurious uplift (d_semantic_dedup: 12 -> 14, both branches
+execute once).
 
     python tools/hof_audit.py            # writes HOF_AUDIT.json
-
-Interpretation guide (reflected in COVERAGE.md): entries in the text /
-dedup / similarity / multimodal families operate ON array columns —
-their HOF sites are the workload. A NEW site appearing in a scan-heavy
-relational/window/aggregation plan is the smell worth a decomposition
-probe (tools pattern: time each stage separately, then check whether
-the array is dimension-sized and can become literals).
 """
 
 from __future__ import annotations
@@ -45,6 +58,21 @@ SF_DIR = "/root/testdata/sf0.001"
 _HOF = re.compile(r"\b(\w+)\((?:[^()]|\([^()]*\))*?lambdafunction")
 
 
+def _counts(plan: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for h in _HOF.findall(plan):
+        counts[h] = counts.get(h, 0) + 1
+    return counts
+
+
+def _filter_sites(plan: str) -> int:
+    n = 0
+    for line in plan.splitlines():
+        if line.lstrip("+-: ").startswith("Filter"):
+            n += len(_HOF.findall(line))
+    return n
+
+
 def main() -> None:
     spark = get_spark(app_name="hof-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -53,20 +81,32 @@ def main() -> None:
     report: dict[str, dict] = {}
     for name, fn in qs.items():
         try:
-            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            qe = fn(spark, SF_DIR)._jdf.queryExecution()
+            an_plan = qe.analyzed().toString()
+            opt_plan = qe.optimizedPlan().toString()
         except Exception as e:  # noqa: BLE001 — record and continue
             report[name] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
             continue
-        hits = _HOF.findall(plan)
-        if hits:
-            counts: dict[str, int] = {}
-            for h in hits:
-                counts[h] = counts.get(h, 0) + 1
-            report[name] = {"hof_sites": sum(counts.values()), "by_fn": counts}
+        n_an = an_plan.count("lambdafunction(")
+        n_opt = opt_plan.count("lambdafunction(")
+        if n_an or n_opt:
+            report[name] = {
+                "analyzed_sites": n_an,
+                "optimized_sites": n_opt,
+                "dup_factor": round(n_opt / n_an, 2) if n_an else None,
+                "in_filter": _filter_sites(opt_plan),
+                "by_fn_optimized": _counts(opt_plan),
+            }
+    dup = [
+        n for n, r in report.items()
+        if "error" not in r
+        and (r["in_filter"] or (r["dup_factor"] or 0) > 1.0)
+    ]
     out = {
         "sf_dir": SF_DIR,
         "queries_with_hofs": len(report),
         "queries_total": len(qs),
+        "duplication_suspects": sorted(dup),
         "report": dict(sorted(report.items())),
     }
     Path(__file__).resolve().parent.parent.joinpath("HOF_AUDIT.json").write_text(
@@ -74,8 +114,15 @@ def main() -> None:
     )
     print(
         f"{len(report)}/{len(qs)} catalog plans contain interpreted HOF "
-        "sites -> HOF_AUDIT.json"
+        f"sites; {len(dup)} with optimizer duplication (factor>1 or "
+        "in-Filter sites) -> HOF_AUDIT.json"
     )
+    for n in sorted(dup):
+        r = report[n]
+        print(
+            f"  {n}: analyzed={r['analyzed_sites']} "
+            f"optimized={r['optimized_sites']} in_filter={r['in_filter']}"
+        )
 
 
 if __name__ == "__main__":
