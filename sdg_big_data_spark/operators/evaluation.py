@@ -866,3 +866,91 @@ def average_precision(
         .groupBy("n_pos", "n_neg")
         .agg(F.round(F.sum(term), round_dp).alias("avg_precision"))
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    unit: int = 1_000_000_000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data — the agreement coefficient
+    that handles ANY number of raters and missing ratings (Cohen's
+    kappa, :func:`cohen_kappa`, is the 2-rater complete-data special
+    case). The labeling-QA gate for multi-annotator training data:
+    alpha >= 0.8 is the conventional publish bar, < 0.667 discard.
+
+    Coincidence-matrix formulation (Krippendorff 2004 §11.3): over
+    units with m_u >= 2 ratings,
+
+        alpha = 1 - P*(n-1)/Q,
+        P = sum_u [m_u*(m_u-1) - sum_c m_uc*(m_uc-1)] / (m_u - 1)
+        Q = n^2 - sum_c n_c^2,   n = total ratings kept
+
+    (P counts disagreeing ordered pairs per unit, each weighted
+    1/(m_u-1); Q the same under the marginal null). Single-rating units
+    drop out by definition; a rater column is unnecessary — only the
+    per-unit value multiset enters.
+
+    Exactness: every count is a long; each unit's fractional term is
+    pinned to integer ``1/unit`` units before the cross-unit sum (exact
+    long arithmetic — double summation order across units can never
+    flip a hash), and the final alpha is one fixed-shape double
+    expression both engines evaluate identically.
+
+    Scale shape: one corpus pass collapses to a (unit, value) histogram
+    (map-side combined), cached for its two dimension-sized consumers
+    (per-unit disagreement, per-value marginals); everything after is
+    key-sized aggregates. Returns one row (n_units, n_ratings, alpha);
+    alpha is NULL for degenerate inputs (no multi-rated unit, or zero
+    expected disagreement with n <= 1)."""
+    from ..cachescope import scoped_cache
+
+    uv = scoped_cache(
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(unit_col).alias("__u"),
+            F.col(value_col).cast("string").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_unit = (
+        uv.groupBy("__u")
+        .agg(
+            F.sum("__c").alias("__m"),
+            F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__agree"),
+        )
+        .where(F.col("__m") >= 2)
+    )
+    u = F.lit(float(unit))
+    unit_stats = per_unit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__m").cast("long").alias("n_ratings"),
+        F.sum(
+            F.round(
+                u
+                * (F.col("__m") * (F.col("__m") - 1) - F.col("__agree"))
+                / (F.col("__m") - 1)
+            ).cast("long")
+        ).alias("__p_units"),
+    )
+    # marginals over the SAME kept units (m_u >= 2)
+    kept = per_unit.select("__u")
+    marg = (
+        uv.join(kept, "__u", "left_semi")
+        .groupBy("__v")
+        .agg(F.sum("__c").alias("__nc"))
+        .agg(F.sum(F.col("__nc") * F.col("__nc")).cast("long").alias("__sq"))
+    )
+    n = F.col("n_ratings").cast("double")
+    p = F.col("__p_units").cast("double") / u
+    q = n * n - F.col("__sq").cast("double")
+    return unit_stats.crossJoin(F.broadcast(marg)).select(
+        "n_units",
+        "n_ratings",
+        F.round(
+            F.when(q > 0, F.lit(1.0) - p * (n - 1) / q),
+            round_dp,
+        ).alias("alpha"),
+    )

@@ -128,3 +128,73 @@ def bm25_topk(
         F.round(F.sum("__s"), score_dp).alias("bm25"),
     )
     return agg.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rrf_fuse(
+    runs: Sequence[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    k: int | None = None,
+    unit: int = 1_000_000_000,
+    score_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N ranked candidate runs — the standard hybrid-retrieval merge
+    (lexical BM25 + embedding ANN, or several query formulations):
+
+        rrf(d) = Σ_runs 1 / (k0 + rank_run(d))
+
+    ``runs`` is a sequence of ``(frame, score_col)`` pairs; each frame
+    needs (``id_col``, score) and is ranked internally by
+    (score DESC, id ASC) — pass PRE-ROUNDED scores (every producer in
+    this engine rounds, e.g. ``bm25_topk``/``cosine_topk``) so the rank
+    order is engine-portable. Ranks are 1-based; a document absent from
+    a run simply contributes nothing (the RRF convention).
+
+    Returns (``id_col``, n_runs_hit, rrf) ordered by (rrf DESC, id ASC),
+    top-``k`` if ``k`` is given. Each reciprocal is pinned to integer
+    ``1/unit`` units before the cross-run sum (exact long arithmetic —
+    float summation order can never flip a hash), then displayed at
+    ``score_dp`` decimals.
+
+    Scale shape: fusion inputs are CANDIDATE LISTS by contract
+    (top-k·queries rows, not corpora — fuse after retrieval, which is
+    where RRF is defined), so the per-run ``row_number`` window over a
+    run-sized frame and the (id)-keyed sum are both candidate-sized;
+    nothing corpus-sized is touched. Feed corpus-sized frames to a
+    retrieval operator first (``bm25_topk``, ``similarity.cosine_topk``).
+    """
+    from pyspark.sql.window import Window
+
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    staged = []
+    for i, (df, score_col) in enumerate(runs):
+        w = Window.partitionBy(F.lit(i)).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        staged.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).alias("__rank"),
+            ).select(
+                id_col,
+                F.round(F.lit(float(unit)) / (F.col("__rank") + F.lit(k0)))
+                .cast("long")
+                .alias("__r_units"),
+            )
+        )
+    allruns = staged[0]
+    for s in staged[1:]:
+        allruns = allruns.unionByName(s)
+    out = (
+        allruns.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs_hit"),
+            F.round(
+                F.sum("__r_units").cast("double") / float(unit), score_dp
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    )
+    return out.limit(k) if k else out

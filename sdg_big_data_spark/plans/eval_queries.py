@@ -810,3 +810,53 @@ def ev_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h2 < h1).cast("int").alias("y"),
     )
     return evaluation.average_precision(scores, "y", "p")
+
+
+@register(
+    "ev_krippendorff",
+    sql="""
+    WITH uv AS (
+      SELECT user_id AS u, event_type AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    pu AS (
+      SELECT u, CAST(sum(c) AS BIGINT) AS m,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS agree
+      FROM uv GROUP BY u HAVING sum(c) >= 2
+    ),
+    us AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(m) AS BIGINT) AS n_ratings,
+             CAST(sum(CAST(round(1000000000.0 * (m * (m - 1) - agree)
+                                 / (m - 1)) AS BIGINT)) AS BIGINT) AS p_units
+      FROM pu
+    ),
+    mg AS (
+      SELECT CAST(sum(nc * nc) AS BIGINT) AS sq FROM (
+        SELECT CAST(sum(c) AS BIGINT) AS nc
+        FROM uv JOIN pu USING (u) GROUP BY v
+      )
+    )
+    SELECT n_units, n_ratings,
+           round(CASE WHEN CAST(n_ratings AS DOUBLE) * n_ratings - sq > 0
+                 THEN 1 - (CAST(p_units AS DOUBLE) / 1000000000.0)
+                          * (CAST(n_ratings AS DOUBLE) - 1)
+                          / (CAST(n_ratings AS DOUBLE)
+                             * CAST(n_ratings AS DOUBLE)
+                             - CAST(sq AS DOUBLE))
+                 END, 6) AS alpha
+    FROM us, mg
+    """,
+    tags=("evaluation", "agreement", "krippendorff"),
+    doc="Krippendorff's alpha, nominal (evaluation.krippendorff_alpha "
+    "— Krippendorff 2004 §11.3 coincidence form): multi-rater/"
+    "missing-data agreement, generalizing ev_cohens_kappa; the "
+    "labeling-QA gate for multi-annotator training data. Fixture: do a "
+    "user's events agree on event_type (unit=user, value=type). One "
+    "corpus-collapsing (unit, value) histogram, then key-sized "
+    "aggregates; per-unit fractions pinned to integer 1e-9 units so "
+    "the cross-unit sum is exact long arithmetic in both engines",
+)
+def ev_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return evaluation.krippendorff_alpha(ev, "user_id", "event_type")

@@ -444,6 +444,90 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=20)
 
 
+_BM25_TERMS_ALT = ["shuffle", "partition", "broadcast", "cache", "join"]
+
+_BM25_RUN_SQL = """
+    tf{s} AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE tok IN ({terms})
+      GROUP BY doc_id, tok
+    ),
+    dfq{s} AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf{s} GROUP BY tok
+    ),
+    scored{s} AS (
+      SELECT tf{s}.doc_id,
+             ln(1 + (st.n - dfq{s}.df + 0.5) / (dfq{s}.df + 0.5))
+               * (tf{s}.tf * 2.2)
+               / (tf{s}.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS sc
+      FROM tf{s}
+      JOIN dfq{s} USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats st
+    ),
+    run{s} AS (
+      SELECT doc_id, round(sum(sc), 6) AS bm25
+      FROM scored{s} GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    )"""
+
+
+@register(
+    "t_rrf_fusion",
+    sql=(
+        """
+    WITH toks AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+    ),"""
+        + _BM25_RUN_SQL.format(s="1", terms="{terms1}")
+        + ","
+        + _BM25_RUN_SQL.format(s="2", terms="{terms2}")
+        + """,
+    ranked AS (
+      SELECT doc_id,
+             CAST(round(1000000000.0
+               / (row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) + 60))
+               AS BIGINT) AS ru
+      FROM run1
+      UNION ALL
+      SELECT doc_id,
+             CAST(round(1000000000.0
+               / (row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) + 60))
+               AS BIGINT) AS ru
+      FROM run2
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs_hit,
+           round(CAST(sum(ru) AS DOUBLE) / 1000000000.0, 6) AS rrf
+    FROM ranked GROUP BY doc_id
+    """
+    ).format(
+        toks=_SQL_TOKS.format(c="text"),
+        terms1=", ".join(f"'{t}'" for t in _BM25_TERMS),
+        terms2=", ".join(f"'{t}'" for t in _BM25_TERMS_ALT),
+    ),
+    tags=("text", "retrieval", "rrf", "hybrid"),
+    doc="reciprocal-rank fusion (retrieval.rrf_fuse — Cormack et al. "
+    "2009) of two BM25 query formulations: the standard hybrid-"
+    "retrieval merge (same operator fuses lexical + ANN runs). Each "
+    "reciprocal 1/(60+rank) is pinned to integer 1e-9 units before the "
+    "cross-run sum, so the fused score is exact long arithmetic in "
+    "both engines. Fusion is candidate-sized by contract — two top-20 "
+    "runs in, <=40 fused rows out; the corpus is only touched by the "
+    "retrieval operators themselves",
+)
+def t_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = table(spark, sf_dir, "documents")
+    r1 = bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=20)
+    r2 = bm25_topk(docs, _BM25_TERMS_ALT, "doc_id", "text", k=20)
+    return rrf_fuse([(r1, "bm25"), (r2, "bm25")], "doc_id")
+
+
 _BIGRAM_LAMBDA = 0.7
 
 

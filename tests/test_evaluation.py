@@ -470,3 +470,74 @@ class TestAveragePrecision:
         df = spark.createDataFrame(rows, "p double, y int")
         r = average_precision(df, "y", "p").collect()[0]
         assert r["avg_precision"] == 1.0
+
+
+class TestKrippendorffAlpha:
+    @staticmethod
+    def _naive(units):
+        """Independent model: explicit coincidence matrix o_ck
+        (Krippendorff 2004 §11.3), no pinning."""
+        from collections import Counter, defaultdict
+
+        kept = [u for u in units if len(u) >= 2]
+        if not kept:
+            return None
+        n = sum(len(u) for u in kept)
+        o = defaultdict(float)
+        for u in kept:
+            m = len(u)
+            for i, c in enumerate(u):
+                for j, k in enumerate(u):
+                    if i != j:
+                        o[(c, k)] += 1.0 / (m - 1)
+        d_o = sum(v for (c, k), v in o.items() if c != k) / n
+        nc = Counter(v for u in kept for v in u)
+        d_e = sum(
+            a * b for c, a in nc.items() for k, b in nc.items() if c != k
+        ) / (n * (n - 1))
+        if d_e == 0:
+            return None
+        return 1.0 - d_o / d_e
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_matches_coincidence_matrix_model(self, spark, seed):
+        import random
+
+        from sdg_big_data_spark.operators.evaluation import (
+            krippendorff_alpha,
+        )
+
+        rng = random.Random(seed)
+        rows, units = [], []
+        for u in range(40):
+            vals = [
+                rng.choice("abcd") for _ in range(rng.randint(1, 6))
+            ]  # includes single-rating units, which must drop out
+            units.append(vals)
+            rows += [(u, v) for v in vals]
+        df = spark.createDataFrame(rows, "unit long, v string")
+        got = krippendorff_alpha(df, "unit", "v").collect()[0]
+        want = self._naive(units)
+        assert got["alpha"] == pytest.approx(want, abs=2e-6)
+        assert got["n_ratings"] == sum(len(u) for u in units if len(u) >= 2)
+
+    def test_perfect_agreement_is_one(self, spark):
+        from sdg_big_data_spark.operators.evaluation import (
+            krippendorff_alpha,
+        )
+
+        rows = [(u, "x" if u % 2 else "y") for u in range(10) for _ in range(3)]
+        df = spark.createDataFrame(rows, "unit long, v string")
+        assert krippendorff_alpha(df, "unit", "v").collect()[0]["alpha"] == 1.0
+
+    def test_degenerate_returns_null(self, spark):
+        """All ratings one category -> zero expected disagreement ->
+        alpha undefined (NULL), not a crash or a fake 1.0."""
+        from sdg_big_data_spark.operators.evaluation import (
+            krippendorff_alpha,
+        )
+
+        df = spark.createDataFrame(
+            [(u, "x") for u in range(5) for _ in range(2)], "unit long, v string"
+        )
+        assert krippendorff_alpha(df, "unit", "v").collect()[0]["alpha"] is None

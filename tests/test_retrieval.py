@@ -85,3 +85,51 @@ def test_zero_token_docs_excluded_from_corpus_stats(spark):
         ).collect()
     }
     assert a == b  # the empty doc changes neither scores nor membership
+
+
+class TestRrfFuse:
+    def test_hand_computed(self, spark):
+        """Two 3-doc runs, overlapping on doc 1: rrf = sum of pinned
+        1/(60+rank) reciprocals; absent-from-run docs contribute
+        nothing (the RRF convention)."""
+        from sdg_big_data_spark.operators.retrieval import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, s double"
+        )
+        r2 = spark.createDataFrame(
+            [(1, 0.5), (4, 0.4)], "doc_id long, s double"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in rrf_fuse([(r1, "s"), (r2, "s")], "doc_id").collect()
+        }
+
+        def ru(rank):
+            return round(1e9 / (60 + rank))
+
+        assert got[1]["n_runs_hit"] == 2
+        assert got[1]["rrf"] == round((ru(1) + ru(1)) / 1e9, 6)
+        assert got[2]["rrf"] == round(ru(2) / 1e9, 6)
+        assert got[4]["n_runs_hit"] == 1
+        assert got[4]["rrf"] == round(ru(2) / 1e9, 6)
+
+    def test_rank_tiebreak_is_id(self, spark):
+        """Equal scores rank by id ascending — deterministic, matching
+        the oracle's ORDER BY score DESC, id ASC."""
+        from sdg_big_data_spark.operators.retrieval import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(9, 0.5), (2, 0.5)], "doc_id long, s double"
+        )
+        rows = {r["doc_id"]: r["rrf"] for r in rrf_fuse([(r1, "s")]).collect()}
+        assert rows[2] > rows[9]  # id 2 takes rank 1 on the tie
+
+    def test_top_k_cut(self, spark):
+        from sdg_big_data_spark.operators.retrieval import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(i, 1.0 - i / 10) for i in range(5)], "doc_id long, s double"
+        )
+        out = rrf_fuse([(r1, "s")], k=2).collect()
+        assert [r["doc_id"] for r in out] == [0, 1]
