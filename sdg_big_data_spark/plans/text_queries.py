@@ -516,16 +516,19 @@ _BM25_RUN_SQL = """
     "reciprocal 1/(60+rank) is pinned to integer 1e-9 units before the "
     "cross-run sum, so the fused score is exact long arithmetic in "
     "both engines. Fusion is candidate-sized by contract — two top-20 "
-    "runs in, <=40 fused rows out; the corpus is only touched by the "
-    "retrieval operators themselves",
+    "runs in, <=40 fused rows out; both runs score in ONE shared "
+    "corpus pass (bm25_topk_multi: shared tokenize/stats/tf/df, "
+    "per-run window rank — two separate bm25_topk calls measured "
+    "189.9 s at 100x from doubled tokenize passes)",
 )
 def t_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.retrieval import bm25_topk_multi, rrf_fuse_runs
 
     docs = table(spark, sf_dir, "documents")
-    r1 = bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=20)
-    r2 = bm25_topk(docs, _BM25_TERMS_ALT, "doc_id", "text", k=20)
-    return rrf_fuse([(r1, "bm25"), (r2, "bm25")], "doc_id")
+    runs = bm25_topk_multi(
+        docs, {"a": _BM25_TERMS, "b": _BM25_TERMS_ALT}, "doc_id", "text", k=20
+    )
+    return rrf_fuse_runs(runs, "run", "doc_id", "bm25")
 
 
 _BIGRAM_LAMBDA = 0.7

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import math
 
 from sdg_big_data_spark.operators.retrieval import bm25_topk
@@ -133,3 +135,57 @@ class TestRrfFuse:
         )
         out = rrf_fuse([(r1, "s")], k=2).collect()
         assert [r["doc_id"] for r in out] == [0, 1]
+
+
+class TestBm25Multi:
+    def test_multi_matches_single_per_run(self, spark):
+        """bm25_topk_multi must equal bm25_topk run-by-run (same idf,
+        stats, rounding, tiebreak) — only the physical sharing differs."""
+        from sdg_big_data_spark.operators.retrieval import (
+            bm25_topk,
+            bm25_topk_multi,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (i, f"alpha beta {'gamma ' * (i % 3)}delta epsilon alpha")
+                for i in range(30)
+            ],
+            "doc_id long, text string",
+        )
+        runs = {"r1": ["alpha", "gamma"], "r2": ["delta", "beta", "alpha"]}
+        multi = bm25_topk_multi(docs, runs, k=10)
+        for r, terms in runs.items():
+            want = {
+                x["doc_id"]: x
+                for x in bm25_topk(docs, terms, k=10).collect()
+            }
+            got = {
+                x["doc_id"]: x
+                for x in multi.where(F.col("run") == r).collect()
+            }
+            assert set(got) == set(want)
+            for d in want:
+                assert got[d]["bm25"] == want[d]["bm25"]
+                assert got[d]["n_terms_hit"] == want[d]["n_terms_hit"]
+
+    def test_fuse_runs_matches_fuse(self, spark):
+        from sdg_big_data_spark.operators.retrieval import (
+            rrf_fuse,
+            rrf_fuse_runs,
+        )
+
+        r1 = spark.createDataFrame(
+            [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, s double"
+        )
+        r2 = spark.createDataFrame(
+            [(1, 0.5), (4, 0.4)], "doc_id long, s double"
+        )
+        tagged = r1.selectExpr("'a' as run", "doc_id", "s as sc").unionByName(
+            r2.selectExpr("'b' as run", "doc_id", "s as sc")
+        )
+        want = sorted(map(tuple, rrf_fuse([(r1, "s"), (r2, "s")]).collect()))
+        got = sorted(
+            map(tuple, rrf_fuse_runs(tagged, "run", "doc_id", "sc").collect())
+        )
+        assert got == want
