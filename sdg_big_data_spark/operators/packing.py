@@ -43,11 +43,25 @@ def pack_plan(
     Zero-token documents are excluded (they occupy no window).
     """
     shard_cols = shard_cols or ["source"]
-    counts = docs.select(
-        *shard_cols,
-        id_col,
-        F.size(T.tokenize(F.col(text_col))).alias("n_tokens"),
-    ).where(F.col("n_tokens") > 0)
+    from ..cachescope import scoped_cache
+
+    # Generate barrier: where(n_tokens > 0) would otherwise push the
+    # tokenizer into the Filter (2 evaluations/row — measured 73.9 s vs
+    # 37.2 s barriered at the 100x fixture). The cache then makes the
+    # tokenize pass run ONCE total: grouped_prefix_sum's
+    # repartitionByRange both SAMPLES its child (boundary estimation)
+    # and shuffles it — uncached, each is a full corpus tokenize. The
+    # cached frame is (shard, id, int) — doc-COUNT-sized, ~20 B/row,
+    # never the text. Together: t_pack_plan 193 s -> ~45 s at 100x.
+    counts = scoped_cache(
+        docs.select(
+            *shard_cols,
+            id_col,
+            F.explode(
+                F.array(F.size(T.tokenize(F.col(text_col))))
+            ).alias("n_tokens"),
+        ).where(F.col("n_tokens") > 0)
+    )
     summed = grouped_prefix_sum(
         counts,
         shard_cols,

@@ -165,14 +165,24 @@ def global_rank(
     # either way); at the 100x fixture it made the rank frame an
     # inconsistent non-permutation NONDETERMINISTICALLY (caught by the
     # sum(rank) != n(n+1)/2 invariant in tools/oracle_at_scale runs).
-    # The lazy localCheckpoint materializes on the first consumer and
-    # pins every later one to that same layout — one extra
-    # MEMORY_AND_DISK copy of the table, the honest price of exact
-    # global ranks (the rank-free prefix-sum forms stay the cheap path).
-    # ``pin_layout=False`` exists ONLY so plan-gate tests can inspect
-    # the pre-checkpoint plan (the pinned form shows a Scan ExistingRDD).
+    # The pin is a REGISTERED LAZY CACHE (scoped_cache), not a
+    # localCheckpoint: under AQE, Dataset.localCheckpoint(eager=False)
+    # is eager in practice — toRdd finalizes the adaptive plan, which
+    # EXECUTES every query stage at CONSTRUCTION time (measured: 193 s
+    # of hidden jobs building pack_plan's frame at the 100x fixture
+    # before any action, and the checkpoint's Scan ExistingRDD hid the
+    # subtree from every plan audit). The cache pins identically: the
+    # first consumer materializes the blocks (one MEMORY_AND_DISK copy,
+    # the honest price of exact global ranks), later consumers read
+    # them, and an evicted block recomputes per-partition from the SAME
+    # finalized plan over the SAME shuffle files — boundaries cannot
+    # drift. ``pin_layout=False`` exists ONLY so plan-gate tests can
+    # inspect the unpinned plan (the pinned form shows an
+    # InMemoryTableScan).
     if pin_layout:
-        ranked = ranked.localCheckpoint(eager=False)
+        from ..cachescope import scoped_cache
+
+        ranked = scoped_cache(ranked)
     counts = ranked.groupBy("__pid").agg(F.max("__lr").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -507,13 +517,17 @@ def grouped_prefix_sum(
             yield pdf
 
     local = rp.mapInPandas(local_cumsum, schema=schema)
-    # Same single-materialization pin as global_rank: `local` feeds both
-    # the offsets branch and the output join; two independent
-    # materializations of the range exchange can disagree on boundaries/
-    # coalescing, attaching group offsets to the wrong partitions.
-    # ``pin_layout=False`` is for plan-gate tests only.
+    # Same single-materialization pin as global_rank (see the comment
+    # there): a registered lazy cache, NOT localCheckpoint — under AQE
+    # the latter executes the whole subtree at construction time.
+    # `local` feeds both the offsets branch and the output join; two
+    # independent materializations of the range exchange can disagree
+    # on boundaries/coalescing, attaching group offsets to the wrong
+    # partitions. ``pin_layout=False`` is for plan-gate tests only.
     if pin_layout:
-        local = local.localCheckpoint(eager=False)
+        from ..cachescope import scoped_cache
+
+        local = scoped_cache(local)
 
     totals = local.groupBy("__pid", *gcols).agg(
         *[F.max(c).alias(f"__tot_{i}") for i, c in enumerate(ccols)]

@@ -6,9 +6,12 @@ the output join. Without pinning that frame to a single materialization,
 the two consumers can observe different sampled range boundaries / AQE
 coalescing, attaching offsets to the wrong partitions — observed at the
 100x fixture as a nondeterministically wrong AUC (sum(rank) !=
-n(n+1)/2). The fix is a lazy localCheckpoint; these tests pin (a) the
-checkpoint's presence in the default plan and (b) the rank-permutation
-invariant under a many-partition layout.
+n(n+1)/2). The fix is a registered lazy cache (a localCheckpoint pin
+was tried first, but under AQE eager=False still executes the whole
+subtree at construction — 193 s of hidden jobs at the 100x fixture —
+and its Scan ExistingRDD hid the subtree from plan audits); these
+tests pin (a) the cache's presence in the default plan and (b) the
+rank-permutation invariant under a many-partition layout.
 """
 
 from pyspark.sql import functions as F
@@ -20,7 +23,7 @@ def test_global_rank_default_plan_is_layout_pinned(spark):
     df = spark.range(0, 1000).select((F.col("id") % 97).alias("s"))
     out = global_rank(df, ["s"], ascending=True, rank_col="r")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "ExistingRDD" in plan  # the localCheckpoint boundary
+    assert "InMemoryTableScan" in plan  # the lazy cache pin
 
 
 def test_grouped_prefix_sum_default_plan_is_layout_pinned(spark):
@@ -30,7 +33,7 @@ def test_grouped_prefix_sum_default_plan_is_layout_pinned(spark):
     )
     out = grouped_prefix_sum(df, ["g"], [F.col("id").asc()], "v", cum_col="c")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "ExistingRDD" in plan
+    assert "InMemoryTableScan" in plan
 
 
 def test_global_rank_is_permutation_across_many_partitions(spark):
