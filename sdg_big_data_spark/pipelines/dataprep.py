@@ -303,11 +303,28 @@ def budget_select(
     SQL-replayable. The running sum uses
     :func:`~..operators.windows.grouped_prefix_sum`, so one language
     being 80% of the corpus never becomes a single sort partition.
+
+    Physical shape (the 100 TB concern): the prefix sum runs on a
+    NARROW (group, id, n_tokens) frame — barriered so the zero-token
+    filter class can't duplicate the tokenizer, and cached doc-COUNT-
+    sized so ``repartitionByRange``'s boundary-sampling pass and the
+    shuffle share ONE tokenize — and survivors join back to ``docs``
+    by id. The first form ranged-shuffled the full rows, i.e. 100 TB
+    of text through the exchange plus a second corpus tokenize for the
+    sampling pass. Consequence: ``order_cols`` may reference only
+    ``group_col`` / ``id_col`` / ``n_tokens``.
     """
+    from ..cachescope import scoped_cache
     from ..operators.windows import grouped_prefix_sum
 
-    counts = docs.withColumn(
-        "n_tokens", F.size(text.tokenize(F.col(text_col)))
+    counts = scoped_cache(
+        docs.select(
+            F.col(group_col),
+            F.col(id_col),
+            F.explode(
+                F.array(F.size(text.tokenize(F.col(text_col))))
+            ).alias("n_tokens"),
+        )
     )
     ordering = order_cols or [
         F.col("n_tokens").desc(),
@@ -316,7 +333,10 @@ def budget_select(
     summed = grouped_prefix_sum(
         counts, [group_col], ordering, "n_tokens", cum_col="cum_tokens"
     )
-    return summed.where(F.col("cum_tokens") <= budget_tokens)
+    keep = summed.where(F.col("cum_tokens") <= budget_tokens).select(
+        id_col, "n_tokens", "cum_tokens"
+    )
+    return docs.join(keep, id_col)
 
 
 def run_checkpointed(

@@ -68,3 +68,29 @@ def test_grouped_prefix_sum_totals_match_group_sums(spark):
     }
     for r in finals:
         assert abs(r["cum_total"] - expected[r["g"]]) < 1e-6
+
+
+def test_construction_runs_no_jobs(spark):
+    """Building a rank/prefix-sum-backed frame must schedule ZERO Spark
+    jobs — the localCheckpoint(eager=False) pin executed the whole
+    subtree at construction under AQE (193 s of hidden jobs building
+    pack_plan's frame at the 100x fixture; plan dumps and HOF audits
+    silently ran full pipelines)."""
+    from sdg_big_data_spark.operators.packing import pack_plan
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), "alpha beta gamma " * 4) for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = global_rank(docs.select("doc_id"), ["doc_id"], rank_col="r")
+    df2 = grouped_prefix_sum(
+        docs.selectExpr("source", "doc_id", "1 as v"),
+        ["source"], [F.col("doc_id").asc()], "v", cum_col="c",
+    )
+    df3 = pack_plan(docs, 16)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, f"construction scheduled jobs: {after - before}"
+    # and the frames still work when actually consumed
+    assert df.count() == 200 and df2.count() == 200 and df3.count() == 200
