@@ -663,3 +663,74 @@ def duplicated_spans(
         (F.max("__end") - F.min("pos")).alias("span_len"),
         F.count(F.lit(1)).alias("n_windows"),
     ).drop("__grp")
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Corpus-level line deduplication — the C4 cleaning rule (Raffel et
+    al. 2020, arXiv:1910.10683 §2.2: drop repeated lines corpus-wide)
+    generalized to keep-first semantics: every distinct non-empty line
+    keeps exactly its FIRST occurrence (smallest ``(id, pos)``) across
+    the whole corpus; later copies — boilerplate navigation, cookie
+    banners, licence footers — are dropped, and each document is
+    reassembled in original line order.
+
+    Strategy (three linear shuffles, nothing quadratic):
+
+    1. ``posexplode(split(text, sep))`` — narrow, one row per line;
+    2. first-occurrence per line via ``groupBy(line).agg(min(struct(id,
+       pos)))`` — an *aggregation*, not a window: Catalyst map-side
+       partial-combines it, so a footer line duplicated 10^9 times
+       reduces to one row per map task BEFORE the shuffle (the
+       ``row_number() OVER (PARTITION BY line)`` form would sort the
+       entire mega-group in one task);
+    3. equi-join the keeper set back on the line value (skew handled by
+       AQE — build side is one row per distinct line) and flag each
+       occurrence as kept/dropped;
+    4. one ``groupBy(id)`` reassembles kept lines in position order
+       (``array_sort`` over ``collect_list(struct(pos, line))`` — per-doc
+       state only, bounded by document size, never corpus-sized).
+
+    Output: one row per input document that has at least one non-empty
+    line — (id, ``out_col`` deduped text, n_lines, n_kept).
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "__line"),
+        )
+        .where(F.col("__line") != "")
+    )
+    lines = scoped_cache(lines)
+    firsts = lines.groupBy("__line").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    flagged = lines.join(firsts, "__line").select(
+        F.col(id_col),
+        "pos",
+        "__line",
+        (
+            (F.col(id_col) == F.col("__first.i")) & (F.col("pos") == F.col("__first.p"))
+        ).alias("__keep"),
+    )
+    kept_struct = F.when(
+        F.col("__keep"),
+        F.struct(F.col("pos").alias("p"), F.col("__line").alias("l")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["l"]
+            ),
+            sep,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+    )

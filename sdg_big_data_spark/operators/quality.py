@@ -932,3 +932,185 @@ def cusum_alerts(
         F.round(F.col("__s").cast("double") / u, round_dp).alias("cusum"),
         (F.col("__s") > F.lit(int(h_units))).cast("int").alias("alert"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.80,
+    max_symbol_ratio: float = 0.10,
+    stop_words: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "that"),
+    min_stop_hits: int = 2,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Gopher-style rule-based document quality gate (Rae et al. 2021,
+    arXiv:2112.11446, Table A1 — the MassiveText filtering heuristics):
+    per-document word-count bounds, mean-word-length band, alphabetic-word
+    fraction, symbol-to-word ratio (``#`` and ``...``), and a minimum
+    number of DISTINCT stop words present. Emits the per-rule metrics,
+    one 0/1 flag per rule, and the conjunction ``pass_all`` — keeping the
+    metrics visible is what makes the gate auditable (a rejected doc says
+    WHICH rule fired).
+
+    All pure built-in expressions over one whitespace tokenization —
+    zero Python UDFs, zero shuffles: a narrow map the optimizer can
+    pipeline into any downstream gate. Mean word length avoids a
+    second array pass: total non-space chars / word count.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    mean_len = (
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("double")
+        / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(w) for w in stop_words]))
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, round_dp).alias("mean_word_len"),
+        F.round(alpha_frac, round_dp).alias("alpha_word_frac"),
+        F.round(symbol_ratio, round_dp).alias("symbol_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    f_words = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ).cast("int")
+    f_mean = (
+        (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+    ).cast("int")
+    f_alpha = (F.col("alpha_word_frac") >= min_alpha_word_frac).cast("int")
+    f_symbol = (F.col("symbol_ratio") <= max_symbol_ratio).cast("int")
+    f_stops = (F.col("stop_hits") >= min_stop_hits).cast("int")
+    return out.select(
+        "*",
+        f_words.alias("f_word_count"),
+        f_mean.alias("f_mean_word_len"),
+        f_alpha.alias("f_alpha_words"),
+        f_symbol.alias("f_symbol_ratio"),
+        f_stops.alias("f_stop_words"),
+        (f_words * f_mean * f_alpha * f_symbol * f_stops).alias("pass_all"),
+    )
+
+
+def constraint_suite(
+    df: DataFrame,
+    constraints: list[tuple],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deequ-style declarative data-quality verification (Schelter et
+    al., VLDB 2018, "Automating Large-Scale Data Quality Verification"):
+    evaluate a list of constraint specs in ONE aggregate pass and emit
+    one row per constraint — ``(constraint, metric, passed)`` — so a
+    pipeline can gate on ``min(passed)`` while the audit trail keeps the
+    measured metric per rule.
+
+    Specs (all thresholds inclusive):
+
+    - ``("completeness", col, min_frac)`` — non-null fraction
+    - ``("uniqueness", col, min_frac)`` — exact distinct/count ratio
+    - ``("min", col, lo)`` / ``("max", col, hi)`` — bound checks
+    - ``("in_set", col, values, min_frac)`` — membership fraction
+    - ``("non_negative", col, min_frac)`` — sign check
+    - ``("row_count", lo, hi)`` — table size band
+
+    Physical shape: every metric is a mergeable aggregate (count /
+    conditional count / min / max / count-distinct), so the whole suite
+    is one map-side-combined aggregation to a single row, then a narrow
+    k-row explode — one job, one scan, no per-constraint passes. The
+    exact ``count(DISTINCT)`` for uniqueness adds the usual expand —
+    swap in ``approx_count_distinct`` for fleet-wide 100 TB sweeps if a
+    rank-error bound is acceptable (kept exact here so the oracle can
+    hash-match).
+    """
+    aggs: list[Column] = []
+    rows: list[tuple[str, str]] = []  # (constraint label, metric slot name)
+    checks: dict[str, Column] = {}
+    n = F.count(F.lit(1)).cast("double")
+    for i, spec in enumerate(constraints):
+        kind = spec[0]
+        slot = f"__m{i}"
+        if kind == "completeness":
+            _, col, thr = spec
+            aggs.append(
+                (F.count(F.col(col)).cast("double") / n).alias(slot)
+            )
+            label = f"completeness({col})>={thr}"
+        elif kind == "uniqueness":
+            _, col, thr = spec
+            aggs.append(
+                (F.countDistinct(F.col(col)).cast("double") / n).alias(slot)
+            )
+            label = f"uniqueness({col})>={thr}"
+        elif kind == "min":
+            _, col, thr = spec
+            aggs.append(F.min(F.col(col)).cast("double").alias(slot))
+            label = f"min({col})>={thr}"
+        elif kind == "max":
+            _, col, thr = spec
+            aggs.append(F.max(F.col(col)).cast("double").alias(slot))
+            label = f"max({col})<={thr}"
+        elif kind == "in_set":
+            _, col, values, thr = spec
+            aggs.append(
+                (
+                    F.sum(F.col(col).isin(list(values)).cast("long")).cast("double")
+                    / n
+                ).alias(slot)
+            )
+            label = f"in_set({col})>={thr}"
+        elif kind == "non_negative":
+            _, col, thr = spec
+            aggs.append(
+                (F.sum((F.col(col) >= 0).cast("long")).cast("double") / n).alias(
+                    slot
+                )
+            )
+            label = f"non_negative({col})>={thr}"
+        elif kind == "row_count":
+            _, lo, hi = spec
+            aggs.append(n.alias(slot))
+            label = f"row_count[{lo},{hi}]"
+            checks[slot] = (F.col(slot) >= lo) & (F.col(slot) <= hi)
+            rows.append((label, slot))
+            continue
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+        thr_val = spec[-1]
+        if kind == "max":
+            checks[slot] = F.col(slot) <= thr_val
+        else:
+            checks[slot] = F.col(slot) >= thr_val
+        rows.append((label, slot))
+
+    one = df.agg(*aggs)
+    per_constraint = [
+        F.struct(
+            F.lit(label).alias("constraint"),
+            F.round(F.col(slot), round_dp).alias("metric"),
+            checks[slot].cast("int").alias("passed"),
+        )
+        for label, slot in rows
+    ]
+    return one.select(
+        F.explode(F.array(*per_constraint)).alias("c")
+    ).select("c.constraint", "c.metric", "c.passed")

@@ -834,3 +834,184 @@ def dq_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return cusum_alerts(ev, "ts", "value", k_units=4950, h_units=1000)
+
+
+# --- d_line_dedup -----------------------------------------------------------
+
+# The fixture corpus is single-line word soup, so both engines derive the
+# SAME multi-line corpus from it first: a newline after every 5th word.
+# The tiny shared vocabulary then yields heavy genuine cross-document
+# line duplication — exactly the regime the operator exists for.
+_LINE_DEDUP_SQL = r"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS t
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM lined),
+    lines AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, arr[i] AS line
+      FROM ls, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) r
+      WHERE arr[i] <> ''
+    ),
+    -- keeper per line = min (doc_id, pos), encoded as a scalar (pos is
+    -- bounded far below 10^6 in this fixture)
+    firsts AS (
+      SELECT line, min(doc_id * 1000000 + pos) AS k FROM lines GROUP BY line
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (l.doc_id * 1000000 + l.pos = f.k) AS keep
+      FROM lines l JOIN firsts f USING (line)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE keep), '') AS text_deduped,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE keep) AS n_kept
+    FROM flagged GROUP BY doc_id
+"""
+
+
+@register(
+    "d_line_dedup",
+    sql=_LINE_DEDUP_SQL,
+    tags=("dedup", "line", "curation"),
+    doc="C4-style corpus-level line dedup (dedup.line_dedup, arXiv:"
+    "1910.10683 §2.2) with keep-first semantics: first occurrence of "
+    "every distinct line survives, later copies drop, documents "
+    "reassemble in line order. Keeper selection is a partial-aggregable "
+    "groupBy(line).min(struct) — never a per-line-group window sort, so "
+    "a boilerplate line duplicated 10^9 times map-side-combines instead "
+    "of sorting in one task",
+)
+def d_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import line_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((\S+ ){4}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return line_dedup(lined, "doc_id", "text", sep="\n")
+
+
+# --- t_gopher_rules ----------------------------------------------------------
+
+_GOPHER_STOPS = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that']"
+
+_GOPHER_SQL = rf"""
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / len(words), 4) AS mean_word_len,
+             round(CAST(len(list_filter(words,
+                     x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                   / len(words), 4) AS alpha_word_frac,
+             round(CAST(length(text) - length(replace(text, '#', ''))
+                     + (length(text) - length(replace(text, '...', ''))) / 3
+                   AS DOUBLE) / len(words), 4) AS symbol_ratio,
+             CAST(len(list_intersect(words, {_GOPHER_STOPS})) AS BIGINT)
+               AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+           stop_hits,
+           CAST(n_words >= 30 AND n_words <= 10000 AS INTEGER) AS f_word_count,
+           CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER)
+             AS f_mean_word_len,
+           CAST(alpha_word_frac >= 0.8 AS INTEGER) AS f_alpha_words,
+           CAST(symbol_ratio <= 0.1 AS INTEGER) AS f_symbol_ratio,
+           CAST(stop_hits >= 2 AS INTEGER) AS f_stop_words,
+           CAST(n_words >= 30 AND n_words <= 10000 AS INTEGER)
+             * CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER)
+             * CAST(alpha_word_frac >= 0.8 AS INTEGER)
+             * CAST(symbol_ratio <= 0.1 AS INTEGER)
+             * CAST(stop_hits >= 2 AS INTEGER) AS pass_all
+    FROM m
+"""
+
+
+@register(
+    "t_gopher_rules",
+    sql=_GOPHER_SQL,
+    tags=("text", "quality", "curation"),
+    doc="Gopher/MassiveText rule-based quality gate (quality."
+    "gopher_quality_flags, arXiv:2112.11446 Table A1): word-count bounds, "
+    "mean-word-length band, alphabetic-word fraction, symbol-to-word "
+    "ratio, distinct-stop-word minimum — per-rule metrics + 0/1 flags + "
+    "the conjunction. Pure narrow projection, zero shuffles at any "
+    "corpus size",
+)
+def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import gopher_quality_flags
+
+    docs = table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "doc_id", "text", min_words=30,
+                                max_words=10_000)
+
+
+# --- dq_constraints -----------------------------------------------------------
+
+_CONSTRAINTS_SQL = """
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(value) AS DOUBLE) / count(*) AS c_value,
+             CAST(count(DISTINCT event_id) AS DOUBLE) / count(*) AS u_event,
+             CAST(min(value) AS DOUBLE) AS min_value,
+             CAST(sum(CASE WHEN event_type IN
+                   ('click','view','purchase','signup','error')
+                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS s_type
+      FROM events
+    )
+    SELECT 'completeness(value)>=1.0' AS constraint,
+           round(c_value, 6) AS metric,
+           CAST(c_value >= 1.0 AS INTEGER) AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness(event_id)>=1.0', round(u_event, 6),
+           CAST(u_event >= 1.0 AS INTEGER) FROM m
+    UNION ALL
+    SELECT 'min(value)>=0', round(min_value, 6),
+           CAST(min_value >= 0 AS INTEGER) FROM m
+    UNION ALL
+    SELECT 'in_set(event_type)>=1.0', round(s_type, 6),
+           CAST(s_type >= 1.0 AS INTEGER) FROM m
+    UNION ALL
+    SELECT 'row_count[1000,1000000000]', round(n, 6),
+           CAST(n >= 1000 AND n <= 1000000000 AS INTEGER) FROM m
+"""
+
+
+@register(
+    "dq_constraints",
+    sql=_CONSTRAINTS_SQL,
+    tags=("data-quality", "constraints"),
+    doc="Deequ-style declarative verification suite (quality."
+    "constraint_suite, Schelter et al. VLDB'18): completeness, exact "
+    "uniqueness, value bound, set membership, row-count band — all "
+    "evaluated in ONE map-side-combined aggregation pass to a single "
+    "row, then a k-row explode; gate on min(passed), audit the metrics",
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import constraint_suite
+
+    ev = table(spark, sf_dir, "events")
+    return constraint_suite(
+        ev,
+        [
+            ("completeness", "value", 1.0),
+            ("uniqueness", "event_id", 1.0),
+            ("min", "value", 0),
+            ("in_set", "event_type",
+             ("click", "view", "purchase", "signup", "error"), 1.0),
+            ("row_count", 1000, 1_000_000_000),
+        ],
+    )

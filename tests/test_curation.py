@@ -1040,3 +1040,138 @@ class TestCusumAlerts:
         assert alerts[-1] == 1 and 1 in alerts[10:]
         first = alerts.index(1)
         assert all(a == 1 for a in alerts[first:])
+
+
+class TestLineDedup:
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha\nshared line\nbeta"),
+                (2, "shared line\ngamma\nshared line"),
+                (3, "delta\n\nalpha"),
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_keep_first_semantics(self, spark):
+        from sdg_big_data_spark.operators.dedup import line_dedup
+
+        out = {
+            r["doc_id"]: r
+            for r in line_dedup(self._corpus(spark), "doc_id", "text").collect()
+        }
+        # doc 1 is first everywhere: keeps all three lines.
+        assert out[1]["text_deduped"] == "alpha\nshared line\nbeta"
+        assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+        # doc 2: both copies of "shared line" lose to doc 1 (and its own
+        # second copy loses to its first-position copy anyway).
+        assert out[2]["text_deduped"] == "gamma"
+        assert (out[2]["n_lines"], out[2]["n_kept"]) == (3, 1)
+        # doc 3: empty line dropped from the count entirely; "alpha" is a
+        # later copy of doc 1's line.
+        assert out[3]["text_deduped"] == "delta"
+        assert (out[3]["n_lines"], out[3]["n_kept"]) == (2, 1)
+
+    def test_within_doc_duplicate_keeps_first_position(self, spark):
+        from sdg_big_data_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(7, "x\ny\nx\nx")], ["doc_id", "text"]
+        )
+        row = line_dedup(df, "doc_id", "text").collect()[0]
+        assert row["text_deduped"] == "x\ny"
+        assert (row["n_lines"], row["n_kept"]) == (4, 2)
+
+    def test_all_lines_duplicated_elsewhere_yields_empty_doc(self, spark):
+        from sdg_big_data_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "only line"), (2, "only line")], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+        assert out[1]["text_deduped"] == "only line"
+        assert out[2]["text_deduped"] == ""
+        assert out[2]["n_kept"] == 0
+
+
+class TestGopherQualityFlags:
+    def test_hand_computed_rules(self, spark):
+        df = spark.createDataFrame(
+            [
+                # 4 words, mean len (3+2+2+4)/4=2.75 -> fails count+mean;
+                # has 2 distinct stops (the, is)
+                (1, "the is is that"),
+                # 6 words incl digits-only word -> alpha frac 5/6 ~ 0.8333
+                (2, "the cat sat on 123 mat"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in quality.gopher_quality_flags(
+                df, "doc_id", "text", min_words=5, max_words=100
+            ).collect()
+        }
+        r1 = out[1]
+        assert r1["n_words"] == 4 and r1["f_word_count"] == 0
+        assert r1["mean_word_len"] == pytest.approx(11 / 4)
+        assert r1["f_mean_word_len"] == 0
+        assert r1["stop_hits"] == 3  # the, is, that (distinct)
+        assert r1["pass_all"] == 0
+        r2 = out[2]
+        assert r2["f_word_count"] == 1
+        assert r2["alpha_word_frac"] == pytest.approx(round(5 / 6, 4))
+        assert r2["f_alpha_words"] == 1
+        assert r2["stop_hits"] == 1 and r2["f_stop_words"] == 0
+
+    def test_symbol_ratio_counts_hashes_and_ellipses(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota # ...")],
+            ["doc_id", "text"],
+        )
+        row = quality.gopher_quality_flags(
+            df, "doc_id", "text", min_words=5
+        ).collect()[0]
+        # 11 words, 1 '#' + 1 '...' -> 2/11
+        assert row["symbol_ratio"] == pytest.approx(round(2 / 11, 4))
+        assert row["f_symbol_ratio"] == 0
+
+
+class TestConstraintSuite:
+    def test_mixed_pass_fail(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "b", -1.0), (2, "a", None)],
+            ["id", "cat", "v"],
+        )
+        out = {
+            r["constraint"]: r
+            for r in quality.constraint_suite(
+                df,
+                [
+                    ("completeness", "v", 0.9),
+                    ("uniqueness", "id", 1.0),
+                    ("min", "v", 0),
+                    ("max", "v", 10),
+                    ("in_set", "cat", ("a", "b"), 1.0),
+                    ("non_negative", "v", 1.0),
+                    ("row_count", 1, 5),
+                ],
+            ).collect()
+        }
+        assert out["completeness(v)>=0.9"]["passed"] == 0
+        assert out["completeness(v)>=0.9"]["metric"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out["uniqueness(id)>=1.0"]["passed"] == 0  # id 2 twice
+        assert out["min(v)>=0"]["passed"] == 0
+        assert out["max(v)<=10"]["passed"] == 1
+        assert out["in_set(cat)>=1.0"]["passed"] == 1
+        # only 5.0 passes >= 0: -1.0 fails and the NULL row contributes
+        # nothing to the conditional sum
+        assert out["non_negative(v)>=1.0"]["metric"] == pytest.approx(
+            round(1 / 3, 6)
+        )
+        assert out["row_count[1,5]"]["passed"] == 1
+
+    def test_unknown_kind_raises(self, spark):
+        df = spark.createDataFrame([(1,)], ["x"])
+        with pytest.raises(ValueError, match="unknown constraint"):
+            quality.constraint_suite(df, [("nope", "x", 1)])
