@@ -954,3 +954,49 @@ def krippendorff_alpha(
             round_dp,
         ).alias("alpha"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Exact Spearman rank correlation (average-rank tie handling — the
+    value ``scipy.stats.spearmanr`` returns): Pearson correlation over
+    the per-row average ranks of ``x_col`` and ``y_col``. Returns a
+    1-row frame (n, spearman).
+
+    Rank-free ranking, same machinery as :func:`auc`: each variable
+    collapses to its DISTINCT values (one map-side-combined shuffle),
+    gets an exact running count via :func:`windows.grouped_prefix_sum`
+    (no single-partition global window), and the average rank of a tie
+    group is ``cum_before + (cnt + 1) / 2`` by definition. The two
+    |distinct|-row rank maps join back on the value — at 100 TB these
+    joins shuffle the corpus on the value key but build from frames no
+    larger than the distinct-value counts. Ranks are integers-and-halves
+    (exact in double), so only the final corr is rounded.
+    """
+    base = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        g = base.groupBy(col).agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+        cum = windows.grouped_prefix_sum(
+            g.withColumn("__grp", F.lit(1)),
+            ["__grp"],
+            [F.col(col).asc()],
+            "__cnt",
+            cum_col="__cum",
+        )
+        ar = F.col("__cum") - F.col("__cnt") + (F.col("__cnt") + 1) / 2.0
+        return cum.select(F.col(col), ar.alias(out))
+
+    ranked = base.join(rank_map("__x", "__rx"), "__x").join(
+        rank_map("__y", "__ry"), "__y"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("__rx", "__ry"), round_dp).alias("spearman"),
+    )

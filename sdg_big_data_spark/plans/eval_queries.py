@@ -860,3 +860,32 @@ def ev_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return evaluation.krippendorff_alpha(ev, "user_id", "event_type")
+
+
+@register(
+    "ev_spearman",
+    sql="""
+    WITH b AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    r AS (
+      SELECT CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+               + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+             CAST(rank() OVER (ORDER BY y) AS DOUBLE)
+               + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+      FROM b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(rx, ry), 5) AS spearman
+    FROM r
+    """,
+    tags=("eval", "rank-correlation"),
+    doc="exact Spearman rank correlation with average-rank ties "
+    "(evaluation.spearman_corr — scipy.stats.spearmanr value) between "
+    "quantity and price: rank-free distinct-value prefix-sum ranking "
+    "(the AUC machinery), never a per-row global window; the oracle's "
+    "rank()+tie-count window form is the textbook equivalent",
+)
+def ev_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return evaluation.spearman_corr(li, "l_quantity", "l_extendedprice")

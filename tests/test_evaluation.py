@@ -541,3 +541,38 @@ class TestKrippendorffAlpha:
             [(u, "x") for u in range(5) for _ in range(2)], "unit long, v string"
         )
         assert krippendorff_alpha(df, "unit", "v").collect()[0]["alpha"] is None
+
+
+class TestSpearmanCorr:
+    def test_perfect_monotone(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 100.0)], ["x", "y"]
+        )
+        row = evaluation.spearman_corr(df, "x", "y").collect()[0]
+        assert row["n"] == 4 and row["spearman"] == 1.0
+
+    def test_pandas_differential_with_ties(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(7)
+        x = rng.randint(0, 12, 300).astype(float)  # heavy ties
+        y = 0.5 * x + rng.randint(0, 8, 300)
+        pdf = pd.DataFrame({"x": x, "y": y})
+        # pandas' method="spearman" delegates to scipy (absent here);
+        # average-rank + Pearson is the definition.
+        expected = (
+            pdf["x"].rank(method="average").corr(pdf["y"].rank(method="average"))
+        )
+        row = evaluation.spearman_corr(
+            spark.createDataFrame(pdf), "x", "y", round_dp=8
+        ).collect()[0]
+        assert row["spearman"] == pytest.approx(expected, abs=1e-8)
+
+    def test_nulls_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, None), (None, 3.0), (4.0, 4.0), (5.0, 2.0)],
+            ["x", "y"],
+        )
+        row = evaluation.spearman_corr(df, "x", "y").collect()[0]
+        assert row["n"] == 3
