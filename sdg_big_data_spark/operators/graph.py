@@ -448,3 +448,176 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+    broadcast_frontier_max: int = 2_000_000,
+) -> DataFrame:
+    """Multi-source breadth-first search → (node, hop): the minimum
+    number of edges from any seed node, for every node reachable within
+    ``max_hops``. Seeds themselves come back with hop 0.
+
+    The Pregel-style frontier loop (same iterative-DataFrame shape as
+    :func:`connected_components`): per level, one equi-join expands the
+    frontier through the edge list, one ``distinct`` collapses parallel
+    paths, and one anti-join against the visited set enforces
+    first-visit-wins (which IS minimality for BFS — level k is reached
+    before level k+1). State per iteration is one |frontier|-sized
+    frame; nothing path-shaped is ever materialized, so dense graphs
+    cannot blow up combinatorially the way a naive path-recursive form
+    does.
+
+    Physical strategy: the frontier (and the visited set it accumulates
+    into) is usually orders of magnitude smaller than the edge list, so
+    while the PREVIOUS level's frontier stayed under
+    ``broadcast_frontier_max`` rows, both the expansion join and the
+    visited anti-join broadcast the node-sized side — the edge frame,
+    checkpointed once, never re-shuffles. Past the threshold the same
+    loop degrades to shuffle joins on node id (per-level cost linear in
+    the frontier's incident edges; hub-node skew split by AQE). The
+    per-level ``count`` that drives early stop doubles as the lazy
+    checkpoint's materialization job, exactly like the CC convergence
+    probe.
+
+    Deterministic: hop labels are a unique fixpoint of the level order;
+    no tie-breaking is involved.
+    """
+    spark = edges.sparkSession
+    e, e_ids = _tracked_checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    frontier, f_ids = _tracked_checkpoint(
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+    )
+    levels = [frontier]
+    level_ids = [f_ids]
+    n_frontier = frontier.count()
+    visited = frontier.select("node")
+    for h in range(1, max_hops + 1):
+        if n_frontier == 0:
+            break
+        hint = (
+            F.broadcast
+            if n_frontier <= broadcast_frontier_max
+            else (lambda df: df)
+        )
+        before = _persistent_ids(spark)
+        nxt = (
+            e.join(hint(frontier.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(hint(visited), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=False)
+        )
+        n_frontier = nxt.count()
+        new_ids = _persistent_ids(spark) - before
+        if n_frontier == 0:
+            _unpersist_ids(spark, new_ids)
+            break
+        levels.append(nxt)
+        level_ids.append(new_ids)
+        frontier = nxt
+        visited = visited.unionByName(nxt.select("node"))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    _unpersist_ids(spark, e_ids)
+    from ..cachescope import register_checkpoint_ids
+
+    for ids in level_ids:
+        register_checkpoint_ids(spark, ids)
+    return out
+
+
+def common_neighbor_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 20,
+    min_common: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
+    2003): for every node pair sharing ≥ ``min_common`` neighbors,
+    the common-neighbor count and Jaccard similarity
+    ``|N(a)∩N(b)| / |N(a)∪N(b)|``, plus whether the pair is already an
+    edge — the classic "people you may know" / co-purchase-affinity
+    scorer. Returns the global top ``top_k`` by (jaccard DESC, pair
+    ASC).
+
+    Shape: normalize to an undirected simple graph, explode each node's
+    adjacency both ways, and enumerate each unordered co-neighbor pair
+    exactly once via a wedge self-join on the center with ``n1 < n2``
+    — intersection counts are then one map-side-combined groupBy. The
+    wedge set is Σ deg(center)² — the inherent cost of EXACT pairwise
+    overlap (same intermediate as exact triangle enumeration); unlike
+    triangles it cannot be degree-oriented away because every wedge
+    contributes to a pair. At web scale, hub centers dominate: AQE
+    splits the skewed wedge build, and the standard mitigation is
+    min-hashing neighborhoods instead (the repo's MinHash/LSH dedup
+    ladder applies verbatim to adjacency sets — that IS the approximate
+    version of this operator). Union sizes come from two broadcastable
+    |nodes|-sized degree joins; the final top-k is
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge),
+    never a global sort.
+    """
+    u, v = F.col(src), F.col(dst)
+    e_und = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e_und = scoped_cache(e_und)
+    adj = e_und.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
+        e_und.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    wedges = (
+        adj.select("w", F.col("n").alias("a"))
+        .join(adj.select("w", F.col("n").alias("b")), "w")
+        .where(F.col("a") < F.col("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    ).where(F.col("n_common") >= min_common)
+    deg = (
+        adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("w").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("w").alias("b"), F.col("deg").alias("__db"))
+    is_edge = e_und.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), F.lit(1).alias("are_connected")
+    )
+    scored = (
+        common.join(da, "a")
+        .join(db, "b")
+        .join(is_edge, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("__da") + F.col("__db") - F.col("n_common"))
+            ).alias("__jac"),
+            F.coalesce(F.col("are_connected"), F.lit(0)).alias("are_connected"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("__jac").desc(), F.col("node_a").asc(), F.col("node_b").asc()
+        )
+        .limit(top_k)
+        .select(
+            "node_a", "node_b", "n_common",
+            F.round("__jac", round_dp).alias("jaccard"), "are_connected",
+        )
+    )

@@ -915,3 +915,114 @@ def class_prototypes(
         ).otherwise(F.col("cv")),
     )
     return cent.select(label_col, proto.alias("prototype"))
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_candidates: int = 25,
+    k_select: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, SIGIR): greedily pick ``k_select`` of the top
+    ``k_candidates`` exact-cosine neighbors, each step maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` (the first pick has
+    an empty selected set — its diversity term is 0 by convention).
+    The standard redundancy killer for retrieval-augmented pipelines:
+    relevance alone returns five near-copies; MMR trades a little
+    relevance for coverage.
+
+    Scale shape: candidate generation is :func:`brute_force_topk`
+    (broadcast queries, one corpus pass — swap in :func:`ivf_topk` for
+    a corpus-scale deployment); everything after operates on
+    k-bounded-per-query frames — one id-join to re-attach candidate
+    vectors, one within-query pair join (k² rows per query, k≈25), and
+    the greedy itself is a grouped-map over one query's ≤k² pair rows.
+    Nothing downstream of the top-k ever scales with the corpus.
+
+    Determinism: rel and pairwise sims are the engine-portable
+    sequential-fold cosines (:func:`dot`); the greedy does only IEEE
+    double compares and ``λ·rel − (1−λ)·div`` combines on them, with
+    candidate-id ascending tie-breaks — so a SQL oracle can replay the
+    selection exactly, step by unrolled step.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..session import ship_package
+
+    ship_package(corpus.sparkSession)
+    cands = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k_candidates
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    cands_v = cands.join(cv, "neighbor_id").select(
+        "query_id", F.col("neighbor_id").alias("cand_id"),
+        F.col("cos").alias("rel"), "__v",
+    )
+    a = cands_v.select(
+        "query_id", "cand_id", "rel", F.col("__v").alias("__va")
+    )
+    b = cands_v.select(
+        "query_id", F.col("cand_id").alias("other_id"), F.col("__v").alias("__vb")
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("cand_id") != F.col("other_id"))
+        .select(
+            "query_id", "cand_id", "rel", "other_id",
+            cosine(F.col("__va"), F.col("__vb")).alias("sim"),
+        )
+    )
+    lam_f = float(lam)
+    mu_f = 1.0 - lam_f
+    m = int(k_select)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        rels = (
+            pdf[["cand_id", "rel"]]
+            .drop_duplicates("cand_id")
+            .set_index("cand_id")["rel"]
+            .to_dict()
+        )
+        sims: dict[tuple[int, int], float] = {
+            (c, o): s
+            for c, o, s in zip(pdf["cand_id"], pdf["other_id"], pdf["sim"])
+        }
+        selected: list[tuple[int, float, float]] = []  # (id, rel, mmr)
+        remaining = set(rels)
+        while remaining and len(selected) < m:
+            best = None
+            for c in remaining:
+                div = max(
+                    (sims[(c, s)] for s, _, _ in selected if (c, s) in sims),
+                    default=0.0,
+                )
+                score = lam_f * rels[c] - mu_f * div
+                # strict-greater + id-ascending tiebreak = deterministic
+                if best is None or score > best[1] or (
+                    score == best[1] and c < best[0]
+                ):
+                    best = (c, score)
+            selected.append((best[0], rels[best[0]], best[1]))
+            remaining.discard(best[0])
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qid, len(selected)),
+                "neighbor_id": [s[0] for s in selected],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
+                "rel": [s[1] for s in selected],
+                "mmr": [s[2] for s in selected],
+            }
+        )
+
+    schema = (
+        "query_id long, neighbor_id long, mmr_rank int, rel double, mmr double"
+    )
+    return pairs.groupBy("query_id").applyInPandas(greedy, schema=schema)

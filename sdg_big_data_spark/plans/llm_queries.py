@@ -1076,3 +1076,262 @@ def d_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return leakage_safe_split(docs, dict(_SPLIT_FRACS))
+
+
+# --- g_bfs_hops ---------------------------------------------------------------
+
+_BFS_OFF = 100_000_000
+_BFS_MAX_HOPS = 3
+
+_BFS_SQL = f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+             CAST(l_partkey AS BIGINT) + {_BFS_OFF} AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) + {_BFS_OFF},
+             CAST(l_suppkey AS BIGINT)
+      FROM lineitem
+    ),
+    bfs(node, hop) AS (
+      SELECT CAST(s_suppkey AS BIGINT), 0
+      FROM supplier WHERE s_suppkey = 1
+      UNION
+      SELECT e.dst, bfs.hop + 1
+      FROM bfs JOIN e ON e.src = bfs.node
+      WHERE bfs.hop < {_BFS_MAX_HOPS}
+    )
+    SELECT CASE WHEN node < {_BFS_OFF} THEN 's' || CAST(node AS VARCHAR)
+                ELSE 'p' || CAST(node - {_BFS_OFF} AS VARCHAR) END AS node,
+           CAST(min(hop) AS INTEGER) AS hop
+    FROM bfs GROUP BY 1
+"""
+
+
+@register(
+    "g_bfs_hops",
+    sql=_BFS_SQL,
+    tags=("graph", "bfs", "iterative"),
+    doc="multi-source BFS hop distances (graph.bfs_hops) over the "
+    "symmetrized supplier<->part graph from a single supplier seed, "
+    "max 3 hops — Pregel-style frontier loop: per level one edge "
+    "equi-join + distinct + anti-join against visited (first-visit-wins "
+    "IS hop minimality), frontier broadcast below the size gate so the "
+    "checkpointed edge frame never re-shuffles. The oracle's recursive "
+    "CTE dedups (node, hop) states per level — node-bounded state, no "
+    "path enumeration in either engine",
+)
+def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    s = F.col("l_suppkey").cast("long")
+    p = F.col("l_partkey").cast("long") + _BFS_OFF
+    edges = pairs.select(s.alias("src"), p.alias("dst")).unionByName(
+        pairs.select(p.alias("src"), s.alias("dst"))
+    )
+    seeds = sup.where(F.col("s_suppkey") == 1).select(
+        F.col("s_suppkey").cast("long").alias("node")
+    )
+    out = graph.bfs_hops(edges, seeds, max_hops=_BFS_MAX_HOPS)
+    node_str = F.when(
+        F.col("node") < _BFS_OFF, F.concat(F.lit("s"), F.col("node").cast("string"))
+    ).otherwise(F.concat(F.lit("p"), (F.col("node") - _BFS_OFF).cast("string")))
+    return out.select(node_str.alias("node"), F.col("hop").cast("int").alias("hop"))
+
+
+# --- sim_mmr_rerank -----------------------------------------------------------
+
+_MMR_LAM = 0.7
+_MMR_K_CAND = 25
+_MMR_K_SEL = 5
+
+_ORACLE_COS = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+    "list_transform({b}, x -> CAST(x AS DOUBLE))) "
+    "/ (sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE)))) "
+    "* sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)), "
+    "list_transform({b}, x -> CAST(x AS DOUBLE)))))"
+)
+
+
+def _mmr_oracle_sql(lam: float = _MMR_LAM, k_cand: int = _MMR_K_CAND,
+                    k_sel: int = _MMR_K_SEL) -> str:
+    """Unrolled-CTE MMR oracle (the exact-replay pattern of g_pagerank /
+    t_bpe_merges): candidate top-k and all pairwise sims use the SAME
+    sequential-fold double cosine as the operator, then each greedy step
+    is one CTE — anti-join the selected set, left-join the max-sim
+    diversity term, argmax by (raw mmr DESC, cand_id ASC). IEEE double
+    compares replay bit-for-bit, so no rounding is needed until the
+    displayed columns."""
+    lam_s, mu_s = repr(float(lam)), repr(1.0 - float(lam))
+    head = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_ORACLE_COS.format(a="q.embedding", b="c.embedding")} AS rel
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.vec_id
+    ),
+    cand AS (
+      SELECT query_id, cand_id, rel FROM (
+        SELECT query_id, cand_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, cand_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {k_cand}
+    ),
+    cv AS (
+      SELECT c.query_id, c.cand_id, c.rel, e.embedding AS v
+      FROM cand c JOIN embeddings e ON e.vec_id = c.cand_id
+    ),
+    pair AS (
+      SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+             {_ORACLE_COS.format(a="a.v", b="b.v")} AS sim
+      FROM cv a JOIN cv b
+        ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+    ),
+    s1 AS (
+      SELECT query_id, cand_id, rel, {lam_s} * rel AS mmr, 1 AS mmr_rank
+      FROM (
+        SELECT query_id, cand_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {lam_s} * rel DESC, cand_id ASC)
+                 AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )"""
+    parts = [head]
+    for i in range(2, k_sel + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, cand_id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(f"""
+    sel{i} AS ({sel_union}),
+    st{i} AS (
+      SELECT c.query_id, c.cand_id, c.rel,
+             {lam_s} * c.rel - {mu_s} * coalesce(mx.div, 0.0) AS mmr
+      FROM cand c
+      ANTI JOIN sel{i} sl
+        ON c.query_id = sl.query_id AND c.cand_id = sl.cand_id
+      LEFT JOIN (
+        SELECT p.query_id, p.cand_id, max(p.sim) AS div
+        FROM pair p JOIN sel{i} s
+          ON p.query_id = s.query_id AND p.other_id = s.cand_id
+        GROUP BY p.query_id, p.cand_id
+      ) mx ON c.query_id = mx.query_id AND c.cand_id = mx.cand_id
+    ),
+    s{i} AS (
+      SELECT query_id, cand_id, rel, mmr, {i} AS mmr_rank
+      FROM (
+        SELECT query_id, cand_id, rel, mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, cand_id ASC) AS rn
+        FROM st{i}
+      ) WHERE rn = 1
+    )""")
+        
+    final_union = " UNION ALL ".join(
+        f"SELECT * FROM s{j}" for j in range(1, k_sel + 1)
+    )
+    tail = f"""
+    SELECT query_id, cand_id AS neighbor_id, CAST(mmr_rank AS INTEGER)
+             AS mmr_rank,
+           round(rel, 4) AS rel, round(mmr, 4) AS mmr
+    FROM ({final_union})"""
+    return ",".join(parts) + tail
+
+
+@register(
+    "sim_mmr_rerank",
+    sql=_mmr_oracle_sql(),
+    tags=("similarity", "retrieval", "mmr"),
+    doc="Maximal Marginal Relevance diversified top-k (similarity."
+    "mmr_rerank, Carbonell & Goldstein 1998): exact-cosine top-25 "
+    "candidates per query, then a 5-step greedy λ·rel − (1−λ)·max-sim "
+    "selection — candidate generation is the one corpus-scale pass, "
+    "everything after is k-bounded per query (k² pair join + grouped-map "
+    "greedy). Oracle unrolls the greedy as per-step argmax CTEs on the "
+    "same sequential-fold doubles",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = similarity.mmr_rerank(
+        emb, queries, k_candidates=_MMR_K_CAND, k_select=_MMR_K_SEL,
+        lam=_MMR_LAM,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "mmr_rank",
+        F.round("rel", 4).alias("rel"), F.round("mmr", 4).alias("mmr"),
+    )
+
+
+@register(
+    "g_common_neighbors",
+    sql="""
+    WITH ps AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      WHERE l_orderkey % 10 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    adj AS (
+      SELECT u AS w, v AS n FROM e UNION ALL SELECT v, u FROM e
+    ),
+    common AS (
+      SELECT x.n AS a, y.n AS b, count(*) AS n_common
+      FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+      GROUP BY x.n, y.n
+    ),
+    deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+    scored AS (
+      SELECT c.a, c.b, c.n_common,
+             CAST(c.n_common AS DOUBLE) / (da.deg + db.deg - c.n_common)
+               AS jac,
+             CASE WHEN ed.u IS NULL THEN 0 ELSE 1 END AS are_connected
+      FROM common c
+      JOIN deg da ON da.w = c.a
+      JOIN deg db ON db.w = c.b
+      LEFT JOIN e ed ON ed.u = c.a AND ed.v = c.b
+    )
+    SELECT a AS node_a, b AS node_b, n_common,
+           round(jac, 6) AS jaccard, are_connected
+    FROM scored
+    ORDER BY jac DESC, a ASC, b ASC
+    LIMIT 20
+    """,
+    tags=("graph", "link-prediction"),
+    doc="common-neighbor / Jaccard link prediction (graph."
+    "common_neighbor_similarity, Liben-Nowell & Kleinberg 2003) over "
+    "the part co-occurrence graph: wedge self-join enumerates each "
+    "co-neighbor pair once, map-side-combined intersection counts, "
+    "|nodes|-sized degree joins for the union term, "
+    "TakeOrderedAndProject top-20 — never a global sort; the exact "
+    "Σdeg² wedge cost is the documented price of exact overlap (the "
+    "MinHash ladder is the sanctioned approximation at hub skew)",
+)
+def g_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    ps = (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = ps.select("ok", F.col("pk").alias("u"))
+    b = ps.select("ok", F.col("pk").alias("v"))
+    edges = (
+        a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    return graph.common_neighbor_similarity(
+        edges, src="u", dst="v", top_k=20
+    )

@@ -270,3 +270,43 @@ def test_dangling_lazy_plan_does_not_blow_up(spark):
         r = np.round((1 - d) / n + d * (contrib + m / n), 9)
     for node, i in (("a", 0), ("b", 1), ("c", 2)):
         assert abs(got[node] - r[i]) < 1e-9
+
+
+class TestBfsHops:
+    def _edges(self, spark, pairs):
+        sym = pairs + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(sym, ["src", "dst"])
+
+    def test_hand_computed_hops(self, spark):
+        from sdg_big_data_spark.operators.graph import bfs_hops
+
+        # path 1-2-3-4-5 plus isolated-from-seed pair (8,9)
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)])
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {r["node"]: r["hop"] for r in bfs_hops(e, seeds, max_hops=3).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_multi_source_takes_min(self, spark):
+        from sdg_big_data_spark.operators.graph import bfs_hops
+
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+        got = {r["node"]: r["hop"] for r in bfs_hops(e, seeds, max_hops=4).collect()}
+        assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+    def test_early_stop_on_exhausted_frontier(self, spark):
+        from sdg_big_data_spark.operators.graph import bfs_hops
+
+        e = self._edges(spark, [(1, 2)])
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        # frontier empties at hop 2; max_hops=10 must not loop 10 times
+        got = {r["node"]: r["hop"] for r in bfs_hops(e, seeds, max_hops=10).collect()}
+        assert got == {1: 0, 2: 1}
+
+    def test_cycle_does_not_blow_up(self, spark):
+        from sdg_big_data_spark.operators.graph import bfs_hops
+
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 1)])
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {r["node"]: r["hop"] for r in bfs_hops(e, seeds, max_hops=5).collect()}
+        assert got == {1: 0, 2: 1, 3: 1}

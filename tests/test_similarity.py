@@ -440,3 +440,59 @@ def test_class_prototypes_normalized_and_exact(spark):
     assert np.allclose(got[0], want0)
     assert abs(np.linalg.norm(got[1]) - 1.0) < 1e-12
     assert np.allclose(got[2], 0.0)
+
+
+class TestMmrRerank:
+    def _frame(self, spark):
+        # query 0 at [1,0,0]; (1,2) are near-duplicates of each other,
+        # equally relevant; (3) is exactly as relevant as (1) but far
+        # from it — rel(3)=0.8, sim(3,1)=0.28, sim(2,1)≈0.99995
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.8, 0.6, 0.0]),
+            (2, [0.8, 0.6, 0.01]),
+            (3, [0.8, -0.6, 0.0]),
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from sdg_big_data_spark.operators.similarity import (
+            brute_force_topk, mmr_rerank,
+        )
+
+        emb = self._frame(spark)
+        q = emb.where(F.col("vec_id") == 0)
+        rel = [
+            r["neighbor_id"]
+            for r in brute_force_topk(emb, q, k=3)
+            .orderBy("rank").collect()
+        ]
+        mmr = [
+            r["neighbor_id"]
+            for r in mmr_rerank(emb, q, k_candidates=3, k_select=3, lam=1.0)
+            .orderBy("mmr_rank").collect()
+        ]
+        assert mmr == rel
+
+    def test_diversifies_against_near_duplicates(self, spark):
+        from sdg_big_data_spark.operators.similarity import mmr_rerank
+
+        emb = self._frame(spark)
+        q = emb.where(F.col("vec_id") == 0)
+        out = [
+            r["neighbor_id"]
+            for r in mmr_rerank(emb, q, k_candidates=3, k_select=2, lam=0.5)
+            .orderBy("mmr_rank").collect()
+        ]
+        # rank 1 = most relevant (1); rank 2 skips its near-copy (2)
+        # for the diverse vector (3)
+        assert out == [1, 3]
+
+    def test_k_select_capped_by_candidates(self, spark):
+        from sdg_big_data_spark.operators.similarity import mmr_rerank
+
+        emb = self._frame(spark)
+        q = emb.where(F.col("vec_id") == 0)
+        out = mmr_rerank(emb, q, k_candidates=3, k_select=10).collect()
+        assert len(out) == 3
+        assert sorted(r["mmr_rank"] for r in out) == [1, 2, 3]
