@@ -617,3 +617,79 @@ def cap_group_size(
         .where(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+def rolling_median_mad(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    extra_cols: list[str] | None = None,
+    window: int = 7,
+    z: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group trailing rolling median + MAD anomaly flags — the
+    robust outlier detector (Hampel filter): for each row, the median
+    and the median-absolute-deviation of the trailing ``window`` rows
+    (``min_periods=1``), and ``is_anomaly = |x - med| > z·MAD`` (never
+    fires while MAD is 0 — a constant window has no scale to judge by).
+    Median/MAD resist the masking that mean/stddev filters suffer when
+    the outlier itself inflates the threshold.
+
+    Exact windowed medians are not expressible with Spark's built-in
+    window aggregates, so this crosses into Python the sanctioned way:
+    ONE :func:`batched_group_apply` pass (repartition by key + in-
+    partition sort + ``mapInPandas``) — one shuffle, one Arrow round
+    trip, one Python call per partition, never per group. Inside, full
+    windows are a vectorized ``sliding_window_view`` median (two
+    ``np.median`` calls over an (n, w) strided matrix); only the first
+    ``window-1`` warm-up rows per group loop. Work is linear-in-rows ×
+    O(w log w); a mega-group skews one task at worst (cap with
+    :func:`cap_group_size` like the other grouped-sequential operators).
+
+    Medians here are selections (or the exact midpoint of two doubles),
+    so the values are bit-deterministic and engine-portable: a DuckDB
+    ``median(...) OVER (ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)`` /
+    ``mad(...)`` window replays them exactly; only the displayed
+    median/MAD are rounded, the anomaly comparison runs on raw values
+    in both engines.
+    """
+    extra_cols = list(extra_cols or [])
+    narrow = df.select(key_col, *order_cols, *extra_cols, value_col)
+    in_fields = {f.name: f.dataType.simpleString() for f in narrow.schema.fields}
+    out_schema = ", ".join(
+        [f"`{c}` {in_fields[c]}" for c in [key_col, *order_cols, *extra_cols, value_col]]
+        + ["`roll_med` double", "`roll_mad` double", "`is_anomaly` int"]
+    )
+    w = int(window)
+    zf = float(z)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].to_numpy(dtype=float)
+        n = len(v)
+        med = np.empty(n)
+        mad = np.empty(n)
+        warm = min(w - 1, n)
+        for i in range(warm):
+            seg = v[: i + 1]
+            m = np.median(seg)
+            med[i] = m
+            mad[i] = np.median(np.abs(seg - m))
+        if n >= w:
+            wins = np.lib.stride_tricks.sliding_window_view(v, w)
+            m_full = np.median(wins, axis=1)
+            med[w - 1:] = m_full
+            mad[w - 1:] = np.median(np.abs(wins - m_full[:, None]), axis=1)
+        out = pdf.copy()
+        out["roll_med"] = med
+        out["roll_mad"] = mad
+        out["is_anomaly"] = (
+            (np.abs(v - med) > zf * mad) & (mad > 0)
+        ).astype("int32")
+        return out
+
+    res = batched_group_apply(narrow, key_col, order_cols, fn, out_schema)
+    return res.withColumn("roll_med", F.round("roll_med", round_dp)).withColumn(
+        "roll_mad", F.round("roll_mad", round_dp)
+    )

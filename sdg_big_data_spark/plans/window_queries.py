@@ -539,3 +539,37 @@ def w_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", F.round("v_interp", 6).alias("v_interp")
     )
+
+
+@register(
+    "w_rolling_mad",
+    sql="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             median(value) OVER w AS m,
+             mad(value) OVER w AS d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, value,
+           round(m, 6) AS roll_med,
+           round(d, 6) AS roll_mad,
+           CAST(abs(value - m) > 3.0 * d AND d > 0 AS INTEGER) AS is_anomaly
+    FROM r
+    """,
+    tags=("window", "robust", "anomaly"),
+    doc="Hampel-filter anomaly flags (grouped.rolling_median_mad): "
+    "trailing 7-row median + MAD per user, |x-med| > 3·MAD flags — "
+    "exact windowed medians via one batched grouped-map pass "
+    "(vectorized sliding-window numpy medians; one shuffle, one Arrow "
+    "round trip); oracle replays them with DuckDB median()/mad() "
+    "window aggregates, anomaly compared on raw values in both engines",
+)
+def w_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped import rolling_median_mad
+
+    ev = table(spark, sf_dir, "events")
+    return rolling_median_mad(
+        ev, "user_id", ["ts", "event_id"], "value", window=7, z=3.0,
+    ).select("user_id", "event_id", "value", "roll_med", "roll_mad", "is_anomaly")

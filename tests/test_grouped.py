@@ -295,3 +295,50 @@ class TestEwma:
         assert got[(None, 0)] == 2.0
         assert np.isclose(got[(None, 1)], 1.0)  # accumulated, not restarted
         assert got[(5.0, 0)] == 2.0
+
+
+class TestRollingMedianMad:
+    def test_hand_computed(self, spark):
+        from sdg_big_data_spark.operators.grouped import rolling_median_mad
+
+        rows = [(1, i, float(v)) for i, v in enumerate([1, 2, 3, 100, 2, 3])]
+        df = spark.createDataFrame(rows, ["g", "t", "v"])
+        out = {
+            r["t"]: r
+            for r in rolling_median_mad(
+                df, "g", ["t"], "v", window=3, z=3.0
+            ).collect()
+        }
+        # t=0: window [1] -> med 1, mad 0, no anomaly (mad=0 guard)
+        assert (out[0]["roll_med"], out[0]["roll_mad"], out[0]["is_anomaly"]) == (
+            1.0, 0.0, 0,
+        )
+        # t=1: [1,2] -> med 1.5, mad 0.5; |2-1.5|=0.5 <= 1.5
+        assert (out[1]["roll_med"], out[1]["roll_mad"]) == (1.5, 0.5)
+        assert out[1]["is_anomaly"] == 0
+        # t=3: [2,3,100] -> med 3, mad 1; |100-3| > 3 -> anomaly
+        assert (out[3]["roll_med"], out[3]["roll_mad"], out[3]["is_anomaly"]) == (
+            3.0, 1.0, 1,
+        )
+        # t=4: [3,100,2] -> med 3, mad 1; |2-3| = 1 <= 3 -> calm
+        assert out[4]["is_anomaly"] == 0
+
+    def test_constant_series_never_flags(self, spark):
+        from sdg_big_data_spark.operators.grouped import rolling_median_mad
+
+        df = spark.createDataFrame(
+            [(1, i, 5.0) for i in range(10)], ["g", "t", "v"]
+        )
+        out = rolling_median_mad(df, "g", ["t"], "v", window=4).collect()
+        assert all(r["is_anomaly"] == 0 for r in out)
+        assert all(r["roll_mad"] == 0.0 for r in out)
+
+    def test_groups_independent(self, spark):
+        from sdg_big_data_spark.operators.grouped import rolling_median_mad
+
+        rows = [(1, 0, 1.0), (1, 1, 1.0), (2, 0, 100.0), (2, 1, 100.0)]
+        df = spark.createDataFrame(rows, ["g", "t", "v"])
+        out = {(r["g"], r["t"]): r for r in rolling_median_mad(
+            df, "g", ["t"], "v", window=2).collect()}
+        assert out[(2, 0)]["roll_med"] == 100.0
+        assert out[(1, 1)]["roll_med"] == 1.0
