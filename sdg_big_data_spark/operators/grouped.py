@@ -693,3 +693,91 @@ def rolling_median_mad(
     return res.withColumn("roll_med", F.round("roll_med", round_dp)).withColumn(
         "roll_mad", F.round("roll_mad", round_dp)
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Per-group Holt double exponential smoothing — the linear-trend
+    extension of :func:`ewma` (Holt 1957; statsmodels ``Holt(...)``
+    with this init):
+
+    - ``l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})``
+    - ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}``
+    - init ``l_1 = x_1``, ``b_1 = 0`` (the trend warms up from the
+      data rather than peeking ahead at ``x_2``, which would break the
+      one-pass streaming shape).
+
+    Same physical plan as :func:`ewma`: ONE ``mapInPandas`` pass over
+    ``(group, order)``-sorted partitions with the ``(level, trend)``
+    pair carried across group and Arrow-batch boundaries — one shuffle
+    + one Arrow round-trip for the whole table. The loop evaluates each
+    recurrence in exactly the written IEEE order, so a recursive-CTE
+    oracle replays both trajectories bit-identically. ``order_cols``
+    must be a total order per group.
+    """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    a = float(alpha)
+    bt = float(beta)
+    out_fields = [
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ]
+    schema = ", ".join(
+        out_fields + [f"`{level_col}` double", f"`{trend_col}` double"]
+    )
+    vcol = value_col
+    gcols = list(group_cols)
+
+    def _norm_key(t: tuple) -> tuple:
+        return tuple(
+            "\x00__null" if v is None or (isinstance(v, float) and v != v) else v
+            for v in t
+        )
+
+    def fn(batches):
+        prev_key: tuple | None = None
+        prev_l = 0.0
+        prev_b = 0.0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            xs = pdf[vcol].astype("float64").tolist()
+            keys = [
+                _norm_key(t) for t in zip(*(pdf[g].tolist() for g in gcols))
+            ]
+            levels = [0.0] * n
+            trends = [0.0] * n
+            lv, tr = prev_l, prev_b
+            k0 = prev_key
+            for i in range(n):
+                ki = keys[i]
+                x = xs[i]
+                if ki != k0:
+                    lv, tr = x, 0.0
+                else:
+                    new_l = a * x + (1.0 - a) * (lv + tr)
+                    tr = bt * (new_l - lv) + (1.0 - bt) * tr
+                    lv = new_l
+                k0 = ki
+                levels[i] = lv
+                trends[i] = tr
+            prev_key, prev_l, prev_b = k0, lv, tr
+            res = pdf.copy()
+            res[level_col] = levels
+            res[trend_col] = trends
+            yield res
+
+    work = df.repartition(*gcols).sortWithinPartitions(
+        *gcols, *[F.col(c).asc() for c in order_cols]
+    )
+    return work.mapInPandas(fn, schema=schema)

@@ -1936,3 +1936,31 @@ def g_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return conversion_latency(ev, "click", "purchase")
+
+
+@register(
+    "a_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    tags=("grouping-sets", "A4"),
+    doc="explicit GROUPING SETS (cube/rollup's general form — only the "
+    "levels a report actually needs, one Expand+aggregate pass instead "
+    "of the 2^k cube) with grouping_id() disambiguating real NULL keys "
+    "from subtotal rows",
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")

@@ -588,3 +588,55 @@ def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_perplexity(
         docs, "doc_id", "text", lam=_BIGRAM_LAMBDA, broadcast_vocab=True
     )
+
+
+@register(
+    "t_zipf_slope",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS.format(c="text")}) AS w FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    rk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w DESC) AS r FROM cnt
+    ),
+    pts AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM rk WHERE r <= 1000
+    )
+    SELECT CAST(regr_count(y, x) AS BIGINT) AS n,
+           round(CAST(regr_slope(y, x) AS DOUBLE), 6) AS slope,
+           round(CAST(regr_intercept(y, x) AS DOUBLE), 6) AS intercept,
+           round(CAST(regr_r2(y, x) AS DOUBLE), 6) AS r2
+    FROM pts
+    """,
+    tags=("text", "diagnostics", "zipf"),
+    doc="Zipf's-law fit over the corpus unigram distribution: "
+    "log-frequency regressed on log-rank for the top-1000 tokens — the "
+    "standard corpus-health diagnostic (a natural corpus slopes ~ -1; "
+    "boilerplate-heavy or templated corpora flatten). One tokenize pass "
+    "+ map-side-combined counts; ranking is TakeOrderedAndProject "
+    "top-k, then REGR_* single-pass moments over <= 1000 rows",
+)
+def t_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import grouped_trend
+    from ..operators.windows import global_topk
+
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = global_topk(cnt, ["c", "w"], 1000, rank_col="r")
+    pts = top.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    ).withColumn("__g", F.lit(1))
+    out = grouped_trend(pts, ["__g"], "x", "y")
+    return out.select(
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )

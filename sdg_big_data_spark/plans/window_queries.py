@@ -573,3 +573,67 @@ def w_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_median_mad(
         ev, "user_id", ["ts", "event_id"], "value", window=7, z=3.0,
     ).select("user_id", "event_id", "value", "roll_med", "roll_mad", "is_anomaly")
+
+
+# --- w_holt_trend -------------------------------------------------------------
+
+_HOLT_A = 0.4
+_HOLT_B = 0.2
+
+
+def _holt_oracle_sql(a: float = _HOLT_A, b: float = _HOLT_B) -> str:
+    """Recursive-CTE Holt oracle — same exact-replay pattern as w_ewma,
+    carrying BOTH recurrences. Constants are repr()'d so the SQL
+    literals parse to the exact doubles the Python loop multiplies by
+    (1-α in IEEE need not equal the decimal literal one would type)."""
+    a_s, oma = repr(float(a)), repr(1.0 - float(a))
+    b_s, omb = repr(float(b)), repr(1.0 - float(b))
+    newl = f"(CAST({a_s} AS DOUBLE) * r.value + CAST({oma} AS DOUBLE) * (h.l + h.b))"
+    return f"""
+    WITH RECURSIVE r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ), h AS (
+      SELECT user_id, event_id, rn, value AS l, CAST(0 AS DOUBLE) AS b
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_id, r.rn,
+             {newl},
+             CAST({b_s} AS DOUBLE) * ({newl} - h.l)
+               + CAST({omb} AS DOUBLE) * h.b
+      FROM r JOIN h ON r.user_id = h.user_id AND r.rn = h.rn + 1
+    )
+    SELECT user_id, event_id,
+           floor(l * 1e6 + 0.5) / 1e6 AS level,
+           floor(b * 1e6 + 0.5) / 1e6 AS trend
+    FROM h
+    """
+
+
+@register(
+    "w_holt_trend",
+    sql=_holt_oracle_sql(),
+    tags=("time-series", "smoothing"),
+    doc="per-group Holt double exponential smoothing (grouped."
+    "holt_linear): level+trend recurrences in one mapInPandas pass with "
+    "the (level, trend) pair carried across group and Arrow-batch "
+    "boundaries — the ewma plan shape with two states; the recursive "
+    "CTE replays both float trajectories bit-identically (repr()'d "
+    "constants pin 1-α/1-β to the exact IEEE values; floor-form display "
+    "rounding, same rationale as w_ewma)",
+)
+def w_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped import holt_linear
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_seconds("ts").alias("t"), "value"
+    )
+    out = holt_linear(ev, ["user_id"], ["t", "event_id"], "value",
+                      _HOLT_A, _HOLT_B)
+    return out.select(
+        "user_id", "event_id",
+        (F.floor(F.col("level") * 1e6 + 0.5) / 1e6).alias("level"),
+        (F.floor(F.col("trend") * 1e6 + 0.5) / 1e6).alias("trend"),
+    )

@@ -342,3 +342,65 @@ class TestRollingMedianMad:
             df, "g", ["t"], "v", window=2).collect()}
         assert out[(2, 0)]["roll_med"] == 100.0
         assert out[(1, 1)]["roll_med"] == 1.0
+
+
+class TestHoltLinear:
+    def test_hand_computed(self, spark):
+        from sdg_big_data_spark.operators.grouped import holt_linear
+
+        df = spark.createDataFrame(
+            [(1, 0, 10.0), (1, 1, 12.0), (1, 2, 14.0)], ["g", "t", "v"]
+        )
+        out = {
+            r["t"]: r
+            for r in holt_linear(df, ["g"], ["t"], "v", 0.5, 0.5).collect()
+        }
+        # t0: l=10, b=0
+        assert (out[0]["level"], out[0]["trend"]) == (10.0, 0.0)
+        # t1: l = .5*12 + .5*(10+0) = 11; b = .5*(11-10) + .5*0 = 0.5
+        assert (out[1]["level"], out[1]["trend"]) == (11.0, 0.5)
+        # t2: l = .5*14 + .5*(11+.5) = 12.75; b = .5*1.75 + .5*.5 = 1.125
+        assert (out[2]["level"], out[2]["trend"]) == (12.75, 1.125)
+
+    def test_python_loop_differential(self, spark):
+        import numpy as np
+        from sdg_big_data_spark.operators.grouped import holt_linear
+
+        rng = np.random.RandomState(3)
+        rows = []
+        for g in range(4):
+            for t in range(50):
+                rows.append((g, t, float(rng.randint(0, 100))))
+        df = spark.createDataFrame(rows, ["g", "t", "v"])
+        a, b = 0.3, 0.1
+        got = {
+            (r["g"], r["t"]): (r["level"], r["trend"])
+            for r in holt_linear(df, ["g"], ["t"], "v", a, b).collect()
+        }
+        by_g: dict[int, list[tuple[int, float]]] = {}
+        for g, t, v in rows:
+            by_g.setdefault(g, []).append((t, v))
+        for g, series in by_g.items():
+            lv, tr = None, 0.0
+            for t, x in sorted(series):
+                if lv is None:
+                    lv, tr = x, 0.0
+                else:
+                    new_l = a * x + (1.0 - a) * (lv + tr)
+                    tr = b * (new_l - lv) + (1.0 - b) * tr
+                    lv = new_l
+                assert got[(g, t)] == (lv, tr)  # bit-exact
+
+    def test_tracks_linear_ramp(self, spark):
+        from sdg_big_data_spark.operators.grouped import holt_linear
+
+        df = spark.createDataFrame(
+            [(1, t, 2.0 * t) for t in range(60)], ["g", "t", "v"]
+        )
+        last = (
+            holt_linear(df, ["g"], ["t"], "v", 0.5, 0.3)
+            .orderBy(F.desc("t")).limit(1).collect()[0]
+        )
+        # on a clean ramp the trend converges to the slope
+        assert last["trend"] == pytest.approx(2.0, abs=0.05)
+        assert last["level"] == pytest.approx(118.0, abs=1.0)
