@@ -247,3 +247,77 @@ def s_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_gate(docs, min_score=0.6), keep_langs=("en", "es")
     )
     return out.select("doc_id", "lang_pred")
+
+
+# --- s_dq_gate ----------------------------------------------------------------
+
+_DQ_GATE_SQL = """
+    WITH m AS (
+      SELECT user_id % 3 AS batch_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(value) AS DOUBLE) / count(*) AS c_value,
+             CAST(min(value) AS DOUBLE) AS min_value,
+             CAST(sum(CASE WHEN event_type IN
+                   ('click','view','purchase','signup','error')
+                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS s_type
+      FROM events GROUP BY 1
+    ),
+    rows_ AS (
+      SELECT batch_id, 'completeness(value)>=1.0' AS constraint,
+             round(c_value, 6) AS metric,
+             CAST(c_value >= 1.0 AS INTEGER) AS passed FROM m
+      UNION ALL
+      SELECT batch_id, 'min(value)>=0', round(min_value, 6),
+             CAST(min_value >= 0 AS INTEGER) FROM m
+      UNION ALL
+      SELECT batch_id, 'in_set(event_type)>=1.0', round(s_type, 6),
+             CAST(s_type >= 1.0 AS INTEGER) FROM m
+      UNION ALL
+      SELECT batch_id, 'row_count[100,1000000000]', round(n, 6),
+             CAST(n >= 100 AND n <= 1000000000 AS INTEGER) FROM m
+    )
+    SELECT r.batch_id, r.constraint, r.metric, r.passed,
+           g.all_passed
+    FROM rows_ r JOIN (
+      SELECT batch_id, min(passed) AS all_passed FROM rows_ GROUP BY batch_id
+    ) g USING (batch_id)
+"""
+
+
+@register(
+    "s_dq_gate",
+    sql=_DQ_GATE_SQL,
+    tags=("streaming-batch", "data-quality", "constraints"),
+    doc="the per-micro-batch constraint gate EXACTLY as "
+    "streaming_constraint_monitor evaluates it (streaming/monitor."
+    "constraint_monitor_batch -> quality.constraint_suite on the batch "
+    "frame + the min(passed) circuit-breaker column): replayed over "
+    "three deterministic user_id%3 'micro-batches' so the driver "
+    "value-hashes the full per-batch contract",
+)
+def s_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import constraint_suite
+
+    ev = table(spark, sf_dir, "events")
+    suite = [
+        ("completeness", "value", 1.0),
+        ("min", "value", 0),
+        ("in_set", "event_type",
+         ("click", "view", "purchase", "signup", "error"), 1.0),
+        ("row_count", 100, 1_000_000_000),
+    ]
+    parts = []
+    for b in range(3):
+        res = constraint_suite(ev.where(F.col("user_id") % 3 == b), suite)
+        gate = res.agg(F.min("passed").alias("__all"))
+        parts.append(
+            res.crossJoin(F.broadcast(gate)).select(
+                F.lit(b).cast("long").alias("batch_id"),
+                "constraint", "metric", "passed",
+                F.col("__all").alias("all_passed"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -164,3 +164,55 @@ def streaming_psi_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def constraint_monitor_batch(
+    batch: DataFrame,
+    batch_id: int,
+    constraints: list[tuple],
+    out_dir: str,
+) -> None:
+    """One micro-batch of :func:`streaming_constraint_monitor` — the
+    VERIFICATION sibling of the drift monitors (same per-batch
+    contract, same idempotent ``batch_id=<id>`` hive-partition sink):
+    the declarative Deequ-style suite
+    (:func:`~..operators.quality.constraint_suite`) evaluated on the
+    batch frame verbatim, one row per constraint plus the batch-level
+    ``all_passed`` gate column a circuit breaker trips on (quarantine
+    the batch / halt the feed when a hard constraint fails — the
+    standard ingestion guard in front of a 100 TB/day lake)."""
+    from ..operators.quality import constraint_suite
+
+    res = constraint_suite(batch, constraints)
+    gate = res.agg(F.min("passed").alias("__all"))
+    out = res.crossJoin(F.broadcast(gate)).withColumnRenamed(
+        "__all", "all_passed"
+    )
+    out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+
+def streaming_constraint_monitor(
+    stream: DataFrame,
+    constraints: list[tuple],
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous declarative data-quality verification: every
+    micro-batch is scored against the same constraint suite the batch
+    gate uses (``dq_constraints``), appending per-constraint metrics +
+    pass flags under the batch's own partition. All metrics are
+    mergeable single-pass aggregates, so the per-batch cost is one
+    map-side-combined pass over the batch — no state in executors, no
+    reference frame to pin; the sink is idempotent per batch id.
+    Returns the started StreamingQuery."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        constraint_monitor_batch(batch, batch_id, constraints, out_dir)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

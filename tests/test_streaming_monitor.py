@@ -163,3 +163,57 @@ def test_psi_reference_model_releases_everything(spark):
     assert len(edges) == 9 and sum(c for _, c in hist) == 2000
     assert live_cache_count() == caches0
     assert set(jsc.getPersistentRDDs().keySet().toArray()) <= rdds0
+
+
+_SUITE = [
+    ("completeness", "v", 1.0),
+    ("min", "v", 0),
+    ("row_count", 1, 100),
+]
+
+
+def test_constraint_stream_matches_batch_gate(spark, tmp_path):
+    from sdg_big_data_spark.operators.quality import constraint_suite
+    from sdg_big_data_spark.streaming.monitor import (
+        streaming_constraint_monitor,
+    )
+
+    rows = [(1, 5.0), (2, -1.0), (3, None)]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    bdf = spark.createDataFrame(rows, "id long, v double")
+    bdf.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = streaming_constraint_monitor(
+        spark.readStream.schema("id long, v double").parquet(src),
+        _SUITE, out, ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["constraint"]: r for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["constraint"]: r
+        for r in constraint_suite(bdf, _SUITE).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["metric"] == want[k]["metric"]
+        assert got[k]["passed"] == want[k]["passed"]
+    # completeness and min both fail -> batch-level gate trips
+    assert all(r["all_passed"] == 0 for r in got.values())
+
+
+def test_constraint_monitor_batch_retry_idempotent(spark, tmp_path):
+    from sdg_big_data_spark.streaming.monitor import constraint_monitor_batch
+
+    out = str(tmp_path / "out")
+    bdf = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    constraint_monitor_batch(bdf, 7, _SUITE, out)
+    constraint_monitor_batch(bdf, 7, _SUITE, out)  # retry, same id
+    res = spark.read.parquet(out)
+    assert res.count() == len(_SUITE)
+    assert set(r["batch_id"] for r in res.collect()) == {7}
+    assert all(r["all_passed"] == 1 for r in res.collect())
