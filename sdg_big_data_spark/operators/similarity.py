@@ -1026,3 +1026,67 @@ def mmr_rerank(
         "query_id long, neighbor_id long, mmr_rank int, rel double, mmr double"
     )
     return pairs.groupBy("query_id").applyInPandas(greedy, schema=schema)
+
+
+def truncated_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_coarse: int = 16,
+    k_coarse: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Two-stage ANN via dimension truncation — the Matryoshka-
+    representation retrieval pattern (Kusupati et al. 2022,
+    arXiv:2205.13147 §4.3 "adaptive retrieval"): stage 1 scores every
+    corpus vector against the query using only the FIRST ``d_coarse``
+    dimensions (a prefix slice — MRL-trained embeddings front-load
+    information, and even generic embeddings retain most energy early),
+    keeps ``k_coarse`` candidates per query, and stage 2 re-ranks just
+    those with the exact full-dimension cosine. Returns
+    (query_id, neighbor_id, rank, cos) — top ``k`` by full cosine.
+
+    Why it scales: stage 1 reads ``d_coarse/d`` of the vector bytes per
+    corpus row (with a columnar layout storing the prefix separately,
+    that is a proportional I/O cut) and is a pure map + per-query top-k
+    — the same shape as :func:`brute_force_topk` but ~d/d_coarse
+    cheaper arithmetic; stage 2 touches ``k_coarse`` rows per query.
+    The quality/throughput dial is (d_coarse, k_coarse), exactly like
+    IVF's nprobe — and the recall measurement loop (`ev_ann_recall`)
+    applies to this path unchanged.
+
+    Determinism: both stages use the sequential-fold :func:`dot` (a
+    prefix slice then the same left-to-right sum), so candidates AND
+    final ranks replay exactly in the SQL oracle; ties break by
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.slice(F.col(vec_col), 1, d_coarse).alias("__qc"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.slice(F.col(vec_col), 1, d_coarse).alias("__cc"),
+    )
+    coarse = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__coarse", dot(F.col("__qc"), F.col("__cc")))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("__coarse").desc(), F.col("neighbor_id").asc()
+    )
+    cands = coarse.withColumn("__crank", F.row_number().over(w1)).where(
+        F.col("__crank") <= k_coarse
+    )
+    rer = cands.withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

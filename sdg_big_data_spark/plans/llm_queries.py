@@ -1335,3 +1335,62 @@ def g_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.common_neighbor_similarity(
         edges, src="u", dst="v", top_k=20
     )
+
+
+@register(
+    "e_truncated_rerank",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qv, c.embedding AS cv,
+             list_dot_product(
+               list_transform((q.embedding)[1:16], x -> CAST(x AS DOUBLE)),
+               list_transform((c.embedding)[1:16], x -> CAST(x AS DOUBLE)))
+               AS coarse
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.vec_id
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id, qv, cv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY coarse DESC, neighbor_id ASC) AS crank
+        FROM coarse
+      ) WHERE crank <= 50
+    ),
+    rer AS (
+      SELECT query_id, neighbor_id,
+             {_ORACLE_COS.format(a="qv", b="cv")} AS cos
+      FROM cands
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM rer
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "matryoshka"),
+    doc="two-stage ANN by dimension truncation (similarity."
+    "truncated_rerank_topk, Matryoshka adaptive retrieval arXiv:"
+    "2205.13147): coarse dot over the first 16 of 64 dims prunes the "
+    "corpus to 50 candidates/query (map + per-query top-k, ~4x cheaper "
+    "arithmetic and proportionally less vector I/O under a prefix-"
+    "split layout), exact full-dim cosine re-ranks the survivors — "
+    "the (d_coarse, k_coarse) dial is IVF's nprobe analogue and "
+    "ev_ann_recall measures it unchanged",
+)
+def e_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.truncated_rerank_topk(
+        emb, queries, d_coarse=16, k_coarse=50, k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
+    )

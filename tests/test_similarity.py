@@ -496,3 +496,51 @@ class TestMmrRerank:
         out = mmr_rerank(emb, q, k_candidates=3, k_select=10).collect()
         assert len(out) == 3
         assert sorted(r["mmr_rank"] for r in out) == [1, 2, 3]
+
+
+class TestTruncatedRerank:
+    def test_full_truncation_equals_brute_force(self, spark):
+        from sdg_big_data_spark.operators.similarity import (
+            brute_force_topk, truncated_rerank_topk,
+        )
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = [(i, rng.randn(8).tolist()) for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = emb.where(F.col("vec_id") < 2)
+        # d_coarse = full dim and k_coarse = corpus -> identical to exact
+        exact = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in brute_force_topk(emb, q, k=5).collect()
+        )
+        trunc = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in truncated_rerank_topk(
+                emb, q, d_coarse=8, k_coarse=40, k=5
+            ).collect()
+        )
+        assert trunc == exact
+
+    def test_candidate_pruning_respected(self, spark):
+        from sdg_big_data_spark.operators.similarity import (
+            truncated_rerank_topk,
+        )
+
+        # coarse prefix [first dim] ranks vec 3 last -> with k_coarse=2
+        # it cannot appear even though its full cosine is the best
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, -0.3, 0.0]),
+            (2, [0.8, -0.4, 0.0]),
+            (3, [0.1, 0.99, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = emb.where(F.col("vec_id") == 0)
+        got = [
+            r["neighbor_id"]
+            for r in truncated_rerank_topk(
+                emb, q, d_coarse=1, k_coarse=2, k=3
+            ).orderBy("rank").collect()
+        ]
+        assert got == [1, 2]  # 3 pruned at the coarse stage
