@@ -1943,7 +1943,9 @@ def g_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), ())
@@ -1952,7 +1954,9 @@ def g_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="explicit GROUPING SETS (cube/rollup's general form — only the "
     "levels a report actually needs, one Expand+aggregate pass instead "
     "of the 2^k cube) with grouping_id() disambiguating real NULL keys "
-    "from subtotal rows",
+    "from subtotal rows. Revenue accumulates in exact integer cents "
+    "(the TPC-H discipline): float round(sum) diverged between engines "
+    "at 8e-15 relative on the 100x grand-total row",
 )
 def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
@@ -1962,5 +1966,10 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("double")
+            / 100.0
+        ).alias("total"),
     ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
