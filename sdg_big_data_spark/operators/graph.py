@@ -621,3 +621,72 @@ def common_neighbor_similarity(
             F.round("__jac", round_dp).alias("jaccard"), "are_connected",
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    broadcast_nodes_max: int = 2_000_000,
+) -> DataFrame:
+    """The k-core of an undirected simple graph — the maximal subgraph
+    in which every node has degree ≥ k (Seidman 1983; the standard
+    graph-summarization / influential-subgraph primitive). Returns the
+    surviving (node, core_degree) rows, where ``core_degree`` is the
+    node's degree WITHIN the core.
+
+    Iterative peeling, the CC/PageRank loop shape: each round drops
+    nodes whose current degree < k and the edges incident to them, then
+    recomputes degrees — one map-side-combined degree aggregate + one
+    (or two) semi-joins per round, with the surviving-node frame
+    broadcast below ``broadcast_nodes_max`` so the edge frame never
+    re-shuffles. Early-stops when a round removes nothing (the
+    convergence count doubles as the lazy checkpoint's materialization
+    job). The fixpoint is UNIQUE and peeling-order-independent, so the
+    result is deterministic regardless of partitioning or round
+    batching — and an oracle may peel in any schedule that reaches the
+    fixpoint.
+    """
+    spark = edges.sparkSession
+    u, v = F.col(src), F.col(dst)
+    e0 = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e0.select("u", "v").unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cur, cur_ids = _tracked_checkpoint(sym)
+    n_cur = cur.count()
+    for _ in range(max_iter):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.where(F.col("__d") >= k).select("u")
+        n_keep = keep.count()
+        hint = F.broadcast if n_keep <= broadcast_nodes_max else (lambda d: d)
+        keep_b = hint(keep)
+        before = _persistent_ids(spark)
+        nxt = (
+            cur.join(keep_b, "u", "left_semi")
+            .join(
+                keep_b.withColumnRenamed("u", "v"), "v", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_next = nxt.count()  # materializes the lazy checkpoint
+        new_ids = _persistent_ids(spark) - before
+        _unpersist_ids(spark, cur_ids)
+        cur, cur_ids = nxt, new_ids
+        converged = n_next == n_cur
+        n_cur = n_next
+        if converged:
+            break
+    out = cur.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.col("u").alias("node"), "core_degree"
+    )
+    from ..cachescope import register_checkpoint_ids
+
+    register_checkpoint_ids(spark, cur_ids)
+    return out

@@ -1394,3 +1394,72 @@ def e_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
     )
+
+
+# --- g_kcore ------------------------------------------------------------------
+
+_KCORE_K = 6
+_KCORE_ORACLE_ROUNDS = 9  # fixture converges in 5 at sf0.01 AND sf0.1;
+# the fixpoint is unique, so extra rounds are no-ops, not divergence
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ORACLE_ROUNDS) -> str:
+    # every e{i} is referenced twice (its degree frame and the next
+    # peel), so the CTEs are MATERIALIZED — DuckDB inlines plain CTEs
+    # per reference, which goes exponential over an unrolled chain
+    parts = ["""
+    WITH ps AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      WHERE l_orderkey % 10 = 0
+    ),
+    ee AS MATERIALIZED (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    e0 AS MATERIALIZED (SELECT u, v FROM ee UNION ALL SELECT v, u FROM ee)"""]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    k{i} AS MATERIALIZED (
+      SELECT u FROM (SELECT u, count(*) AS c FROM {prev} GROUP BY u)
+      WHERE c >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      SEMI JOIN k{i} a ON e.u = a.u
+      SEMI JOIN k{i} b ON e.v = b.u
+    )""")
+        prev = f"e{i}"
+    parts.append(f"""
+    SELECT u AS node, count(*) AS core_degree FROM {prev} GROUP BY u""")
+    return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
+
+
+@register(
+    "g_kcore",
+    sql=_kcore_oracle_sql(),
+    tags=("graph", "k-core", "iterative"),
+    doc="k-core decomposition at k=6 (graph.k_core, Seidman 1983) over "
+    "the part co-occurrence graph: iterative peeling — per round one "
+    "map-side-combined degree aggregate + two semi-joins with the "
+    "surviving-node frame broadcast, early stop at the fixpoint (which "
+    "is UNIQUE and peeling-order-independent, so the oracle may peel "
+    "on any schedule: it unrolls 9 rounds, past the fixture's measured "
+    "5-round convergence at both sf0.01 and sf0.1 — extra rounds are "
+    "no-ops by definition)",
+)
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    ps = (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = ps.select("ok", F.col("pk").alias("u"))
+    b = ps.select("ok", F.col("pk").alias("v"))
+    edges = (
+        a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    return graph.k_core(edges, k=_KCORE_K, src="u", dst="v")

@@ -310,3 +310,45 @@ class TestBfsHops:
         seeds = spark.createDataFrame([(1,)], ["node"])
         got = {r["node"]: r["hop"] for r in bfs_hops(e, seeds, max_hops=5).collect()}
         assert got == {1: 0, 2: 1, 3: 1}
+
+
+class TestKCore:
+    def _sym(self, spark, pairs):
+        return spark.createDataFrame(pairs, ["src", "dst"])
+
+    def test_hand_computed_2core(self, spark):
+        from sdg_big_data_spark.operators.graph import k_core
+
+        # triangle (1,2,3) with pendant 4 and a 2-path 5-6
+        e = self._sym(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)])
+        got = {
+            r["node"]: r["core_degree"]
+            for r in k_core(e, k=2).collect()
+        }
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_cascading_peel(self, spark):
+        from sdg_big_data_spark.operators.graph import k_core
+
+        # chain hung off a triangle: peeling 6 drops 5, then 4 — multiple
+        # rounds needed; the triangle alone survives
+        e = self._sym(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)])
+        got = {r["node"]: r["core_degree"] for r in k_core(e, k=2).collect()}
+        assert set(got) == {1, 2, 3}
+
+    def test_empty_core(self, spark):
+        from sdg_big_data_spark.operators.graph import k_core
+
+        e = self._sym(spark, [(1, 2), (2, 3)])
+        assert k_core(e, k=3).count() == 0
+
+    def test_whole_graph_is_core(self, spark):
+        from sdg_big_data_spark.operators.graph import k_core
+
+        # K4: every node has degree 3
+        pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+        got = {
+            r["node"]: r["core_degree"]
+            for r in k_core(self._sym(spark, pairs), k=3).collect()
+        }
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
