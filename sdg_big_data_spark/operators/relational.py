@@ -458,3 +458,53 @@ def cm_estimate(
         "cnt", F.coalesce(F.col("cnt"), F.lit(0))
     )
     return joined.groupBy(key_col).agg(F.min("cnt").alias("cm_est"))
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    window_days: int = 7,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Trailing ``window_days``-day sliding DISTINCT count via mergeable
+    HLL sketches — the rolling-uniques dashboard query (weekly active
+    users) that exact ``countDistinct`` cannot serve at scale: a raw
+    exact form re-shuffles every (day-window, value) pair — each row
+    replicated ``window_days`` times THROUGH the shuffle — while here
+    the corpus is touched once to build one ~KB sketch per day, and
+    only sketches replicate into the per-day window unions.
+
+    Shape: one map-side-combined daily sketch aggregate; each day's
+    sketch fans out to the ``window_days`` windows it belongs to
+    (narrow explode of a date sequence — KB × w, not rows × w); one
+    union-merge groupBy over day-sized frames; windows truncated at the
+    data's edge are only emitted for days that exist in the input.
+
+    Same exactness contract as :func:`hll_distinct_rollup`: the
+    DataSketches estimate IS exact while a window's cardinality sits in
+    the sparse regime (<~0.75·2^lg_k) — size ``lg_k`` to the expected
+    window uniques when exactness matters, or accept ~1.04/√2^lg_k
+    relative error beyond.
+    """
+    day = F.date_trunc("day", F.col(time_col)).cast("date")
+    daily = df.groupBy(day.alias("__day")).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("__sketch")
+    )
+    fanned = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("__day"), F.date_add(F.col("__day"), window_days - 1)
+            )
+        ).alias("day"),
+        "__sketch",
+    )
+    present = daily.select(F.col("__day").alias("day"))
+    merged = (
+        fanned.join(present, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.hll_union_agg(F.col("__sketch")).alias("__sketch"))
+    )
+    return merged.select(
+        "day", F.hll_sketch_estimate("__sketch").alias("approx_distinct")
+    )

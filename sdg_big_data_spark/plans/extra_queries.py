@@ -1973,3 +1973,35 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total"),
     ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+
+
+@register(
+    "a_hll_sliding",
+    sql="""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM e)
+    SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS approx_distinct
+    FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    tags=("sketch", "rollup", "sliding-window"),
+    doc="trailing 7-day sliding distinct users via mergeable HLL "
+    "sketches (relational.hll_sliding_distinct): one daily-sketch pass, "
+    "KB-sized sketches fan out to their windows and union per day — "
+    "exact countDistinct would replicate every raw row window_days "
+    "times through the shuffle. Same contract as a_hll_distinct: the "
+    "exact-count oracle checks the sketch's sparse-EXACT regime, which "
+    "holds through ~2^(lg_k-4) uniques (measured: lg_k=16 exact at 3k, "
+    "estimating at 10k) — the sf0.01 fixture's 150 weekly uniques sit "
+    "deep inside it; the 10x fixture's 15k-unique windows measured "
+    "-0.28%% relative error, inside the published 1.04/sqrt(2^16) = "
+    "0.41%% bound (the estimating-regime contract, covered by the HLL "
+    "tolerance test)",
+)
+def a_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import hll_sliding_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return hll_sliding_distinct(ev, "ts", "user_id", window_days=7, lg_k=16)

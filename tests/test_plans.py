@@ -608,3 +608,36 @@ def test_gate_chain_evaluates_featurizer_once(spark, sf_dir):
     # 2 tokenize sites + 1 punctuation regex = 3; anything more means an
     # optimizer rule re-inlined a featurizer copy somewhere
     assert plan.count("regexp_replace") <= 3, plan.count("regexp_replace")
+
+
+class TestHllSlidingDistinct:
+    def test_exact_in_sparse_regime_and_window_semantics(self, spark):
+        import datetime as dt
+
+        from sdg_big_data_spark.operators.relational import (
+            hll_sliding_distinct,
+        )
+
+        rows = []
+        d0 = dt.datetime(2024, 1, 1)
+        # day 0: users 0..9; day 1: users 5..14; day 9: user 99 only
+        for u in range(10):
+            rows.append((d0, u))
+        for u in range(5, 15):
+            rows.append((d0 + dt.timedelta(days=1), u))
+        rows.append((d0 + dt.timedelta(days=9), 99))
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        out = {
+            str(r["day"]): r["approx_distinct"]
+            for r in hll_sliding_distinct(
+                df, "ts", "user_id", window_days=3
+            ).collect()
+        }
+        # trailing windows: day0 sees only day0; day1 sees day0+day1
+        assert out["2024-01-01"] == 10
+        assert out["2024-01-02"] == 15
+        # day9 is beyond every earlier window: only its own user
+        assert out["2024-01-10"] == 1
+        # no rows for days with no data (day2 would see day0+day1 but
+        # is not in the input)
+        assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-10"}
