@@ -84,6 +84,22 @@ PROBES = [
     "s_session_window",
     "ev_diversity",
     "tpch_q15_top_supplier",
+    # round 7: corpus-wide keep-first line dedup (min-struct keeper must
+    # be partition-invariant), the two grouped-sequential smoothers
+    # (Arrow-batch carry under 200 partitions + event-time ordering),
+    # average-rank Spearman over the range-shuffle prefix sum, the
+    # 5-step MMR greedy (float argmax tie-breaks end to end), BFS and
+    # k-core fixpoints (join/broadcast schedules must not change the
+    # result), and the per-day HLL sliding union (day derivation is
+    # timezone-sensitive; sketch merge order partition-dependent)
+    "d_line_dedup",
+    "w_holt_trend",
+    "w_rolling_mad",
+    "ev_spearman",
+    "sim_mmr_rerank",
+    "g_bfs_hops",
+    "g_kcore",
+    "a_hll_sliding",
 ]
 
 
