@@ -661,11 +661,18 @@ def k_core(
     )
     cur, cur_ids = _tracked_checkpoint(sym)
     n_cur = cur.count()
+    from ..cachescope import scoped_cache
+
     for _ in range(max_iter):
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
-        keep = deg.where(F.col("__d") >= k).select("u")
-        n_keep = keep.count()
-        hint = F.broadcast if n_keep <= broadcast_nodes_max else (lambda d: d)
+        # both semi-joins consume keep — cache it so the degree
+        # aggregate runs once per round, not once per join side
+        keep = scoped_cache(deg.where(F.col("__d") >= k).select("u"))
+        # |keep| <= |nodes| <= |sym edge rows| = n_cur (every node is
+        # some u), already known from the previous round's count — the
+        # conservative gate costs zero extra jobs where an exact |keep|
+        # count would re-aggregate degrees once more per round
+        hint = F.broadcast if n_cur <= broadcast_nodes_max else (lambda d: d)
         keep_b = hint(keep)
         before = _persistent_ids(spark)
         nxt = (
