@@ -1249,3 +1249,87 @@ def sp_mobility_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cells",
         F.round("entropy", 6).alias("entropy"),
     )
+
+
+# --- m_payload_near_dup -------------------------------------------------------
+
+_PAYLOAD_SIMHASH_SQL = """
+    WITH src AS (
+      SELECT doc_id AS item_id, encode(text) AS payload
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, encode(text || ' v41')
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    hx AS (SELECT item_id, lower(hex(payload)) AS h FROM src),
+    grams AS (
+      SELECT item_id,
+             list_filter(
+               list_transform(
+                 generate_series(1, greatest(1, length(h) - 7), 2),
+                 i -> substr(h, i, 8)),
+               x -> x <> '') AS g
+      FROM hx
+    ),
+    toks AS (SELECT item_id, unnest(g) AS tok FROM grams),
+    enc AS (
+      SELECT item_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4294967296 AS hh
+      FROM toks
+    ),
+    votes AS (
+      SELECT item_id, bit,
+             sum(CASE WHEN (hh >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM enc CROSS JOIN (SELECT unnest(range(0, 16)) AS bit)
+      GROUP BY item_id, bit
+    ),
+    fp AS (
+      SELECT item_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY item_id
+    ),
+    banded AS (
+      SELECT item_id, simhash, band,
+             (simhash >> (band * 4)) & 15 AS chunk
+      FROM fp, unnest(range(0, 4)) AS u(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.item_id AS id_a, b.item_id AS id_b,
+             a.simhash AS fp_a, b.simhash AS fp_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.item_id < b.item_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+@register(
+    "m_payload_near_dup",
+    sql=_PAYLOAD_SIMHASH_SQL,
+    tags=("multimodal", "dedup", "simhash"),
+    doc="byte-level near-duplicate pairs over opaque binary payloads "
+    "(multimodal.payload_near_dup_pairs): hex-encode, roll byte-aligned "
+    "4-byte gram windows (let-bound so the interpreted window lambda "
+    "reads the hex once per row), then the EXACT token-SimHash ladder — "
+    "majority fingerprint + banded Hamming equi-join, no decoder, no "
+    "all-pairs. Fixture plants a re-encoded variant (payload + 4 bytes) "
+    "of every 4th document under id+10^6 — the pairs the fingerprint "
+    "must catch",
+)
+def m_payload_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import payload_near_dup_pairs
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    base = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    variant = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("item_id"),
+        F.encode(F.concat(F.col("text"), F.lit(" v41")), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    return payload_near_dup_pairs(base.unionByName(variant))

@@ -92,3 +92,36 @@ def test_resize_rejects_non_image(spark, media):
 
     with pytest.raises(Exception, match="NotImplementedError|modality"):
         resize_images(media, 4, 3).collect()
+
+
+class TestPayloadNearDups:
+    def test_variant_payloads_pair_up(self, spark):
+        from sdg_big_data_spark.operators.multimodal import (
+            payload_near_dup_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [
+            (1, bytearray(base.encode())),
+            (2, bytearray((base + " v41").encode())),   # near-dup of 1
+            (3, bytearray(("completely different payload bytes " * 10).encode())),
+        ]
+        df = spark.createDataFrame(rows, "item_id long, payload binary")
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in payload_near_dup_pairs(df, max_hamming=3).collect()
+        }
+        assert (1, 2) in pairs
+        assert all(k == (1, 2) for k in pairs)
+
+    def test_identical_payloads_hamming_zero(self, spark):
+        from sdg_big_data_spark.operators.multimodal import (
+            payload_near_dup_pairs,
+        )
+
+        blob = bytearray(b"same bytes everywhere, truly identical payload")
+        df = spark.createDataFrame(
+            [(10, blob), (20, blob)], "item_id long, payload binary"
+        )
+        out = payload_near_dup_pairs(df).collect()
+        assert len(out) == 1 and out[0]["hamming"] == 0
