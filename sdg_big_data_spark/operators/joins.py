@@ -306,3 +306,68 @@ def fuzzy_join(
         .where(F.col(dist_col) >= 0)
         .drop("__blk")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) interval pair sharing
+    ``keys`` whose half-open ranges intersect —
+    ``l_start < r_end AND r_start < l_end`` — the temporal-database /
+    genomics classic (meeting-conflict detection, session overlap,
+    variant-vs-gene-region intersection). Bounds are integer columns.
+
+    Same two-phase banding as :func:`interval_join`, applied to BOTH
+    sides: each interval explodes to the ``bucket_width`` buckets it
+    covers, an equi-join on (keys, bucket) generates candidates, the
+    exact predicate refines. A pair can share MANY buckets; rather than
+    a distinct-pass over the matches (a second corpus-sized shuffle),
+    each pair is emitted exactly once by construction: only in the
+    FIRST bucket where both intervals are present,
+    ``bucket == max(floor(l_start/w), floor(r_start/w))`` — a free
+    per-row filter on the join output.
+
+    Cost: |exploded left| + |exploded right| join inputs (each side
+    linear in total interval length / bucket_width), never
+    |left| x |right|. Pick ``bucket_width`` near the typical interval
+    length. Degenerate intervals (end <= start) are dropped — empty
+    ranges overlap nothing under half-open semantics.
+    """
+    keys = list(keys)
+    w = F.lit(int(bucket_width))
+
+    def explode_side(df: DataFrame, s: str, e: str, tag: str) -> DataFrame:
+        sc, ec = F.col(s), F.col(e)
+        return (
+            df.where(ec > sc)
+            .withColumn(f"__fb_{tag}", F.floor(sc / w).cast("long"))
+            .withColumn(
+                "__b",
+                F.explode(
+                    F.sequence(
+                        F.col(f"__fb_{tag}"),
+                        F.floor((ec - 1) / w).cast("long"),
+                    )
+                ),
+            )
+        )
+
+    lb = explode_side(left, l_start, l_end, "l")
+    rb = explode_side(right, r_start, r_end, "r")
+    joined = lb.join(rb, [*keys, "__b"])
+    exact = (
+        (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    )
+    first_shared = F.col("__b") == F.greatest(
+        F.col("__fb_l"), F.col("__fb_r")
+    )
+    return joined.where(exact & first_shared).drop(
+        "__b", "__fb_l", "__fb_r"
+    )

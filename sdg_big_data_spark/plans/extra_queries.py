@@ -2005,3 +2005,66 @@ def a_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return hll_sliding_distinct(ev, "ts", "user_id", window_days=7, lg_k=16)
+
+
+@register(
+    "j_overlap_join",
+    sql="""
+    WITH l AS (
+      SELECT user_id, event_id AS l_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ls,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(floor(value * 10) AS BIGINT) * 600 + 600 AS le
+      FROM events WHERE event_id % 10 = 0
+    ),
+    r AS (
+      SELECT user_id, event_id AS r_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS rs,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(floor(value * 7) AS BIGINT) * 300 + 300 AS re
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT l.l_id, count(*) AS n_overlaps,
+           CAST(sum(least(l.le, r.re) - greatest(l.ls, r.rs)) AS BIGINT)
+             AS overlap_s
+    FROM l JOIN r
+      ON l.user_id = r.user_id AND l.ls < r.re AND r.rs < l.le
+    GROUP BY l.l_id
+    """,
+    tags=("join", "interval-overlap", "temporal"),
+    doc="interval-overlap join (joins.interval_overlap_join — the "
+    "temporal-DB / genomics intersect): both sides explode to covered "
+    "buckets, equi-join on (user, bucket), exact half-open refine, each "
+    "pair emitted exactly once via the first-shared-bucket filter (no "
+    "distinct pass) — never the BroadcastNestedLoop a raw range "
+    "predicate plans; per-pair overlap seconds aggregated per left "
+    "interval. Oracle is the quadratic range join",
+)
+def j_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events")
+    t = epoch_seconds("ts")
+    left = ev.where(F.col("event_id") % 10 == 0).select(
+        "user_id",
+        F.col("event_id").alias("l_id"),
+        t.alias("ls"),
+        (t + F.floor(F.col("value") * 10).cast("long") * 600 + 600).alias("le"),
+    )
+    right = ev.where(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        F.col("event_id").alias("r_id"),
+        t.alias("rs"),
+        (t + F.floor(F.col("value") * 7).cast("long") * 300 + 300).alias("re"),
+    )
+    joined = interval_overlap_join(
+        left, right, keys=["user_id"], l_start="ls", l_end="le",
+        r_start="rs", r_end="re", bucket_width=1800,
+    )
+    return joined.groupBy("l_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(
+            F.least(F.col("le"), F.col("re"))
+            - F.greatest(F.col("ls"), F.col("rs"))
+        ).alias("overlap_s"),
+    )

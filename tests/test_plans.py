@@ -641,3 +641,64 @@ class TestHllSlidingDistinct:
         # no rows for days with no data (day2 would see day0+day1 but
         # is not in the input)
         assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-10"}
+
+
+class TestIntervalOverlapJoin:
+    def _run(self, spark, left_rows, right_rows, w=10):
+        from sdg_big_data_spark.operators.joins import interval_overlap_join
+
+        l = spark.createDataFrame(left_rows, "k long, lid long, ls long, le long")
+        r = spark.createDataFrame(right_rows, "k long, rid long, rs long, re long")
+        out = interval_overlap_join(
+            l, r, keys=["k"], l_start="ls", l_end="le",
+            r_start="rs", r_end="re", bucket_width=w,
+        )
+        return sorted((x["lid"], x["rid"]) for x in out.collect())
+
+    def test_exactly_once_across_many_shared_buckets(self, spark):
+        # both intervals span many buckets; the pair must appear ONCE
+        got = self._run(
+            spark,
+            [(1, 1, 0, 100)],
+            [(1, 2, 5, 95)],
+            w=10,
+        )
+        assert got == [(1, 2)]
+
+    def test_half_open_touching_intervals_do_not_overlap(self, spark):
+        got = self._run(spark, [(1, 1, 0, 10)], [(1, 2, 10, 20)])
+        assert got == []
+
+    def test_boundary_and_key_semantics(self, spark):
+        got = self._run(
+            spark,
+            [(1, 1, 0, 10), (2, 2, 0, 10)],
+            [(1, 3, 9, 15), (1, 4, 20, 30), (2, 5, -5, 1)],
+        )
+        # (1,3): overlaps by 1; (1,4): disjoint; (2,5): negative start,
+        # overlaps [0,1)
+        assert got == [(1, 3), (2, 5)]
+
+    def test_degenerate_intervals_dropped(self, spark):
+        got = self._run(spark, [(1, 1, 5, 5)], [(1, 2, 0, 10)])
+        assert got == []
+
+    def test_differential_vs_quadratic_join(self, spark):
+        import random
+
+        rng = random.Random(13)
+        left, right = [], []
+        for i in range(120):
+            k = rng.randint(1, 4)
+            s = rng.randint(-50, 200)
+            left.append((k, i, s, s + rng.randint(1, 60)))
+        for j in range(120):
+            k = rng.randint(1, 4)
+            s = rng.randint(-50, 200)
+            right.append((k, 1000 + j, s, s + rng.randint(1, 60)))
+        expected = sorted(
+            (l[1], r[1])
+            for l in left for r in right
+            if l[0] == r[0] and l[2] < r[3] and r[2] < l[3]
+        )
+        assert self._run(spark, left, right, w=16) == expected
