@@ -69,7 +69,8 @@ def o3_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_rollup_revenue",
     sql="""
     SELECT r.r_name, n.n_name,
-           round(sum(c.c_acctbal), 2) AS acctbal_sum,
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS acctbal_sum,
            count(*) AS n_cust
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -88,8 +89,14 @@ def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     )
+    # integer-cents accumulation: float round(sum) diverges between
+    # engines at ~1e-15 relative on 100x-scale sums (the class the
+    # TPC-H suite and a_grouping_sets document)
     return j.rollup("r_name", "n_name").agg(
-        F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        (
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+            .cast("double") / 100.0
+        ).alias("acctbal_sum"),
         F.count(F.lit(1)).alias("n_cust"),
     )
 
@@ -606,7 +613,9 @@ def j_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_cube_status",
     sql="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -618,7 +627,10 @@ def a_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("double") / 100.0
+        ).alias("total"),
     )
 
 
