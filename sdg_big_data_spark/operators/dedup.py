@@ -436,17 +436,21 @@ def incremental_dedup(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """SimHash fingerprint over hash-encoded tokens: bit b set iff the
-    majority of token hashes have bit b set. Near-dups → small Hamming
-    distance. Pure integer arithmetic (portable).
+def simhash_of_tokens(
+    toks: DataFrame, id_col: str, bits: int = 16, tok_col: str = "tok"
+) -> DataFrame:
+    """SimHash fingerprint from PRE-TOKENIZED rows (one row per (id,
+    token)): bit b set iff the majority of token hashes have bit b set.
+    The seam for non-text tokenizations — byte-gram rows from
+    ``multimodal.payload_near_dup_pairs`` feed this directly, skipping
+    the join-into-a-string / re-split round trip (and its interpreted
+    array lambdas) entirely.
 
     Token hash = ``portable_hash60 mod 2^32`` — per-row projection, no
     token dictionary, nothing corpus-derived broadcast (r1's
     global-rank-dictionary + broadcast-join encoder is gone)."""
-    toks = df.select(F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("tok"))
     enc = toks.select(
-        F.col(id_col), (portable_hash60(F.col("tok")) % F.lit(2**32)).alias("h")
+        F.col(id_col), (portable_hash60(F.col(tok_col)) % F.lit(2**32)).alias("h")
     )
     # Integer bit ops only (portable to any SQL oracle): bit b of h is
     # (h >> b) & 1. All ``bits`` majority votes run as conditional sums
@@ -480,6 +484,68 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return g.select(F.col(id_col), bit_terms[0].alias("simhash"))
 
 
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over a text column: tokenize (lowercase,
+    URL-strip, accent-fold, split on non-alphanumerics), then the
+    majority-vote fold of ``simhash_of_tokens``. Near-dups → small
+    Hamming distance. Pure integer arithmetic (portable)."""
+    toks = df.select(F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("tok"))
+    return simhash_of_tokens(toks, id_col, bits)
+
+
+def simhash_band_pairs(
+    fp: DataFrame,
+    id_col: str,
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming equi-join over a precomputed fingerprint frame
+    (columns ``id_col, simhash``): band the fingerprint into
+    ``bits/band_bits`` chunks, equi-join on (band, chunk value) —
+    pigeonhole guarantees any pair within ``bits/band_bits - 1`` Hamming
+    distance shares at least one band — then verify ``bit_count(xor) <=
+    max_hamming`` on the candidates. Callers should pass an already
+    cached/materialized ``fp``: its DAG feeds both sides of the
+    self-join."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "chunk",
+        F.expr(f"(simhash >> (band * {band_bits})) & {mask}"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
+    )
+    # The Hamming verify is a per-row bit_count — run it in the join
+    # stage, so pairs failing the threshold die before any exchange. A
+    # pair can arrive via up to ``n_bands`` band matches; instead of a
+    # distinct (a full extra shuffle carrying every surviving pair — at
+    # corpus scale the OUTPUT is the big frame), emit each pair exactly
+    # once by keeping only its FIRST matching band: band k matches iff
+    # chunk k of fp_a ^ fp_b is zero, so "no earlier band matched" is a
+    # pure map-side expression over the pair's fingerprints.
+    first_band = " AND ".join(
+        f"(band <= {k} OR (((fp_a ^ fp_b) >> {k * band_bits}) & {mask}) != 0)"
+        for k in range(n_bands - 1)
+    ) or "true"
+    return (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.expr(first_band))
+        .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -509,33 +575,7 @@ def simhash_near_dup_pairs(
     # cached: the fingerprint DAG (tokenize → dictionary → votes) feeds
     # both sides of the band self-join
     fp = scoped_cache(simhash(df, id_col, text_col, bits))
-    n_bands = bits // band_bits
-    banded = fp.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn(
-        "chunk",
-        F.expr(f"(simhash >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
-    )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
-    )
-    # The Hamming verify is a per-row bit_count — run it BEFORE the
-    # distinct, so pairs failing the threshold die in the join stage and
-    # never reach the dedup exchange (a pair can arrive via up to
-    # ``n_bands`` band matches; distinct still collapses the survivors).
-    return (
-        a.join(b, ["band", "chunk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
-    )
+    return simhash_band_pairs(fp, id_col, bits, band_bits, max_hamming)
 
 
 def contamination_overlap(
@@ -698,11 +738,18 @@ def line_dedup(
 
     Output: one row per input document that has at least one non-empty
     line — (id, ``out_col`` deduped text, n_lines, n_kept).
+
+    ``sep`` is a LITERAL separator on both sides: ``split`` takes a
+    Java regex, so it is \\Q…\\E-quoted (Pattern.quote semantics) to
+    match the literal ``array_join`` on reassembly — a separator like
+    ``"."`` or ``"|"`` splits on the exact character, not the regex.
     """
+    # Pattern.quote: wrap in \Q…\E, breaking out of any embedded \E
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "__line"),
+            F.posexplode(F.split(F.col(text_col), sep_rx)).alias("pos", "__line"),
         )
         .where(F.col("__line") != "")
     )

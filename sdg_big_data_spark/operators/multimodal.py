@@ -208,8 +208,8 @@ def payload_near_dup_pairs(
     id_col: str = "item_id",
     payload_col: str = "payload",
     gram_bytes: int = 4,
-    bits: int = 16,
-    band_bits: int = 4,
+    bits: int = 32,
+    band_bits: int = 8,
     max_hamming: int = 3,
 ) -> "DataFrame":
     """Byte-level near-duplicate pairs over binary payloads: the
@@ -217,14 +217,45 @@ def payload_near_dup_pairs(
     ladder (``dedup.simhash`` majority fingerprint + banded Hamming
     equi-join) — one linear fingerprint pass, hash-join candidates,
     never an all-pairs comparison. Same scale knobs as
-    ``simhash_near_dup_pairs`` (bits/band_bits)."""
-    from .dedup import simhash_near_dup_pairs
+    ``simhash_near_dup_pairs`` (bits/band_bits).
 
-    grams = df.select(
-        F.col(id_col),
-        payload_simhash_text(payload_col, gram_bytes).alias("__bgrams"),
+    The DEFAULT is the scale-safe setting: ``bits=32, band_bits=8``
+    gives 4 bands x 256 chunk values = 1024 distinct band keys (still
+    bands > max_hamming, so the pigeonhole guarantee holds), vs the
+    16/4 setting's 64 keys whose buckets hold n/64 rows each and make
+    candidate volume quadratic once the corpus saturates them
+    (measured 19x wall for 10x data at 100x scale before this
+    default flipped).
+
+    The gram pass here emits one TOKEN ROW per byte-gram directly —
+    ``explode(sequence(starts))`` + ``substr`` — instead of building a
+    space-joined gram string and re-tokenizing it. Same grams, but zero
+    interpreted array lambdas in the plan (``transform``/``filter`` HOFs
+    evaluate outside whole-stage codegen) and no document-sized
+    intermediate string."""
+    from .dedup import simhash_band_pairs, simhash_of_tokens
+    from ..cachescope import scoped_cache
+
+    width = 2 * gram_bytes
+    toks = (
+        df.select(
+            F.col(id_col), F.lower(F.hex(F.col(payload_col))).alias("__h")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__h"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.length("__h") - F.lit(width - 1)),
+                    F.lit(2),
+                )
+            ).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__h").substr(F.col("__i"), F.lit(width)).alias("tok"),
+        )
     )
-    return simhash_near_dup_pairs(
-        grams, id_col, "__bgrams", bits=bits, band_bits=band_bits,
-        max_hamming=max_hamming,
-    )
+    fp = scoped_cache(simhash_of_tokens(toks, id_col, bits))
+    return simhash_band_pairs(fp, id_col, bits, band_bits, max_hamming)

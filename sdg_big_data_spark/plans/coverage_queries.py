@@ -1280,7 +1280,7 @@ _PAYLOAD_SIMHASH_SQL = """
     votes AS (
       SELECT item_id, bit,
              sum(CASE WHEN (hh >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      FROM enc CROSS JOIN (SELECT unnest(range(0, 16)) AS bit)
+      FROM enc CROSS JOIN (SELECT unnest(range(0, 32)) AS bit)
       GROUP BY item_id, bit
     ),
     fp AS (
@@ -1291,7 +1291,7 @@ _PAYLOAD_SIMHASH_SQL = """
     ),
     banded AS (
       SELECT item_id, simhash, band,
-             (simhash >> (band * 4)) & 15 AS chunk
+             (simhash >> (band * 8)) & 255 AS chunk
       FROM fp, unnest(range(0, 4)) AS u(band)
     ),
     cand AS (
@@ -1314,7 +1314,9 @@ _PAYLOAD_SIMHASH_SQL = """
     "4-byte gram windows (let-bound so the interpreted window lambda "
     "reads the hex once per row), then the EXACT token-SimHash ladder — "
     "majority fingerprint + banded Hamming equi-join, no decoder, no "
-    "all-pairs. Fixture plants a re-encoded variant (payload + 4 bytes) "
+    "all-pairs — at the SCALE-SAFE default bits=32/band_bits=8 (1024 "
+    "distinct band keys; 4 bands > max_hamming=3 keeps the pigeonhole "
+    "guarantee). Fixture plants a re-encoded variant (payload + 4 bytes) "
     "of every 4th document under id+10^6 — the pairs the fingerprint "
     "must catch",
 )

@@ -1093,6 +1093,26 @@ class TestLineDedup:
         assert out[2]["text_deduped"] == ""
         assert out[2]["n_kept"] == 0
 
+    def test_regex_metacharacter_separator_is_literal(self, spark):
+        # sep='|' would split between EVERY character as a regex; it
+        # must split only on the literal pipe (and '.' likewise)
+        from sdg_big_data_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "alpha|shared|beta"), (2, "shared|gamma")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in line_dedup(df, "doc_id", "text", sep="|").collect()
+        }
+        assert out[1]["text_deduped"] == "alpha|shared|beta"
+        assert out[2]["text_deduped"] == "gamma"
+        dot = spark.createDataFrame([(1, "a.b.a")], ["doc_id", "text"])
+        row = line_dedup(dot, "doc_id", "text", sep=".").collect()[0]
+        assert row["text_deduped"] == "a.b"
+        assert (row["n_lines"], row["n_kept"]) == (3, 2)
+
 
 class TestGopherQualityFlags:
     def test_hand_computed_rules(self, spark):
@@ -1175,3 +1195,42 @@ class TestConstraintSuite:
         df = spark.createDataFrame([(1,)], ["x"])
         with pytest.raises(ValueError, match="unknown constraint"):
             quality.constraint_suite(df, [("nope", "x", 1)])
+
+    def test_empty_frame_fails_not_null(self, spark):
+        # x/0 fractions and min/max on an EMPTY frame are NULL metrics;
+        # passed must coalesce to 0 so a min(passed) circuit breaker
+        # trips on an empty micro-batch — except row_count, whose count
+        # is a real 0 and keeps its own band semantics
+        df = spark.createDataFrame([], "id long, cat string, v double")
+        out = {
+            r["constraint"]: r
+            for r in quality.constraint_suite(
+                df,
+                [
+                    ("completeness", "v", 0.9),
+                    ("uniqueness", "id", 1.0),
+                    ("min", "v", 0),
+                    ("max", "v", 10),
+                    ("in_set", "cat", ("a", "b"), 1.0),
+                    ("non_negative", "v", 1.0),
+                    ("row_count", 0, 5),
+                    ("row_count", 1, 5),
+                ],
+            ).collect()
+        }
+        for label, r in out.items():
+            if label == "row_count[0,5]":
+                assert r["passed"] == 1
+            else:
+                assert r["passed"] == 0, label
+        assert out["completeness(v)>=0.9"]["metric"] is None
+
+    def test_all_null_column_bounds_fail(self, spark):
+        df = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+        out = {
+            r["constraint"]: r["passed"]
+            for r in quality.constraint_suite(
+                df, [("min", "v", 0), ("max", "v", 10)]
+            ).collect()
+        }
+        assert out == {"min(v)>=0": 0, "max(v)<=10": 0}
