@@ -474,12 +474,14 @@ def bfs_hops(
 
     Physical strategy: the frontier (and the visited set it accumulates
     into) is usually orders of magnitude smaller than the edge list, so
-    while the PREVIOUS level's frontier stayed under
-    ``broadcast_frontier_max`` rows, both the expansion join and the
-    visited anti-join broadcast the node-sized side — the edge frame,
-    checkpointed once, never re-shuffles. Past the threshold the same
-    loop degrades to shuffle joins on node id (per-level cost linear in
-    the frontier's incident edges; hub-node skew split by AQE). The
+    the expansion join broadcasts the frontier while the PREVIOUS
+    level's frontier stayed under ``broadcast_frontier_max`` rows, and
+    the visited anti-join broadcasts the visited set while its
+    CUMULATIVE row count (which can be ~``max_hops`` times a single
+    frontier) stays under the same threshold — the edge frame,
+    checkpointed once, never re-shuffles. Past either threshold that
+    join degrades to a shuffle join on node id (per-level cost linear
+    in the frontier's incident edges; hub-node skew split by AQE). The
     per-level ``count`` that drives early stop doubles as the lazy
     checkpoint's materialization job, exactly like the CC convergence
     probe.
@@ -499,21 +501,30 @@ def bfs_hops(
     levels = [frontier]
     level_ids = [f_ids]
     n_frontier = frontier.count()
+    n_visited = n_frontier
     visited = frontier.select("node")
     for h in range(1, max_hops + 1):
         if n_frontier == 0:
             break
-        hint = (
+        hint_f = (
             F.broadcast
             if n_frontier <= broadcast_frontier_max
             else (lambda df: df)
         )
+        # The visited set is the UNION of all prior frontiers — up to
+        # ~max_hops times the current frontier — so its broadcast is
+        # gated on the CUMULATIVE visited count, not the frontier's.
+        hint_v = (
+            F.broadcast
+            if n_visited <= broadcast_frontier_max
+            else (lambda df: df)
+        )
         before = _persistent_ids(spark)
         nxt = (
-            e.join(hint(frontier.withColumnRenamed("node", "src")), "src")
+            e.join(hint_f(frontier.withColumnRenamed("node", "src")), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(hint(visited), "node", "left_anti")
+            .join(hint_v(visited), "node", "left_anti")
             .withColumn("hop", F.lit(h))
             .localCheckpoint(eager=False)
         )
@@ -526,6 +537,7 @@ def bfs_hops(
         level_ids.append(new_ids)
         frontier = nxt
         visited = visited.unionByName(nxt.select("node"))
+        n_visited += n_frontier
 
     out = levels[0]
     for lv in levels[1:]:

@@ -1052,13 +1052,13 @@ def constraint_suite(
         if kind == "completeness":
             _, col, thr = spec
             aggs.append(
-                (F.count(F.col(col)).cast("double") / n).alias(slot)
+                F.try_divide(F.count(F.col(col)).cast("double"), n).alias(slot)
             )
             label = f"completeness({col})>={thr}"
         elif kind == "uniqueness":
             _, col, thr = spec
             aggs.append(
-                (F.countDistinct(F.col(col)).cast("double") / n).alias(slot)
+                F.try_divide(F.countDistinct(F.col(col)).cast("double"), n).alias(slot)
             )
             label = f"uniqueness({col})>={thr}"
         elif kind == "min":
@@ -1072,18 +1072,18 @@ def constraint_suite(
         elif kind == "in_set":
             _, col, values, thr = spec
             aggs.append(
-                (
-                    F.sum(F.col(col).isin(list(values)).cast("long")).cast("double")
-                    / n
+                F.try_divide(
+                    F.sum(F.col(col).isin(list(values)).cast("long")).cast("double"),
+                    n,
                 ).alias(slot)
             )
             label = f"in_set({col})>={thr}"
         elif kind == "non_negative":
             _, col, thr = spec
             aggs.append(
-                (F.sum((F.col(col) >= 0).cast("long")).cast("double") / n).alias(
-                    slot
-                )
+                F.try_divide(
+                    F.sum((F.col(col) >= 0).cast("long")).cast("double"), n
+                ).alias(slot)
             )
             label = f"non_negative({col})>={thr}"
         elif kind == "row_count":
@@ -1103,11 +1103,16 @@ def constraint_suite(
         rows.append((label, slot))
 
     one = df.agg(*aggs)
+    # A NULL metric — x/0 fractions and min/max on an EMPTY frame, or
+    # min/max over an all-NULL column — must FAIL, not propagate NULL:
+    # a min(passed) circuit breaker would otherwise ignore the rows and
+    # never trip on an empty micro-batch (only row_count, whose count
+    # metric is never NULL, keeps its own semantics).
     per_constraint = [
         F.struct(
             F.lit(label).alias("constraint"),
             F.round(F.col(slot), round_dp).alias("metric"),
-            checks[slot].cast("int").alias("passed"),
+            F.coalesce(checks[slot].cast("int"), F.lit(0)).alias("passed"),
         )
         for label, slot in rows
     ]

@@ -979,6 +979,19 @@ def mmr_rerank(
             cosine(F.col("__va"), F.col("__vb")).alias("sim"),
         )
     )
+    # One null-sim SELF row per candidate rides along so a query whose
+    # candidate set has exactly one member (k_candidates=1, or a tiny
+    # corpus) still reaches the grouped map — the pair join alone yields
+    # zero rows for it and the query would silently vanish from the
+    # output. k extra rows per query on top of k²; the greedy skips them
+    # when building the pairwise-sim table.
+    pairs = pairs.unionByName(
+        cands_v.select(
+            "query_id", "cand_id", "rel",
+            F.col("cand_id").alias("other_id"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    )
     lam_f = float(lam)
     mu_f = 1.0 - lam_f
     m = int(k_select)
@@ -994,6 +1007,7 @@ def mmr_rerank(
         sims: dict[tuple[int, int], float] = {
             (c, o): s
             for c, o, s in zip(pdf["cand_id"], pdf["other_id"], pdf["sim"])
+            if c != o and not pd.isna(s)  # drop the self marker rows
         }
         selected: list[tuple[int, float, float]] = []  # (id, rel, mmr)
         remaining = set(rels)

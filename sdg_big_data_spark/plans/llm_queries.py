@@ -1430,8 +1430,24 @@ def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ORACLE_ROUNDS) -> 
       SEMI JOIN k{i} b ON e.v = b.u
     )""")
         prev = f"e{i}"
+    # Convergence guard: the unrolled chain is only a valid oracle if
+    # the LAST round was a no-op (the peeling fixpoint was reached by
+    # round rounds-1). A denser fixture needing more rounds would
+    # silently diverge from the engine's run-to-fixpoint result —
+    # instead, error() loudly (lazily evaluated per output row, so a
+    # converged run never touches it; an EMPTY final round emits no
+    # rows and IS a fixpoint, so no false alarm there). If the peel
+    # finishes exactly at the last round this still trips — the remedy
+    # in both cases is raising ``rounds``, an oracle limitation, not an
+    # engine bug.
     parts.append(f"""
-    SELECT u AS node, count(*) AS core_degree FROM {prev} GROUP BY u""")
+    SELECT u AS node,
+           CASE WHEN (SELECT count(*) FROM e{rounds})
+                     = (SELECT count(*) FROM e{rounds - 1})
+                THEN count(*)
+                ELSE error('g_kcore oracle: {rounds} unrolled peeling rounds did not converge — raise rounds')
+           END AS core_degree
+    FROM {prev} GROUP BY u""")
     return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
 
 

@@ -497,6 +497,19 @@ class TestMmrRerank:
         assert len(out) == 3
         assert sorted(r["mmr_rank"] for r in out) == [1, 2, 3]
 
+    def test_single_candidate_query_returns_rank_one(self, spark):
+        # k_candidates=1 -> the within-query pair join is empty; the
+        # query must still emit its rank-1 selection (the SQL oracle
+        # does), not vanish from the output
+        from sdg_big_data_spark.operators.similarity import mmr_rerank
+
+        emb = self._frame(spark)
+        q = emb.where(F.col("vec_id") == 0)
+        out = mmr_rerank(emb, q, k_candidates=1, k_select=5).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["query_id"], r["neighbor_id"], r["mmr_rank"]) == (0, 1, 1)
+
 
 class TestTruncatedRerank:
     def test_full_truncation_equals_brute_force(self, spark):
