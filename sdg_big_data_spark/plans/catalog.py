@@ -16,8 +16,6 @@ the value-hashes matching:
 """
 
 from __future__ import annotations
-
-import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -66,103 +64,62 @@ def _load_all() -> None:
     from . import window_queries  # noqa: F401
 
 
-# Three r1-passing queries errored in the r2 driver sample when the
-# fixtures moved to TIMESTAMP_NTZ, were fixed via functions/timeutil.py
-# (epoch helpers), pass local oracle parity and bench — but the driver
-# has not re-sampled them since, so their driver-latest record is a
-# stale error. Front-loaded FIRST (ahead of even never-sampled entries)
-# until a green driver round clears the record.
-_FRONTLOAD_STALE_ERR = ("w_sliding_window", "j_asof_join", "g_sessionize")
+def _driver_staleness() -> dict[str, tuple[int, int]]:
+    """Sort key per catalog query from the committed driver records:
+    ``(last_status_rank, last_sampled_round)`` where rank 0 = the last
+    driver sample was NOT a pass (stale error/mismatch — re-verify
+    first), rank 1 = never sampled, rank 2 = passing (oldest round
+    first). Derived by scanning ``CORRECTNESS_r*.json`` at the repo
+    root — generated ordering, never hand-kept, so driver freshness
+    keeps rotating through the catalog as rounds land. Records missing
+    (fresh clone without them, or the driver running from elsewhere)
+    → empty dict and the registry order stands; purely an ordering
+    hint — every entry is present either way, and local tests always
+    run all of them."""
+    import json
+    import re
+    from pathlib import Path
 
-# Catalog entries the external driver has already correctness-sampled
-# (union of CORRECTNESS_r01–r06 keys; all pass at their latest sample
-# except the stale trio above). ``queries()`` front-loads the
-# complement so that, if the driver samples a prefix of the dict order,
-# never-yet-checked entries get driver-verified first; for a random
-# sampler the reorder is a no-op. Purely an ordering hint — every entry
-# is present either way, and local tests always run all of them.
-_DRIVER_SAMPLED = frozenset({
-    "a11_threshold_indicator", "a12_explode_value_counts",
-    "a13_collect_sorted_set", "a15_zscore_by_group", "a1_pricing_summary",
-    "a2_count_distinct", "a3_global_agg", "a4_grouped_count",
-    "a5_pivot_orderstatus", "a_cm_heavy_hitters", "a_corr_covar",
-    "a_cube_status", "a_histogram", "a_hll_distinct", "a_quantiles",
-    "a_robust_stats", "a_rollup_revenue", "a_theta_overlap", "a_trend_ols",
-    "d_contamination", "d_curation_e2e", "d_dsir_weights", "d_dup_clusters",
-    "d_exact_dedup", "d_incremental_dedup", "d_jaccard_top_pairs",
-    "d_leakage_split", "d_minhash_lsh", "d_minhash_signatures",
-    "d_semantic_dedup", "d_simhash", "d_simhash_pairs", "d_span_dup",
-    "d_ssjoin_prefix", "dq_benford", "dq_k_anonymity", "dq_ks_drift",
-    "e_ivf_assign", "e_ivf_topk", "e_lsh_topk", "e_near_dups",
-    "e_pq_topk", "ev_ab_test",
-    "ev_ann_recall", "ev_auc", "ev_auc_by_group", "ev_bootstrap_f1",
-    "ev_calibration", "ev_cohens_kappa", "ev_macro_f1", "ev_mrr", "ev_ndcg",
-    "ev_precision_at_k", "ev_roc_points", "f2_stop_detect", "f3_recluster",
-    "f4_home_work_label", "f6_model_scoring", "f7_kskip_lift",
-    "f8_dictionary_sentiment", "f_array_family", "f_json_extract",
-    "f_string_normalize", "g_funnel", "g_pagerank", "g_retention",
-    "g_sessionize", "g_transitions", "g_triangles", "inc_agg_state",
-    "inc_overlap_merge", "j7_rank_join", "j_asof_join", "j_fuzzy_match",
-    "j_interval_join", "m_frame_sample_plan", "m_multimodal_features",
-    "o3_topk_sample", "p14_dedup_by_subset", "p_predicate_pushdown",
-    "p_string_predicates", "r3_fixed_n", "r4_group_sample",
-    "r5_stratified_split", "r6_weighted_bernoulli", "r7_weighted_topk",
-    "s5_sql_scan", "s_merge_upsert", "s_scd2", "sim_cosine_topk",
-    "sp_bbox_join", "sp_colocation", "sp_mobility_metrics",
-    "sp_nearest_station", "sp_wkt_join", "t_bm25_topk", "t_bpe_encode",
-    "t_bpe_merges", "t_chunk_plan", "t_domain_mix", "t_lang_id",
-    "t_ngram_chi2", "t_pack_plan", "t_pii_scrub", "t_quality_score",
-    "t_repetition", "t_shuffle_order", "t_temperature_mix", "t_tfidf",
-    "t_token_budget", "t_token_count", "t_unigram_ppl", "t_url_canonical",
-    "t_winnow_fingerprint", "u2_except", "u3_intersect", "w_sliding_window",
-    "w_tumbling_hour",
-    # round 5 (CORRECTNESS_r05.json, 50/50 hash-match)
-    "a10_log_share", "a14_panel_collapse", "a6_weighted_mean",
-    "a7_stddev_sem", "a8_count_ratio", "a9_winsorized_sum", "a_gini",
-    "a_unpivot_melt", "dq_chi2_drift", "dq_key_skew", "dq_profile",
-    "e_ivf_kmeans_topk", "e_kmeans_lloyd", "e_pq_encode", "e_prototypes",
-    "e_quantize", "f_datetime_family", "j2_left_join_counts", "j3_anti_join",
-    "j4_broadcast_join", "j5_semi_join", "j8_multiway_join", "o2_global_topk",
-    "o4_uncertainty_band", "o_group_topk", "r1_hash_sample",
-    "r2_stratified_sample", "t_bigram_ppl", "tpch_q10_returns",
-    "tpch_q12_priority_by_flag", "tpch_q14_promo_effect",
-    "tpch_q16_supplier_variety", "tpch_q18_big_orders",
-    "tpch_q19_disjunctive_revenue", "tpch_q22_idle_customers",
-    "tpch_q3_shipping", "tpch_q4_priority_count", "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume", "u1_union",
-    "w1_modal_value", "w2_daily_dominant", "w3_lag_prev", "w4_full_rank",
-    "w4_global_rank", "w5_rolling_days", "w6_cumulative_share",
-    "w7_centered_ma", "w8_gap_fill",
-    # round 6 (CORRECTNESS_r06.json, 50/50 hash-match)
-    "dq_psi_drift", "dq_cusum", "ev_diversity", "ev_pr_auc",
-    "g_time_to_convert", "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q11_important_stock",
-    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue", "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers", "s_session_window", "s_interval_pair_join",
-    "s_stream_enrich", "s_gate_replay", "f1_day_split", "w_ewma",
-    "w_seasonal_decompose", "w_ntile_deciles", "w_interpolate",
-})
+    last: dict[str, tuple[int, bool]] = {}  # name -> (round, passed)
+    root = Path(__file__).resolve().parents[2]
+    try:
+        records = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return {}
+    for path in records:
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = bool(rec.get("hash_match")) or (
+                not rec.get("err")
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+            )
+            prev = last.get(name)
+            if prev is None or rnd >= prev[0]:
+                last[name] = (rnd, ok)
+    out: dict[str, tuple[int, int]] = {}
+    for name, (rnd, ok) in last.items():
+        out[name] = (0 if not ok else 2, rnd)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    stale = {
-        name: REGISTRY[name].fn
-        for name in _FRONTLOAD_STALE_ERR
-        if name in REGISTRY
-    }
-    unseen = {
-        name: spec.fn
-        for name, spec in REGISTRY.items()
-        if name not in _DRIVER_SAMPLED and name not in stale
-    }
-    seen = {
-        name: spec.fn
-        for name, spec in REGISTRY.items()
-        if name in _DRIVER_SAMPLED and name not in stale
-    }
-    return {**stale, **unseen, **seen}
+    staleness = _driver_staleness()
+    names = sorted(
+        REGISTRY,
+        key=lambda n: (*staleness.get(n, (1, 0)), n),
+    )
+    return {name: REGISTRY[name].fn for name in names}
 
 
 def oracle_sql() -> dict[str, str]:
