@@ -642,11 +642,23 @@ def semantic_dedup(
     feeding the pair list into graph.connected_components.
     ``arrow_verify=False`` keeps the zero-Python bucket self-join +
     interpreted fold.
+
+    The (id, cell, vector) input projection is MATERIALIZED once
+    (tracked ``localCheckpoint``): it feeds three consumers — pair
+    generation, the survivor anti-set, and the output join's left side
+    — and its upstream lineage is typically the interpreted
+    nearest-centroid distance fold, which neither codegen nor CSE
+    dedupes across references. One barrier job instead of three
+    replays, and downstream plans read a lineage-free scan.
     """
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(cell_col).alias("__cell"),
-        F.col(vec_col).alias("__v"),
+    from ..cachescope import tracked_local_checkpoint
+
+    base = tracked_local_checkpoint(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(cell_col).alias("__cell"),
+            F.col(vec_col).alias("__v"),
+        )
     )
     keyed = base.select("__id", "__v", F.col("__cell").alias("__bkt"))
     if arrow_verify:

@@ -77,13 +77,21 @@ def main() -> None:
     spark = get_spark(app_name="hof-audit")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    from sdg_big_data_spark.cachescope import cache_scope
+
     qs = catalog.queries()
     report: dict[str, dict] = {}
     for name, fn in qs.items():
+        # Each plan is built in its own cache scope: a cache left live by
+        # an EARLIER query's plan construction changes how a later plan
+        # renders (InMemoryRelation substitution), which made the counts
+        # depend on catalog ordering — the audit must measure each query
+        # as a cold session would run it.
         try:
-            qe = fn(spark, SF_DIR)._jdf.queryExecution()
-            an_plan = qe.analyzed().toString()
-            opt_plan = qe.optimizedPlan().toString()
+            with cache_scope():
+                qe = fn(spark, SF_DIR)._jdf.queryExecution()
+                an_plan = qe.analyzed().toString()
+                opt_plan = qe.optimizedPlan().toString()
         except Exception as e:  # noqa: BLE001 — record and continue
             report[name] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
             continue
