@@ -66,6 +66,58 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+# Session-pinned caches: shared corpus materializations (e.g. the
+# tokenize-once documents frame) that must SURVIVE the per-query cache
+# hygiene of benchmarks and long-running harnesses. Pinned frames are
+# persisted (recompute-safe: lineage intact, an external unpersist just
+# costs a recompute, never a failure) and their storage RDD ids are
+# recorded so :func:`sweep_unpinned` can release everything else.
+_PINNED_IDS: set[int] = set()
+
+
+def pin_session_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) for the LIFETIME OF THE SESSION
+    — outside :func:`cache_scope` / :func:`release_caches` tracking —
+    and materialize it eagerly so the storage RDD ids are known and
+    recorded for :func:`sweep_unpinned` to skip. For corpus-wide
+    intermediates shared across MANY queries in one session (the
+    tokenize-once pattern); per-query shared subtrees should keep using
+    :func:`scoped_cache`."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    out.count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    _PINNED_IDS.update(after - before)
+    return out
+
+
+def sweep_unpinned(spark) -> int:
+    """Unpersist every persistent RDD in the session EXCEPT the ones
+    pinned via :func:`pin_session_cache` — the pinned-aware replacement
+    for ``spark.catalog.clearCache()`` + a raw persistent-RDD sweep in
+    per-query hygiene loops (benchmarks). RDD-level unpersist of an
+    unregistered ``.cache()`` leaves its CacheManager entry behind,
+    which is safe: a later reuse re-materializes through the same
+    InMemoryRelation (recompute, never an error) and the next sweep
+    releases the blocks again."""
+    n = 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in set(jmap.keySet().toArray()):
+            if i in _PINNED_IDS:
+                continue
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist()
+                n += 1
+    except Exception:
+        pass  # session already stopped — nothing to release
+    return n
+
+
 def live_cache_count() -> int:
     return len(_LIVE)
 

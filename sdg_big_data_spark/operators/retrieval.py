@@ -62,7 +62,8 @@ def bm25_topk(
     # executed plan). Nothing pushes through a Generate, so the tokenizer
     # runs ONCE here.
     arr = docs.select(
-        F.col(id_col), F.explode(F.array(T.tokenize(F.col(text_col)))).alias("__arr")
+        F.col(id_col),
+        F.explode(F.array(T.tokens_of(docs, text_col))).alias("__arr"),
     )
     # zero-token docs (URL-only text, empty strings) are NOT part of the
     # scored collection: they can match no term, and the corpus stats
@@ -254,7 +255,7 @@ def bm25_topk_multi(
     hits = scoped_cache(
         docs.select(
             F.col(id_col),
-            F.explode(F.array(T.tokenize(F.col(text_col)))).alias("__arr"),
+            F.explode(F.array(T.tokens_of(docs, text_col))).alias("__arr"),
         )
         .where(F.size("__arr") > 0)
         .select(

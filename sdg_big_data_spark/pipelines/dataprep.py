@@ -322,7 +322,7 @@ def budget_select(
             F.col(group_col),
             F.col(id_col),
             F.explode(
-                F.array(F.size(text.tokenize(F.col(text_col))))
+                F.array(F.size(text.tokens_of(docs, text_col)))
             ).alias("n_tokens"),
         )
     )

@@ -24,6 +24,7 @@ from ..functions.timeutil import epoch_seconds
 from ..operators import grouped, sampling, similarity, spatial
 from ..operators.multimodal import extract_features
 from .catalog import register, table
+from .shared_corpus import tokenized_documents
 from .text_queries import _SQL_TOKS
 
 # --- deterministic point derivation (same arithmetic in both engines) -------
@@ -327,9 +328,9 @@ def a4_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one codegen'd expression pass, no Python",
 )
 def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    td = tokenized_documents(spark, sf_dir)
     counts = text.let(
-        text.tokenize(F.col("text")),
+        F.col("toks"),
         lambda toks: F.struct(
             F.size(toks).alias("n"),
             F.aggregate(
@@ -341,7 +342,7 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = F.col("__c")
     return (
-        docs.withColumn("__c", counts)
+        td.withColumn("__c", counts)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -390,8 +391,8 @@ def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No explode, no window shuffle, no countDistinct expand — at 100 TB
     # this is a map-only stage (the exploded-window form shuffles ~100
     # gram rows per document through an exchange + sort for nothing).
-    docs = table(spark, sf_dir, "documents")
-    toks = text.tokenize(F.col("text"))
+    td = tokenized_documents(spark, sf_dir)
+    toks = F.col("toks")
 
     def _stats(g: Column) -> Column:
         hs = F.transform(
@@ -419,7 +420,7 @@ def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous shape — a cheap token_count pre-filter — still re-ran the
     # tokenizer in the Filter node below the projection.)
     return (
-        docs.select("doc_id", F.explode(F.array(toks)).alias("__toks"))
+        td.select("doc_id", F.explode(F.array(toks)).alias("__toks"))
         .where(F.size("__toks") >= 5)
         .select("doc_id", _stats(text.ngrams(F.col("__toks"), 5)).alias("__s"))
         .select("doc_id", "__s.n_fingerprints", "__s.min_fp", "__s.max_fp")
@@ -458,10 +459,30 @@ _VEC_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 @register(
     "e_near_dups",
     sql=f"""
-    WITH b AS (
-      SELECT vec_id, {_VEC_DBL} AS v,
-             {_sql_bucket(_VEC_DBL, 64, 4)} AS bkt
+    WITH np AS (
+      SELECT CASE WHEN count(*) <= 1024 THEN 1
+                  ELSE greatest(1, CAST(ceil(log2(count(*) / 1024.0)) AS INT))
+             END AS n
       FROM embeddings
+    ),
+    planes AS (
+      SELECT p,
+             list_transform(range(0, 64),
+               j -> ((((p * 1000003 + j) * 2654435761 + 40503) % 2000001)
+                     / 1000000.0 - 1.0)) AS plane
+      FROM (SELECT unnest(range(0, (SELECT CAST(n AS BIGINT) FROM np))) AS p)
+    ),
+    sgn AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product({_VEC_DBL}, pl.plane) > 0
+                           THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END)
+                  AS BIGINT) AS bkt
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id
+    ),
+    b AS (
+      SELECT s.vec_id, {_VEC_DBL} AS v, s.bkt
+      FROM sgn s JOIN embeddings e USING (vec_id)
     )
     SELECT x.vec_id AS id_a, y.vec_id AS id_b,
            round(list_dot_product(x.v, y.v)
@@ -474,15 +495,20 @@ _VEC_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     """,
     tags=("similarity", "near-dup", "lsh"),
     doc="embedding-cosine near-duplicate pairs: random-hyperplane LSH "
-    "buckets (4 planes) prune the pair space to same-bucket candidates, "
-    "exact cosine verifies; the oracle replicates the hyperplane "
-    "arithmetic bit-for-bit so the *approximate* semantics are checked, "
-    "not just the verify step",
+    "buckets prune the pair space to same-bucket candidates, exact "
+    "cosine verifies — at the SCALE-ADAPTIVE plane count "
+    "(similarity.auto_n_planes: planes = ceil(log2(n/1024)), so "
+    "expected bucket size — and Σ n_b² verify work per row — stays "
+    "constant as the corpus grows; the pinned 4-plane form measured "
+    "62x wall on 10x vectors). The oracle replays BOTH the plane-count "
+    "formula from its own count(*) and the hyperplane arithmetic "
+    "bit-for-bit, so the *approximate* semantics are checked at every "
+    "scale, not just the verify step",
 )
 def e_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dups(
-        emb, dim=64, threshold=0.35, n_planes=4
+        emb, dim=64, threshold=0.35, n_planes="auto"
     )
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 

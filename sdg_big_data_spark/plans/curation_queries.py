@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import quality
 from .catalog import register, table
+from .shared_corpus import tokenized_documents
 from .text_queries import _SQL_TOKS
 
 _TOKS = _SQL_TOKS.format(c="text")
@@ -61,8 +62,8 @@ _REPETITION_SQL = f"""
     "oracle states the same answer as the textbook explode+groupBy+argmax",
 )
 def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    out = quality.repetition_signals(docs, "doc_id", "text")
+    td = tokenized_documents(spark, sf_dir)
+    out = quality.repetition_signals(td, "doc_id", "toks")
     return out.select(
         "doc_id",
         "n_tokens",
@@ -167,9 +168,9 @@ _MIX_SQL = f"""
     "re-normalized)",
 )
 def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    td = tokenized_documents(spark, sf_dir)
     out = quality.mixture_weights(
-        docs, _MIX_WEIGHTS, _MIX_BUDGET, source_col="source", text_col="text"
+        td, _MIX_WEIGHTS, _MIX_BUDGET, source_col="source", text_col="toks"
     )
     return out.select(
         "source",
@@ -250,8 +251,8 @@ def _bpe_oracle_sql(k: int) -> str:
 def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import train_bpe
 
-    docs = table(spark, sf_dir, "documents")
-    merges, _vocab = train_bpe(docs, "text", n_merges=_BPE_K)
+    td = tokenized_documents(spark, sf_dir)
+    merges, _vocab = train_bpe(td, "toks", n_merges=_BPE_K)
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_freq long"
     )
@@ -299,16 +300,15 @@ def _bpe_apply_oracle_sql(k: int) -> str:
     "and replays the identical replace chain",
 )
 def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import token_count
     from ..operators.bpe import bpe_segment, train_bpe
 
-    docs = table(spark, sf_dir, "documents")
-    merges, _vocab = train_bpe(docs, "text", n_merges=_BPE_K)
+    td = tokenized_documents(spark, sf_dir)
+    merges, _vocab = train_bpe(td, "toks", n_merges=_BPE_K)
     pairs = [(m[1], m[2]) for m in merges]
-    staged = docs.select(
+    staged = td.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        bpe_segment(F.col("text"), pairs).alias("__syms"),
+        F.size("toks").alias("n_tokens"),
+        bpe_segment(F.col("toks"), pairs, pretokenized=True).alias("__syms"),
     )
     return staged.select(
         "doc_id", "n_tokens", F.size("__syms").alias("n_subtokens")
@@ -538,9 +538,9 @@ _DSIR_SQL = f"""
     "corpus size (arXiv:2302.03169)",
 )
 def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    td = tokenized_documents(spark, sf_dir)
     return quality.dsir_logweights(
-        docs, F.col("lang") == "en", buckets=_DSIR_B, alpha=0.5
+        td, F.col("lang") == "en", buckets=_DSIR_B, alpha=0.5, text_col="toks"
     )
 
 
@@ -622,9 +622,9 @@ _TEMP_BUDGET = 20_000
     "table; same one-pass + broadcast-normalizer shape as t_domain_mix",
 )
 def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    td = tokenized_documents(spark, sf_dir)
     return quality.temperature_mixture(
-        docs, _TEMP_ALPHA, _TEMP_BUDGET, source_col="source", text_col="text"
+        td, _TEMP_ALPHA, _TEMP_BUDGET, source_col="source", text_col="toks"
     )
 
 

@@ -15,6 +15,7 @@ from ..cachescope import scoped_cache
 from ..functions.timeutil import epoch_micros, epoch_seconds
 from ..operators import joins
 from .catalog import register, table
+from .shared_corpus import tokenized_documents
 from .text_queries import _SQL_TOKS
 
 LOG_RANKS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
@@ -144,15 +145,11 @@ _SQL_BIGRAMS = (
     "array expressions + two aggregates, no Python",
 )
 def f7_kskip_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = table(spark, sf_dir, "documents")
-    # Materialize the token array ONCE per row before the gram lambdas.
-    # Passing the raw tokenize(...) expression into transform() re-runs
-    # the whole regexp chain per array ELEMENT (O(tokens^2) per doc —
-    # measured 77s vs <2s at sf0.1); CollapseProject keeps the alias
-    # because the producing expression is non-cheap and multiply-referenced.
-    docs = docs.select(tokenize(F.col("text")).alias("toks"))
+    # The shared tokenize-once frame already holds the materialized
+    # token array per row — passing a raw tokenize(...) expression into
+    # transform() would re-run the regexp chain per array ELEMENT
+    # (O(tokens^2) per doc — measured 77s vs <2s at sf0.1).
+    docs = tokenized_documents(spark, sf_dir).select("toks")
     toks = F.col("toks")
     contiguous = F.when(
         F.size(toks) >= 2,
@@ -482,10 +479,10 @@ def w_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d_simhash_pairs",
     sql=f"""
-    WITH fp AS ({_simhash_sql()}),
+    WITH fp AS ({_simhash_sql(32)}),
     banded AS (
       SELECT doc_id, simhash, band,
-             (simhash >> (band * 4)) & 15 AS chunk
+             (simhash >> (band * 8)) & 255 AS chunk
       FROM fp, unnest(range(0, 4)) AS u(band)
     ),
     cand AS (
@@ -498,10 +495,12 @@ def w_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
     """,
     tags=("dedup-simhash", "dedup-lsh"),
-    doc="SimHash near-dup pairs: 4-bit band equi-join (pigeonhole: any "
-    "pair within Hamming 3 of a 16-bit fingerprint shares a band) + "
-    "bit_count(xor) verify — hash-join candidate generation, the "
-    "quadratic step never materializes",
+    doc="SimHash near-dup pairs at the SCALE-SAFE default bands "
+    "(bits=32/band_bits=8 — 1024 distinct band keys; pigeonhole: any "
+    "pair within Hamming 3 of a 32-bit fingerprint shares one of the 4 "
+    "bands) + bit_count(xor) verify — hash-join candidate generation, "
+    "the quadratic step never materializes, pairs emitted exactly once "
+    "via the first-shared-band filter (no distinct re-shuffle)",
 )
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_dup_pairs
@@ -801,31 +800,62 @@ def r5_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TAU = 0.35
 
+# Cells per ~900 vectors: the SemDeDup paper's own regime (grow k with
+# the corpus so per-cell pair work stays constant — a pinned codebook
+# makes the epsilon-ball verify quadratic in corpus size; measured 45x
+# wall on 10x vectors before this). Floor of 2 keeps the fixture
+# non-degenerate at driver-check scale.
+_SEMDEDUP_CELLS_PER = 900
+
 _SEMDEDUP_SQL = f"""
     WITH vecd AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    flat AS (
-      SELECT label,
-             unnest(range(1, len(embedding) + 1)) AS i,
-             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
-      FROM embeddings
+    kq AS (
+      SELECT greatest(2, CAST(ceil(count(*) / {_SEMDEDUP_CELLS_PER}.0) AS INT))
+               AS k
+      FROM vecd
     ),
-    cent AS (SELECT label, i, avg(x) AS c FROM flat GROUP BY label, i),
-    cvec AS (SELECT label AS cell, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
-    d AS (
-      SELECT e.vec_id, e.v, c.cell,
-             list_sum(list_transform(range(1, len(e.v) + 1),
-               i -> (e.v[i] - c.cv[i]) ** 2)) AS dist
-      FROM vecd e CROSS JOIN cvec c
+    init AS (
+      SELECT rn - 1 AS cell, v FROM (
+        SELECT v,
+               row_number() OVER (
+                 ORDER BY (CAST(vec_id AS HUGEINT) % 4294967296)
+                          * 2654435761 % 4294967296 ASC,
+                          vec_id ASC) AS rn
+        FROM vecd
+      ) WHERE rn <= (SELECT k FROM kq)
+    ),
+    a0 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+                            i -> (e.v[i] - c.v[i]) ** 2)) ASC,
+                          c.cell ASC) AS rn
+        FROM vecd e CROSS JOIN init c
+      ) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT cell, i, floor(avg(v[i]) * 1000000 + 0.5) / 1000000 AS cv
+      FROM a0, unnest(range(1, len(v) + 1)) AS u(i)
+      GROUP BY cell, i
+    ),
+    upd_vec AS (SELECT cell, list(cv ORDER BY i) AS cv FROM upd GROUP BY cell),
+    cent AS (
+      SELECT init.cell, coalesce(u.cv, init.v) AS cv
+      FROM init LEFT JOIN upd_vec u USING (cell)
     ),
     a AS (
       SELECT vec_id, v, cell FROM (
-        SELECT vec_id, v, cell,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dist ASC, cell ASC) AS rn
-        FROM d) WHERE rn = 1
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+                            i -> (e.v[i] - c.cv[i]) ** 2)) ASC,
+                          c.cell ASC) AS rn
+        FROM vecd e CROSS JOIN cent c
+      ) WHERE rn = 1
     ),
     dropped AS (
       SELECT DISTINCT x.vec_id
@@ -834,7 +864,7 @@ _SEMDEDUP_SQL = f"""
             / (sqrt(list_dot_product(x.v, x.v))
                * sqrt(list_dot_product(y.v, y.v))) >= {_SEMDEDUP_TAU}
     )
-    SELECT a.vec_id, a.cell,
+    SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
            CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
     FROM a LEFT JOIN dropped d USING (vec_id)
     """
@@ -845,28 +875,30 @@ _SEMDEDUP_SQL = f"""
     sql=_SEMDEDUP_SQL,
     tags=("dedup", "semantic", "similarity"),
     doc="SemDeDup-style semantic deduplication (similarity.semantic_dedup, "
-    "arXiv:2303.09540): assign every embedding to its nearest centroid "
-    "cell (broadcast codebook), then within each cell drop any vector "
-    "with a smaller-id neighbor at cosine >= tau — pair space is "
-    "per-cell quadratic, never corpus-quadratic; the oracle replays the "
-    "cell assignment AND the drop policy exactly",
+    "arXiv:2303.09540) at the SCALE-ADAPTIVE codebook size: one Lloyd "
+    "iteration of clustering.kmeans with k = max(2, ceil(n/900)) cells "
+    "(deterministic hash-ordered init, centroid trajectory pinned to "
+    "1e-6 — the e_kmeans_lloyd replay discipline), then within each "
+    "cell drop any vector with a smaller-id neighbor at cosine >= tau. "
+    "Growing k with the corpus is the paper's own regime — pair space "
+    "stays per-cell quadratic with CONSTANT cell size, so verify work "
+    "is linear in n at every scale (the pinned label codebook measured "
+    "45x wall on 10x vectors); the oracle re-derives k from its own "
+    "count(*) and replays init, assignment, the rounded centroid "
+    "update, and the drop policy exactly",
 )
 def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import (
-        _nearest_cells,
-        semantic_dedup,
-        train_centroids,
-    )
+    import math
+
+    from ..operators.clustering import kmeans
+    from ..operators.similarity import semantic_dedup
 
     emb = table(spark, sf_dir, "embeddings")
-    cent = train_centroids(emb, "label").select(
-        F.col("label").alias("__cell"), "cv"
-    )
-    assigned = _nearest_cells(
-        emb.select("vec_id", "embedding"), cent, "vec_id", "embedding", 1
-    ).withColumnRenamed("__cell", "cell")
+    k = max(2, math.ceil(emb.count() / _SEMDEDUP_CELLS_PER))
+    assigned, _cents = kmeans(emb, k, max_iter=1, round_dp=6)
     return semantic_dedup(
-        assigned, "vec_id", "embedding", "cell", threshold=_SEMDEDUP_TAU
+        assigned.withColumnRenamed("cluster_id", "cell"),
+        "vec_id", "embedding", "cell", threshold=_SEMDEDUP_TAU,
     )
 
 
@@ -1483,16 +1515,8 @@ def a_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double formula engine-portable",
 )
 def t_ngram_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = table(spark, sf_dir, "documents")
-    # Generate barrier: a plain alias would be inlined into the
-    # is_target test, the explode input, AND the inferred size>0 filter
-    # — three tokenizer runs per row during cache materialization.
-    docs = docs.select(
-        F.explode(F.array(tokenize(F.col("text")))).alias("toks")
-    )
-    toks = docs.select(
+    td = tokenized_documents(spark, sf_dir)
+    toks = td.select(
         F.array_contains(F.col("toks"), "spark").alias("is_target"),
         F.explode("toks").alias("tok"),
     )
@@ -1987,6 +2011,13 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
 
 
+# HLL guarantee margin: published RSE for lg_k=16 is 1.04/sqrt(2^16) =
+# 0.41%; 3 sigma = 1.22% makes the per-window verdict deterministically
+# TRUE across runs (sparse-regime windows are exactly 0 error; the 10x
+# fixture's estimating-regime windows measured -0.28%).
+_HLL_SLIDING_EPS = 3 * 1.04 / (2 ** 16) ** 0.5
+
+
 @register(
     "a_hll_sliding",
     sql="""
@@ -1994,7 +2025,8 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
     ),
     days AS (SELECT DISTINCT day FROM e)
-    SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS approx_distinct
+    SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_distinct,
+           1 AS within_bound
     FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
     GROUP BY d.day
     """,
@@ -2003,20 +2035,45 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketches (relational.hll_sliding_distinct): one daily-sketch pass, "
     "KB-sized sketches fan out to their windows and union per day — "
     "exact countDistinct would replicate every raw row window_days "
-    "times through the shuffle. Same contract as a_hll_distinct: the "
-    "exact-count oracle checks the sketch's sparse-EXACT regime, which "
-    "holds through ~2^(lg_k-4) uniques (measured: lg_k=16 exact at 3k, "
-    "estimating at 10k) — the sf0.01 fixture's 150 weekly uniques sit "
-    "deep inside it; the 10x fixture's 15k-unique windows measured "
-    "-0.28%% relative error, inside the published 1.04/sqrt(2^16) = "
-    "0.41%% bound (the estimating-regime contract, covered by the HLL "
-    "tolerance test)",
+    "times through the shuffle. Oracled on the GUARANTEE, the same "
+    "pattern as a_kll_quantiles: a sketch estimate leaves the sparse-"
+    "EXACT regime at scale (measured -0.28%% at the 10x fixture's "
+    "15k-unique windows), so the hashed columns are the engine's own "
+    "exact per-window distinct (recomputed alongside, the expensive "
+    "plan the sketch exists to avoid — verification only) plus "
+    "within_bound = |estimate - exact| <= 3*RSE*exact, compared against "
+    "the oracle's exact count and literal TRUE — a broken union or "
+    "bound violation flips the boolean and fails the hash AT ANY SCALE, "
+    "no waiver",
 )
 def a_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import hll_sliding_distinct
 
     ev = table(spark, sf_dir, "events")
-    return hll_sliding_distinct(ev, "ts", "user_id", window_days=7, lg_k=16)
+    est = hll_sliding_distinct(ev, "ts", "user_id", window_days=7, lg_k=16)
+    e = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    )
+    days = e.select("day").distinct().select(F.col("day").alias("__d"))
+    exact = (
+        days.join(
+            e,
+            (F.col("day") >= F.date_sub(F.col("__d"), 6))
+            & (F.col("day") <= F.col("__d")),
+        )
+        .groupBy(F.col("__d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.lit(_HLL_SLIDING_EPS) * F.col("exact_distinct")
+        )
+        .cast("int")
+        .alias("within_bound"),
+    )
 
 
 @register(

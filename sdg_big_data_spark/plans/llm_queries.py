@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.timeutil import epoch_seconds
 from ..operators import dedup, scoring, similarity
 from .catalog import register, table
+from .shared_corpus import tokenized_documents
 from .text_queries import _SQL_TOKS
 
 _SQL_SHINGLES = (
@@ -331,8 +332,8 @@ def g_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines.dataprep import budget_select
 
-    docs = table(spark, sf_dir, "documents")
-    out = budget_select(docs, budget_tokens=3000, group_col="lang")
+    td = tokenized_documents(spark, sf_dir)
+    out = budget_select(td, budget_tokens=3000, group_col="lang", text_col="toks")
     return out.select(
         "doc_id", "lang", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
     )
@@ -367,8 +368,8 @@ def t_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_plan
 
-    docs = table(spark, sf_dir, "documents")
-    return pack_plan(docs, capacity=512, shard_cols=["source"])
+    td = tokenized_documents(spark, sf_dir)
+    return pack_plan(td, capacity=512, shard_cols=["source"], text_col="toks")
 
 
 @register(
@@ -575,8 +576,8 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import chunk_plan
 
-    docs = table(spark, sf_dir, "documents")
-    return chunk_plan(docs, capacity=32, overlap=8)
+    td = tokenized_documents(spark, sf_dir)
+    return chunk_plan(td, capacity=32, overlap=8, text_col="toks")
 
 
 # --- g_pagerank -------------------------------------------------------------

@@ -15,6 +15,7 @@ from ..cachescope import scoped_cache
 from ..functions import text as T
 from ..operators import relational
 from .catalog import register, table
+from .shared_corpus import tokenized_documents
 
 # SQL fragments mirroring functions/text.py exactly.
 _SQL_NORM = (
@@ -68,9 +69,9 @@ def f_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="explode + value_counts (news regions frequency table, cell 19)",
 )
 def a12_explode_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    td = tokenized_documents(spark, sf_dir)
     return (
-        docs.select(F.explode(T.tokenize(F.col("text"))).alias("word"))
+        td.select(F.explode("toks").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("word").asc())
@@ -137,13 +138,13 @@ def a15_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "used pandas + mp.Pool — here it distributes for free)",
 )
 def f8_dictionary_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    td = tokenized_documents(spark, sf_dir)
     pos_arr = F.array(*[F.lit(w) for w in POSITIVE_WORDS])
     neg_arr = F.array(*[F.lit(w) for w in NEGATIVE_WORDS])
-    # let-bound: one tokenizer pass feeds all three counters (HOFs are
-    # interpreted — an inlined tokenize would run 3x per row).
+    # let-bound: the shared token array feeds all three counters (HOFs
+    # are interpreted — an inlined expression would run 3x per row).
     counts = T.let(
-        T.tokenize(F.col("text")),
+        F.col("toks"),
         lambda toks: F.struct(
             F.size(F.filter(toks, lambda x: F.array_contains(pos_arr, x))).alias("p"),
             F.size(F.filter(toks, lambda x: F.array_contains(neg_arr, x))).alias("n"),
@@ -154,7 +155,7 @@ def f8_dictionary_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Generate barrier: the where(__n > 0) below would otherwise be
         # pushed through the projection by substituting the whole counts
         # chain — tokenizer + three filters twice per row.
-        docs.select("doc_id", "lang", F.explode(F.array(counts)).alias("__c"))
+        td.select("doc_id", "lang", F.explode(F.array(counts)).alias("__c"))
         .select(
             "doc_id",
             "lang",
@@ -301,12 +302,9 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    docs = table(spark, sf_dir, "documents")
     lex = POSITIVE_WORDS + NEGATIVE_WORDS
     lex_arr = F.array(*[F.lit(w) for w in lex])
-    toks_df = docs.select(
-        "doc_id", T.tokenize(F.col("text")).alias("toks")
-    )
+    toks_df = tokenized_documents(spark, sf_dir).select("doc_id", "toks")
     n_docs = toks_df.count()
     # document frequency per term (one pass over exploded lexicon hits)
     dfreq = (
@@ -368,11 +366,10 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "law); a too-big vocab degrades to a plain shuffle join, same algebra",
 )
 def t_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    # cached: feeds vocabulary training AND per-doc scoring — uncached the
-    # scan→normalize→tokenize→explode chain runs twice
-    toks = docs.select(
-        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("tok")
+    # cached: feeds vocabulary training AND per-doc scoring — uncached
+    # the explode over the shared tokenized corpus runs twice
+    toks = tokenized_documents(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     toks = scoped_cache(toks)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -440,8 +437,8 @@ _BM25_TERMS = ["join", "window", "stream", "sort", "filter"]
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
 
-    docs = table(spark, sf_dir, "documents")
-    return bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=20)
+    td = tokenized_documents(spark, sf_dir)
+    return bm25_topk(td, _BM25_TERMS, "doc_id", "toks", k=20)
 
 
 _BM25_TERMS_ALT = ["shuffle", "partition", "broadcast", "cache", "join"]
@@ -524,9 +521,9 @@ _BM25_RUN_SQL = """
 def t_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk_multi, rrf_fuse_runs
 
-    docs = table(spark, sf_dir, "documents")
+    td = tokenized_documents(spark, sf_dir)
     runs = bm25_topk_multi(
-        docs, {"a": _BM25_TERMS, "b": _BM25_TERMS_ALT}, "doc_id", "text", k=20
+        td, {"a": _BM25_TERMS, "b": _BM25_TERMS_ALT}, "doc_id", "toks", k=20
     )
     return rrf_fuse_runs(runs, "run", "doc_id", "bm25")
 
@@ -580,13 +577,13 @@ _BIGRAM_LAMBDA = 0.7
 def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import bigram_perplexity
 
-    docs = table(spark, sf_dir, "documents")
+    td = tokenized_documents(spark, sf_dir)
     # broadcast_vocab=True: the fixture vocabulary is dimension-sized by
     # construction, and the explicit flag keeps plan construction lazy
     # (the default size-gate runs an eager tokenize+count job, which
     # plan dumps / HOF audits / lazy compositions would trigger)
     return bigram_perplexity(
-        docs, "doc_id", "text", lam=_BIGRAM_LAMBDA, broadcast_vocab=True
+        td, "doc_id", "toks", lam=_BIGRAM_LAMBDA, broadcast_vocab=True
     )
 
 
@@ -622,9 +619,9 @@ def t_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import grouped_trend
     from ..operators.windows import global_topk
 
-    docs = table(spark, sf_dir, "documents")
+    td = tokenized_documents(spark, sf_dir)
     cnt = (
-        docs.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        td.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
