@@ -550,8 +550,8 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 16,
-    band_bits: int = 4,
+    bits: int = 32,
+    band_bits: int = 8,
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-duplicate pair generation at scale: band the
@@ -565,13 +565,13 @@ def simhash_near_dup_pairs(
 
     **bits/band_bits are the scale knobs**: candidate volume is
     Σ n_bucket² over ``bits/band_bits`` bandings with ``2^band_bits``
-    chunk values each, so the 16-bit default (64 distinct band keys)
-    is quadratic in corpus size once buckets saturate (measured 18x
-    wall on 10x docs; fine at fixture scale where the oracle replays
-    all 16 bit-majorities). At scale raise both — e.g. bits=32,
-    band_bits=8 keeps the pigeonhole guarantee for the same
-    ``max_hamming`` (bands = bits/band_bits must stay > max_hamming)
-    while multiplying distinct band keys by 64."""
+    chunk values each. The DEFAULT is the scale-safe setting —
+    bits=32/band_bits=8 gives 4 bands x 256 chunks = 1024 distinct band
+    keys with the pigeonhole guarantee intact (bands = bits/band_bits
+    must stay > max_hamming). The old 16/4 setting (64 band keys)
+    saturated quadratic once the corpus outgrew them — measured 18x
+    wall on 10x docs — and is still reachable explicitly where a
+    16-bit fingerprint is the contract."""
     # cached: the fingerprint DAG (tokenize → dictionary → votes) feeds
     # both sides of the band self-join
     fp = scoped_cache(simhash(df, id_col, text_col, bits))

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Round-close checklist — regenerate every derived record that a round
+of engine changes can silently obsolete (r7 judge item 3: the ledger
+and the sf0.1 anchor both went stale because regeneration was manual).
+
+Steps, in order:
+
+1. ``DRIVER_LEDGER.md``   — tools/driver_ledger.py over all
+   CORRECTNESS_r*.json (cumulative driver-correctness state).
+2. ``HOF_AUDIT.json``     — tools/hof_audit.py plan-diff audit
+   (interpreted-lambda duplication suspects must stay empty).
+3. ``BENCH_ANCHOR_SF01.json`` — a fresh full-catalog bench.py run at
+   sf0.1 copied over the anchor record, so round-over-round per-query
+   comparisons always have a same-catalog baseline.
+
+Each step is a subprocess so one failure doesn't mask the others; exit
+status is non-zero if any step failed.
+
+    python tools/round_close.py            # all steps
+    python tools/round_close.py --skip-bench   # records only
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def run(cmd: list[str], **env_extra) -> int:
+    import os
+
+    env = dict(os.environ)
+    env.update(env_extra)
+    print(f"== {' '.join(cmd)}", flush=True)
+    return subprocess.call(cmd, cwd=ROOT, env=env)
+
+
+def main() -> int:
+    skip_bench = "--skip-bench" in sys.argv
+    rc = 0
+    rc |= run([sys.executable, "tools/driver_ledger.py"])
+    rc |= run([sys.executable, "tools/hof_audit.py"])
+    if not skip_bench:
+        bench_rc = run(
+            [sys.executable, "bench.py"],
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+        )
+        rc |= bench_rc
+        full = ROOT / "BENCH_FULL.json"
+        if bench_rc == 0 and full.exists():
+            rec = json.loads(full.read_text())
+            if rec.get("sf") == 0.1 and not rec.get("errors"):
+                shutil.copy(full, ROOT / "BENCH_ANCHOR_SF01.json")
+                print(
+                    f"anchor refreshed: {rec['n_queries']} queries, "
+                    f"{rec['value']} s total"
+                )
+            else:
+                print("anchor NOT refreshed (errors or wrong sf)", file=sys.stderr)
+                rc |= 1
+    audit = json.loads((ROOT / "HOF_AUDIT.json").read_text())
+    suspects = audit.get("duplication_suspects", [])
+    if suspects:
+        print(f"HOF duplication suspects: {suspects}", file=sys.stderr)
+        rc |= 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
