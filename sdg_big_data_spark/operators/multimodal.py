@@ -175,34 +175,6 @@ def resize_images(
     return narrow.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
-def payload_simhash_text(
-    payload_col: str, gram_bytes: int = 4
-) -> "Column":
-    """Expression: the byte-gram 'document' of a binary payload — hex-
-    encode, roll byte-aligned ``gram_bytes``-byte windows (stride one
-    byte = two hex chars), join with spaces. Feeding this to the text
-    SimHash machinery gives a BYTE-LEVEL near-duplicate fingerprint for
-    opaque payloads (re-encoded image variants, re-muxed audio, appended
-    metadata) — the multimodal analogue of token SimHash, no decoder
-    needed. The hex string is let-bound so the interpreted window
-    lambda evaluates it once per row, not once per window."""
-    width = 2 * gram_bytes
-
-    def body(h):
-        starts = F.sequence(
-            F.lit(1),
-            F.greatest(F.lit(1), F.length(h) - F.lit(width - 1)),
-            F.lit(2),
-        )
-        return F.array_join(
-            F.transform(starts, lambda i: h.substr(i, F.lit(width))), " "
-        )
-
-    from ..functions.text import let
-
-    return let(F.lower(F.hex(F.col(payload_col))), body)
-
-
 def payload_near_dup_pairs(
     df: "DataFrame",
     id_col: str = "item_id",
@@ -212,12 +184,14 @@ def payload_near_dup_pairs(
     band_bits: int = 8,
     max_hamming: int = 3,
 ) -> "DataFrame":
-    """Byte-level near-duplicate pairs over binary payloads: the
-    byte-gram expression above piped through the EXACT token-SimHash
-    ladder (``dedup.simhash`` majority fingerprint + banded Hamming
+    """Byte-level near-duplicate pairs over binary payloads: hex-encode,
+    roll byte-aligned ``gram_bytes``-byte windows (stride one byte), and
+    pipe the gram rows through the EXACT token-SimHash ladder
+    (``dedup.simhash_of_tokens`` majority fingerprint + banded Hamming
     equi-join) — one linear fingerprint pass, hash-join candidates,
-    never an all-pairs comparison. Same scale knobs as
-    ``simhash_near_dup_pairs`` (bits/band_bits).
+    never an all-pairs comparison. Catches re-encoded image variants,
+    re-muxed audio, appended metadata — no decoder needed. Same scale
+    knobs as ``simhash_near_dup_pairs`` (bits/band_bits).
 
     The DEFAULT is the scale-safe setting: ``bits=32, band_bits=8``
     gives 4 bands x 256 chunk values = 1024 distinct band keys (still
