@@ -72,7 +72,12 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
 # persisted (recompute-safe: lineage intact, an external unpersist just
 # costs a recompute, never a failure) and their storage RDD ids are
 # recorded so :func:`sweep_unpinned` can release everything else.
-_PINNED_IDS: set[int] = set()
+# Keyed by (applicationId, rdd_id): RDD ids restart at 0 per
+# SparkContext, so a bare id set would let stale pins from a stopped
+# session shadow same-id RDDs in a later one and exempt them from the
+# sweep (ADVICE r8); dead-app entries are pruned on each sweep, the
+# same discipline as shared_corpus._MEMO.
+_PINNED_IDS: set[tuple[str, int]] = set()
 
 
 def pin_session_cache(df: DataFrame) -> DataFrame:
@@ -82,15 +87,33 @@ def pin_session_cache(df: DataFrame) -> DataFrame:
     recorded for :func:`sweep_unpinned` to skip. For corpus-wide
     intermediates shared across MANY queries in one session (the
     tokenize-once pattern); per-query shared subtrees should keep using
-    :func:`scoped_cache`."""
+    :func:`scoped_cache`.
+
+    If the count records NO new persistent RDDs (the plan was already
+    materialized in the CacheManager before the persist call), there is
+    nothing to exempt and the next sweep would silently drop — and every
+    later query recompute — the "pinned" frame; that is a caller bug
+    (pin BEFORE any action on an identical plan), so it warns loudly."""
+    import warnings
+
     from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
+    app_id = spark.sparkContext.applicationId
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     out.count()
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-    _PINNED_IDS.update(after - before)
+    new = after - before
+    if not new:
+        warnings.warn(
+            "pin_session_cache recorded zero new storage RDDs — the plan "
+            "was already materialized, so the pin is NOT sweep-exempt and "
+            "will be released (and recomputed) by the next sweep_unpinned",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    _PINNED_IDS.update((app_id, i) for i in new)
     return out
 
 
@@ -105,9 +128,12 @@ def sweep_unpinned(spark) -> int:
     releases the blocks again."""
     n = 0
     try:
+        app_id = spark.sparkContext.applicationId
+        stale = {k for k in _PINNED_IDS if k[0] != app_id}
+        _PINNED_IDS.difference_update(stale)
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for i in set(jmap.keySet().toArray()):
-            if i in _PINNED_IDS:
+            if (app_id, i) in _PINNED_IDS:
                 continue
             rdd = jmap.get(i)
             if rdd is not None:

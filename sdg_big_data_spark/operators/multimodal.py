@@ -230,6 +230,11 @@ def payload_near_dup_pairs(
             F.col(id_col),
             F.col("__h").substr(F.col("__i"), F.lit(width)).alias("tok"),
         )
+        # a zero-byte payload hex-encodes to '' -> sequence [1] -> one
+        # empty-string gram; the oracle's list_filter(x <> '') drops it,
+        # so drop it here too or two empty payloads would share a
+        # fingerprint the oracle never emits (ADVICE r8)
+        .where(F.length("tok") > 0)
     )
     fp = scoped_cache(simhash_of_tokens(toks, id_col, bits))
     return simhash_band_pairs(fp, id_col, bits, band_bits, max_hamming)

@@ -1039,10 +1039,15 @@ def mmr_rerank(
             .set_index("cand_id")["rel"]
             .to_dict()
         )
+        # self-marker rows are identified STRUCTURALLY (cand == other —
+        # they are built that way above), not by null sim: a NaN test
+        # would also drop genuine pair rows whose cosine is NaN
+        # (zero-norm vectors), silently flipping their diversity term
+        # from NaN-propagating to 0.0 (ADVICE r8)
         sims: dict[tuple[int, int], float] = {
             (c, o): s
             for c, o, s in zip(pdf["cand_id"], pdf["other_id"], pdf["sim"])
-            if c != o and not pd.isna(s)  # drop the self marker rows
+            if c != o
         }
         selected: list[tuple[int, float, float]] = []  # (id, rel, mmr)
         remaining = set(rels)

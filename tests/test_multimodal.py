@@ -125,3 +125,19 @@ class TestPayloadNearDups:
         )
         out = payload_near_dup_pairs(df).collect()
         assert len(out) == 1 and out[0]["hamming"] == 0
+
+    def test_empty_payloads_never_pair(self, spark):
+        # a zero-byte payload hex-encodes to '' whose single clamped gram
+        # is the empty string; the oracle filters empty grams, so two
+        # empty payloads must NOT share a fingerprint here (ADVICE r8)
+        from sdg_big_data_spark.operators.multimodal import (
+            payload_near_dup_pairs,
+        )
+
+        rows = [
+            (1, bytearray(b"")),
+            (2, bytearray(b"")),
+            (3, bytearray(b"real payload bytes, long enough for grams")),
+        ]
+        df = spark.createDataFrame(rows, "item_id long, payload binary")
+        assert payload_near_dup_pairs(df).collect() == []

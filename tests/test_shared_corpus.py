@@ -107,3 +107,40 @@ class TestTokensOfSeam:
         assert raw.keys() == pre.keys()
         for k in raw:
             assert raw[k].asDict() == pre[k].asDict()
+
+
+class TestPinnedIdHygiene:
+    def test_stale_pins_of_dead_apps_do_not_shadow(self, spark):
+        # RDD ids restart at 0 per SparkContext: a pin recorded under a
+        # DEAD application id must not exempt a same-id RDD of the LIVE
+        # session from the sweep (ADVICE r8)
+        from sdg_big_data_spark import cachescope
+
+        app_id = spark.sparkContext.applicationId
+        before = _persistent_ids(spark)
+        victim = spark.range(40).localCheckpoint()  # unpinned blocks
+        assert victim.count() == 40
+        victim_ids = _persistent_ids(spark) - before
+        assert victim_ids
+        # forge stale pins: the victim's ids, but under a dead app id
+        stale = {("dead-app-0000", i) for i in victim_ids}
+        cachescope._PINNED_IDS.update(stale)
+        sweep_unpinned(spark)
+        assert not (cachescope._PINNED_IDS & stale)  # pruned
+        # genuinely pinned ids of THIS session survive the prune
+        assert all(k[0] == app_id for k in cachescope._PINNED_IDS)
+        # the victim's blocks were swept despite the id collision
+        assert not (victim_ids & _persistent_ids(spark))
+
+    def test_zero_new_ids_pin_warns(self, spark):
+        import warnings
+
+        df = spark.range(25).withColumn("z", F.col("id") * 3)
+        pinned = pin_session_cache(df)  # first pin: records ids, silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            try:
+                pin_session_cache(pinned)  # already materialized
+                raise AssertionError("expected RuntimeWarning")
+            except RuntimeWarning:
+                pass
