@@ -702,3 +702,53 @@ class TestIntervalOverlapJoin:
             if l[0] == r[0] and l[2] < r[3] and r[2] < l[3]
         )
         assert self._run(spark, left, right, w=16) == expected
+
+
+class TestAutoBlockDigits:
+    def test_widths(self):
+        from sdg_big_data_spark.operators.joins import auto_block_digits
+
+        assert auto_block_digits(0) == 3
+        assert auto_block_digits(1500) == 3          # sf0.01 customer
+        assert auto_block_digits(150_000) == 3       # 10x
+        assert auto_block_digits(500_000) == 3       # exactly 1000 blocks
+        assert auto_block_digits(500_001) == 4       # first width-4 corpus
+        assert auto_block_digits(1_500_000) == 4     # 100x customer
+        assert auto_block_digits(5_000_001) == 5
+
+    def test_matches_oracle_integer_arithmetic(self):
+        # the j_fuzzy_match oracle recomputes k in SQL; the two integer
+        # formulas must agree for EVERY corpus size, not just fixtures
+        import duckdb
+
+        from sdg_big_data_spark.operators.joins import auto_block_digits
+
+        con = duckdb.connect()
+        ns = [1, 499, 500, 501, 1500, 15_000, 150_000, 499_999,
+              500_000, 500_001, 1_500_000, 49_999_999, 50_000_001]
+        for n in ns:
+            (k_sql,) = con.execute(
+                "SELECT GREATEST(3, length(CAST("
+                f"GREATEST(1, ({n} + 499) // 500) - 1 AS VARCHAR)))"
+            ).fetchone()
+            assert k_sql == auto_block_digits(n), n
+
+    def test_auto_default_blocks_on_trailing_digits(self, spark):
+        from sdg_big_data_spark.operators.joins import fuzzy_join
+
+        left = spark.createDataFrame(
+            [(i, f"Customer#{i:09d}") for i in range(1, 30)],
+            "lid long, lname string",
+        )
+        right = spark.createDataFrame(
+            [(i, f"Customer#{i:09d}") for i in range(1, 30, 7)],
+            "rid long, rname string",
+        )
+        auto = fuzzy_join(left, right, "lname", "rname", max_dist=0)
+        explicit = fuzzy_join(
+            left, right, "lname", "rname", max_dist=0,
+            block_key=lambda c: F.substring(c, -3, 3),
+        )
+        a = {(r["lid"], r["rid"]) for r in auto.collect()}
+        e = {(r["lid"], r["rid"]) for r in explicit.collect()}
+        assert a == e == {(i, i) for i in range(1, 30, 7)}
