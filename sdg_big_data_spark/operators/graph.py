@@ -148,7 +148,7 @@ def pagerank(
     assume_distinct: bool = False,
     assume_no_dangling: bool = False,
     assume_no_sinks: bool = False,
-    broadcast_nodes_max: int = 2_000_000,
+    broadcast_nodes_max: int = 4_000_000,
     checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list → (node, rank).
@@ -188,13 +188,25 @@ def pagerank(
     plus one |nodes|-group aggregate. (The explicit hint matters
     because checkpointed inputs carry no size stats — without it the
     planner sort-merge-joins the edge frame every round.) Above the
-    threshold the same loop runs as shuffle joins on node id —
-    per-iteration cost linear in |edges|, skewed in-degree (a hub page)
-    split by AQE. ``broadcast_nodes_max`` is a ROW threshold — estimate
-    ~40 bytes/row for long ids (more for wide string ids) against free
-    driver memory before raising it: each iteration re-broadcasts a
-    fresh |nodes|-sized frame and reclamation between iterations rides
-    the periodic GC tick. ``assume_distinct=True`` skips the edge-dedup
+    threshold the edge frame is hash-repartitioned on ``src`` ONCE and
+    persisted: ``InMemoryTableScan`` reports the cached plan's output
+    partitioning (a ``localCheckpoint`` does NOT — probed: the scan of
+    a pre-partitioned checkpoint gets an ``ENSURE_REQUIREMENTS``
+    exchange re-added), so every iteration's edge join satisfies its
+    distribution requirement with ZERO edge-side exchange and only the
+    |nodes|-sized rank frame shuffles to match. Joins carry a
+    ``shuffle_hash`` hint above the threshold: the default
+    prefer-sort-merge planner would otherwise SORT the |edges| frame
+    every round, which is exactly the degradation measured at the 2.1M-
+    node / 118M-edge fixture (4.8 s @10x → 157 s @100x when the node
+    count first crossed the old 2M threshold — 33x wall for 10x data;
+    re-measured at ~linear after this fix). Skewed in-degree (a hub
+    page) is split by AQE. ``broadcast_nodes_max`` is a ROW threshold —
+    estimate ~40 bytes/row for long ids (more for wide string ids)
+    against free driver memory before raising it further: each
+    iteration re-broadcasts a fresh |nodes|-sized frame (the 4M default
+    is ~160 MB per broadcast — sized for multi-GB drivers; reclamation
+    between iterations rides the periodic GC tick). ``assume_distinct=True`` skips the edge-dedup
     shuffle when the caller already guarantees unique (src, dst) pairs.
     ``assume_no_dangling=True`` skips the dangling-set anti-join AND its
     materialization + probe when the caller guarantees every node has an
@@ -263,7 +275,19 @@ def pagerank(
         )
         has_dangling = dang.limit(1).count() > 0
     small = n_nodes <= broadcast_nodes_max
-    hint = F.broadcast if small else (lambda df: df)
+    if small:
+        hint = F.broadcast
+    else:
+        # above-threshold: hash joins built on the node-sized side (no
+        # per-iteration sort of anything edge-sized), and the edge frame
+        # pre-partitioned on the join key ONCE — the persisted scan
+        # advertises its partitioning, so iterations re-use the single
+        # edge exchange instead of paying it every round
+        def hint(df: DataFrame) -> DataFrame:
+            return df.hint("shuffle_hash")
+
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        ec = scoped_cache(ec.repartition(n_part, "src"))
     if checkpoint_every is None:
         checkpoint_every = n_iter + 1 if n_iter <= 4 else 2
     ranks = nodes.select(

@@ -352,3 +352,23 @@ class TestKCore:
             for r in k_core(self._sym(spark, pairs), k=3).collect()
         }
         assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+class TestPageRankScalePlan:
+    def test_above_threshold_plan_avoids_edge_sorts(self, spark):
+        # the above-threshold loop must never sort-merge-join (sorting
+        # something edge-sized every iteration was the measured 33x
+        # degradation at the 2.1M-node fixture): hash joins built on the
+        # node-sized side, edge frame scanned from its one persisted
+        # hash-partitioned copy
+        from sdg_big_data_spark.operators.graph import pagerank
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "b")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        out = pagerank(df, n_iter=3, broadcast_nodes_max=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "InMemoryTableScan" in plan  # the pre-partitioned edge copy
+        # correctness of the exact same frame (not just its plan)
+        total = sum(r["rank"] for r in out.collect())
+        assert abs(total - 1.0) < 1e-6
