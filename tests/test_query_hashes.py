@@ -1,0 +1,103 @@
+"""Source-hash extraction + the changed-since-sampled ordering tier."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from sdg_big_data_spark.plans.catalog import (
+    _code_refs,
+    _extract_block,
+    _source_hashes_from_files,
+    current_query_hashes,
+)
+
+ROOT = Path(__file__).resolve().parents[1]
+
+_MOD = '''
+_EPS = 3 * 1.04
+
+@register(
+    "q_one",
+    sql=f"""SELECT {_FRAG} AS x FROM t""",
+    doc="prose mentioning helper_b which is NOT a code dependency",
+)
+def q_one(
+    spark, sf_dir
+) -> DataFrame:
+    out = helper_a(spark)          # comment naming helper_b
+    return out.where("x > 0")
+'''
+
+_OPS = '''
+def helper_a(spark):
+    return helper_c(spark)
+
+def helper_b(spark):
+    return spark.range(1)
+
+def helper_c(spark):
+    return spark.range(2)
+
+_FRAG = "1 + 1"
+'''
+
+
+def _files(ops_text=_OPS):
+    return {
+        "sdg_big_data_spark/plans/x_queries.py": _MOD,
+        "sdg_big_data_spark/operators/helpers.py": ops_text,
+    }
+
+
+class TestExtraction:
+    def test_block_includes_multiline_signature_body(self):
+        b = _extract_block(_MOD, "q_one")
+        assert b is not None
+        assert "@register(" in b and "helper_a(spark)" in b
+        assert 'return out.where("x > 0")' in b  # body survives `) ->`
+
+    def test_code_refs_skip_prose_keep_fstring(self):
+        b = _extract_block(_MOD, "q_one")
+        refs = _code_refs(b)
+        assert "helper_a" in refs
+        assert "_FRAG" in refs            # f-string interpolation
+        assert "helper_b" not in refs     # doc prose + comment only
+
+
+class TestHashing:
+    def test_transitive_helper_edit_flips_hash(self):
+        base = _source_hashes_from_files(_files())["q_one"]
+        # helper_c is two hops away (q_one -> helper_a -> helper_c)
+        edited = _source_hashes_from_files(
+            _files(_OPS.replace("spark.range(2)", "spark.range(3)"))
+        )["q_one"]
+        assert base != edited
+
+    def test_unreferenced_edit_keeps_hash(self):
+        base = _source_hashes_from_files(_files())["q_one"]
+        edited = _source_hashes_from_files(
+            _files(_OPS.replace("spark.range(1)", "spark.range(9)"))
+        )["q_one"]  # helper_b is not a code dependency
+        assert base == edited
+
+    def test_file_order_invariant(self):
+        f = _files()
+        rev = dict(reversed(list(f.items())))
+        assert _source_hashes_from_files(f) == _source_hashes_from_files(rev)
+
+
+class TestOrderingTier:
+    def test_changed_queries_front_load(self):
+        from sdg_big_data_spark.plans import catalog
+
+        rec = json.loads((ROOT / "QUERY_HASHES.json").read_text())
+        cur = current_query_hashes()
+        changed = {n for n in rec if rec[n]["hash"] != cur.get(n)}
+        unchanged = set(rec) - changed
+        names = list(catalog.queries())
+        pos = {n: i for i, n in enumerate(names)}
+        # every recorded-and-changed query sorts before every
+        # recorded-and-unchanged one (no rank-0 failures on record)
+        assert changed and unchanged
+        assert max(pos[n] for n in changed) < min(pos[n] for n in unchanged)

@@ -45,6 +45,9 @@ def main() -> int:
     rc = 0
     rc |= run([sys.executable, "tools/driver_ledger.py"])
     rc |= run([sys.executable, "tools/hof_audit.py"])
+    # re-stamp QUERY_HASHES.json for the queries the latest round
+    # sampled, so the changed-since-sampled ordering tier rotates
+    rc |= run([sys.executable, "tools/query_hashes.py"])
     if not skip_bench:
         bench_rc = run(
             [sys.executable, "bench.py"],
