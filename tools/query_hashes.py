@@ -12,15 +12,14 @@ end-of-round snapshot the driver tested). plans/catalog.py compares the
 recorded hash against the current tree at ordering time and front-loads
 mismatches.
 
-Modes:
-
-    python tools/query_hashes.py --update   # round close: re-stamp every
-        query sampled by the LATEST CORRECTNESS_r*.json with the CURRENT
-        tree's hash; other entries kept verbatim.
-    python tools/query_hashes.py --seed     # one-time backfill: for each
-        query, replay the hash extraction against the git tree of its
-        last-sampled round (no imports of old code — the extraction is
-        purely textual, see catalog._source_hashes_from_files).
+Regeneration is ALWAYS git-based: for each query, the hash extraction
+replays against the git tree of its last-sampled round (no imports of
+old code — the extraction is purely textual, see
+catalog._source_hashes_from_files), so re-running at any time is
+idempotent and correct. (A "stamp the latest round's samples with the
+WORKING tree's hashes" fast path was considered and rejected: at round
+close the working tree already carries the next round's edits, so it
+would silently mark just-changed queries as freshly verified.)
 
 The hash function lives in plans/catalog.py (single implementation; this
 tool only changes which FILE TEXTS it runs over).
@@ -118,20 +117,6 @@ def save(entries: dict) -> None:
     )
 
 
-def update() -> int:
-    latest, samples = _latest_samples()
-    current = current_query_hashes()
-    entries = load()
-    stamped = 0
-    for name, (rnd, _ok) in samples.items():
-        if rnd == latest and name in current:
-            entries[name] = {"hash": current[name], "round": latest}
-            stamped += 1
-    save(entries)
-    print(f"stamped {stamped} round-{latest} samples; {len(entries)} total")
-    return 0
-
-
 def seed() -> int:
     latest, samples = _latest_samples()
     rounds = sorted({rnd for rnd, _ in samples.values()})
@@ -175,6 +160,4 @@ def seed() -> int:
 
 
 if __name__ == "__main__":
-    if "--seed" in sys.argv:
-        raise SystemExit(seed())
-    raise SystemExit(update())
+    raise SystemExit(seed())
