@@ -340,12 +340,37 @@ def fuzzy_join(
     lk = left.withColumn("__blk", block_key(F.col(left_col)))
     rk = right.withColumn("__blk", block_key(F.col(right_col)))
     d = F.levenshtein(F.col(left_col), F.col(right_col), max_dist)
-    return (
-        lk.join(rk, "__blk", how)
+    if how == "inner":
+        return (
+            lk.join(rk, "__blk")
+            .withColumn(dist_col, d)
+            .where(F.col(dist_col) >= 0)
+            .drop("__blk")
+        )
+    if how not in ("left", "left_outer", "leftouter"):
+        # a naive `join(..., how)` + refine filter silently DROPS the
+        # unmatched rows an outer join exists to keep (their distance is
+        # null, and null >= 0 filters) — only spellings with correct
+        # two-phase implementations are accepted
+        raise ValueError(
+            f"fuzzy_join supports how='inner' or left-outer, got {how!r}"
+        )
+    # left outer = inner matches + an anti-joined null-extension of the
+    # unmatched left rows (refine must NOT filter them away). The
+    # surrogate id exists only to anti-join duplicates-safely; it never
+    # reaches the output.
+    lid = lk.withColumn("__lid", F.monotonically_increasing_id())
+    matched = (
+        lid.join(rk, "__blk")
         .withColumn(dist_col, d)
         .where(F.col(dist_col) >= 0)
-        .drop("__blk")
     )
+    missing = lid.join(
+        matched.select("__lid").distinct(), "__lid", "left_anti"
+    )
+    return matched.unionByName(
+        missing, allowMissingColumns=True
+    ).drop("__lid", "__blk")
 
 
 def interval_overlap_join(

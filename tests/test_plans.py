@@ -752,3 +752,51 @@ class TestAutoBlockDigits:
         a = {(r["lid"], r["rid"]) for r in auto.collect()}
         e = {(r["lid"], r["rid"]) for r in explicit.collect()}
         assert a == e == {(i, i) for i in range(1, 30, 7)}
+
+
+class TestFuzzyJoinLeftOuter:
+    def test_left_outer_keeps_unmatched_rows(self, spark):
+        # the naive join(how)+refine spelling silently dropped unmatched
+        # left rows (null distance fails `>= 0`), degrading left joins
+        # to inner — the two-phase form keeps them null-extended
+        from sdg_big_data_spark.operators.joins import fuzzy_join
+
+        left = spark.createDataFrame(
+            [(1, "smith"), (2, "smyth"), (3, "zzzzz")],
+            "lid long, lname string",
+        )
+        right = spark.createDataFrame(
+            [(10, "smith")], "rid long, rname string"
+        )
+        out = fuzzy_join(
+            left, right, "lname", "rname", max_dist=1, how="left",
+            block_key=lambda c: F.substring(c, 1, 1),
+        ).collect()
+        rows = {r["lid"]: r for r in out}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["rid"] == 10 and rows[1]["edit_dist"] == 0
+        assert rows[2]["rid"] == 10 and rows[2]["edit_dist"] == 1
+        assert rows[3]["rid"] is None and rows[3]["edit_dist"] is None
+
+    def test_blocked_but_refine_failed_row_still_kept(self, spark):
+        # a left row that shares a block but fails the distance bound is
+        # STILL an unmatched left row — it must survive with nulls
+        from sdg_big_data_spark.operators.joins import fuzzy_join
+
+        left = spark.createDataFrame([(1, "sabcde")], "lid long, lname string")
+        right = spark.createDataFrame([(10, "sxxxxx")], "rid long, rname string")
+        out = fuzzy_join(
+            left, right, "lname", "rname", max_dist=1, how="left",
+            block_key=lambda c: F.substring(c, 1, 1),
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["lid"] == 1 and out[0]["rid"] is None
+
+    def test_unsupported_how_raises(self, spark):
+        from sdg_big_data_spark.operators.joins import fuzzy_join
+
+        left = spark.createDataFrame([(1, "a")], "lid long, lname string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="fuzzy_join supports"):
+            fuzzy_join(left, left, "lname", "lname", 1, how="full")
