@@ -111,8 +111,16 @@ def salted_join(
     partitions at the cost of replicating the (dimension-sized) small
     side. Result equivalence: every (key, shard) pair sees the full small
     row set for that key, so the join output is identical to the unsalted
-    join.
+    join — for INNER and LEFT joins. Right/full outer are rejected: the
+    small side exists ``salt`` times, so an unmatched small row would be
+    null-extended once PER REPLICA (salt duplicate rows).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left-side joins, got {how!r}: the "
+            f"replicated small side would null-extend {salt}x per unmatched row"
+        )
     shard = F.floor(F.rand(seed=0) * salt).cast("int")
     b = big.withColumn("__shard", shard)
     s = small.withColumn(

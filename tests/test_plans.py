@@ -800,3 +800,23 @@ class TestFuzzyJoinLeftOuter:
 
         with _pytest.raises(ValueError, match="fuzzy_join supports"):
             fuzzy_join(left, left, "lname", "lname", 1, how="full")
+
+
+def test_salted_join_left_outer_and_rejected_hows(spark):
+    from sdg_big_data_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, tag string"
+    )
+    small = spark.createDataFrame([(1, "x")], "k long, dim string")
+    out = salted_join(big, small, "k", how="left").collect()
+    rows = {r["tag"]: r["dim"] for r in out}
+    # every big row exactly once; unmatched ones null-extended once
+    assert len(out) == 3 and rows == {"a": "x", "b": None, "c": None}
+    import pytest as _pytest
+
+    # right/full outer would null-extend each unmatched small row once
+    # per salt replica — rejected loudly instead of silently duplicating
+    for bad in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=bad)
