@@ -279,7 +279,10 @@ def _driver_staleness() -> dict[str, tuple[int, int]]:
     if recorded:
         try:
             current = current_query_hashes()
-        except OSError:
+        except Exception:  # noqa: BLE001 — ordering is a HINT: any
+            # hashing failure (unreadable file, encoding, regex
+            # pathology) must degrade to "no changed-tier" and never
+            # break queries(), the driver's entry point
             recorded = {}
     out: dict[str, tuple[int, int]] = {}
     for name, (rnd, ok) in last.items():
