@@ -1306,6 +1306,56 @@ def j_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "s_suppkey", "s_name", "edit_dist")
 
 
+@register(
+    "j_fuzzy_left",
+    sql="""
+    WITH nn AS (
+      SELECT GREATEST((SELECT count(*) FROM supplier),
+                      (SELECT count(*) FROM customer)) AS n
+    ),
+    kk AS (
+      SELECT GREATEST(
+               3, length(CAST(GREATEST(1, (n + 499) // 500) - 1 AS VARCHAR))
+             ) AS k
+      FROM nn
+    ),
+    l AS (SELECT s_suppkey, s_name,
+                 right(s_name, (SELECT k FROM kk)) AS blk FROM supplier),
+    r AS (SELECT c_custkey, c_name,
+                 right(c_name, (SELECT k FROM kk)) AS blk FROM customer),
+    m AS (
+      SELECT l.s_suppkey, r.c_custkey, r.c_name,
+             levenshtein(l.s_name, r.c_name) AS edit_dist
+      FROM l JOIN r USING (blk)
+      WHERE levenshtein(l.s_name, r.c_name) <= 7
+    )
+    SELECT l.s_suppkey, l.s_name, m.c_custkey, m.c_name, m.edit_dist
+    FROM l LEFT JOIN m USING (s_suppkey)
+    """,
+    tags=("fuzzy", "join", "record-linkage", "left-outer"),
+    doc="LEFT-OUTER blocked fuzzy join (joins.fuzzy_join how='left'): "
+    "every supplier kept — matched rows refined by levenshtein <= 7, "
+    "unmatched suppliers null-extended EXACTLY ONCE (the naive "
+    "join(how)+refine spelling silently dropped them: null distance "
+    "fails >= 0; fixed round 9 as inner-matches UNION anti-joined "
+    "null-extension). Same scale-adaptive block width as "
+    "j_fuzzy_match, re-derived from count(*) in both engines; the "
+    "oracle replays the two-phase form with a unique-key LEFT JOIN "
+    "back onto the blocked-match set",
+)
+def j_fuzzy_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return joins.fuzzy_join(
+        supp,
+        cust,
+        "s_name",
+        "c_name",
+        max_dist=7,
+        how="left",
+    ).select("s_suppkey", "s_name", "c_custkey", "c_name", "edit_dist")
+
+
 # --- product quantization (e_pq_encode / e_pq_topk) -------------------------
 
 _PQ_CB_CTE = """
