@@ -77,6 +77,15 @@ def scaled(df: DataFrame, table: str, factor: int) -> DataFrame:
                 k, (F.col(k) + F.col("__i").cast("long") * F.lit(STRIDE))
             )
     if table == "documents" and "text" in out.columns:
+        # NOTE (measured, round 9): variable-width copy tags make the
+        # corpus BYTE-superlinear — two-digit indices carry longer tags,
+        # so 100x holds 11.43x the bytes of 10x (chars/row 443->507).
+        # Char-level scan queries therefore measure ~11-12x wall for 10x
+        # ROWS while being exactly linear in bytes. Kept as-is because
+        # every committed BENCH_SCALE record was measured on these
+        # fixtures; if you ever REBUILD them, zero-pad the index
+        # (c%04dx) for byte-linear factors and expect all scale records
+        # to need regeneration.
         tag = F.concat(F.lit("c"), F.col("__i").cast("string"), F.lit("x"))
         out = out.withColumn(
             "text",
