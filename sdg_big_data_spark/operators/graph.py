@@ -286,7 +286,13 @@ def pagerank(
         def hint(df: DataFrame) -> DataFrame:
             return df.hint("shuffle_hash")
 
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            # platforms with auto-optimized shuffle report a non-numeric
+            # value (e.g. "auto") — fall back to the cluster's default
+            # parallelism rather than crashing before any work runs
+            n_part = spark.sparkContext.defaultParallelism
         ec = scoped_cache(ec.repartition(n_part, "src"))
     if checkpoint_every is None:
         checkpoint_every = n_iter + 1 if n_iter <= 4 else 2

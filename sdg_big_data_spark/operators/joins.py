@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import windows
+from ..cachescope import tracked_local_checkpoint
 
 
 def broadcast_join(
@@ -367,7 +368,15 @@ def fuzzy_join(
     # unmatched left rows (refine must NOT filter them away). The
     # surrogate id exists only to anti-join duplicates-safely; it never
     # reaches the output.
-    lid = lk.withColumn("__lid", F.monotonically_increasing_id())
+    # the id frame is consumed TWICE (matched + the anti-join below) and
+    # monotonically_increasing_id is nondeterministic across evaluations
+    # (task retry, or a left input with nondeterministic intra-partition
+    # order) — two independent evaluations could assign different ids
+    # and the anti-join would drop or duplicate rows. Materialize once
+    # so both consumers read the same ids.
+    lid = tracked_local_checkpoint(
+        lk.withColumn("__lid", F.monotonically_increasing_id())
+    )
     matched = (
         lid.join(rk, "__blk")
         .withColumn(dist_col, d)

@@ -59,6 +59,7 @@ def _load_all() -> None:
     from . import eval_queries  # noqa: F401
     from . import extra_queries  # noqa: F401
     from . import llm_queries  # noqa: F401
+    from . import mobility_queries  # noqa: F401
     from . import relational_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import text_queries  # noqa: F401
@@ -284,6 +285,17 @@ def _driver_staleness() -> dict[str, tuple[int, int]]:
             # pathology) must degrade to "no changed-tier" and never
             # break queries(), the driver's entry point
             recorded = {}
+    return _staleness_ranks(last, recorded, current)
+
+
+def _staleness_ranks(
+    last: dict[str, tuple[int, bool]],
+    recorded: dict[str, dict],
+    current: dict[str, str],
+) -> dict[str, tuple[int, int]]:
+    """Pure ranking step of :func:`_driver_staleness`, split out so the
+    degraded inputs (``recorded={}`` after a hashing failure, or a
+    sampled name the seeder left unrecorded) are directly testable."""
     out: dict[str, tuple[int, int]] = {}
     for name, (rnd, ok) in last.items():
         if not ok:
@@ -302,7 +314,10 @@ def _driver_staleness() -> dict[str, tuple[int, int]]:
             # stamped at round close and edited later imply a change in
             # some round after the stamp — approximate with rnd + 1
             # (same relative order, exact value refined on re-seed)
-            out[name] = (1, -int(rec.get("changed_in", rnd + 1)))
+            # rec can be None here: hashing failure set recorded={}, or
+            # the seeder intentionally left this name unrecorded ("ranks
+            # as changed") — both must rank, never crash queries()
+            out[name] = (1, -int((rec or {}).get("changed_in", rnd + 1)))
         else:
             out[name] = (rank, rnd)
     return out
