@@ -365,3 +365,79 @@ def test_dataprep_survival_report_matches_run(spark, sf_dir):
     assert report["2_language"] == stat(stages["language"])
     assert report["3_exact_dedup"] == stat(stages["exact_dedup"])
     assert report["4_near_dedup"] == stat(stages["near_dedup"])
+
+
+def test_mobility_e2e_matches_stagewise(spark, sf_dir):
+    """m_mobility_e2e (the one-lineage survival report of the composed
+    GPS DAG) must equal the counts/metrics of the stages built
+    independently through the pipelines.mobility functions — the
+    composed catalog entry and the pipeline module may never drift."""
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.operators import grouped
+    from sdg_big_data_spark.pipelines import mobility
+    from sdg_big_data_spark.plans import mobility_queries as mq
+
+    report = {
+        r["stage"]: (r["n_rows"], r["metric"])
+        for r in mq.m_mobility_e2e(spark, sf_dir).collect()
+    }
+    assert set(report) == {
+        "0_pings", "1_stops", "2_day_segments", "3_geocoded",
+        "4_labeled", "5_panel", "6_stay_home",
+    }
+
+    pings = mq._pings_anchored(spark, sf_dir)
+    stops = grouped.detect_stops_batched(pings)
+    daily = mobility.day_split_stops(stops)
+    admin = spark.createDataFrame(
+        [(g, mq._diamond_wkt(la, lo, r)) for g, la, lo, r in mq._admin_sites()],
+        schema="geom_id string, geometry string",
+    )
+    geo = mobility.geocode_stops(daily, admin, cell_deg=0.01)
+    labeled = mobility.label_stops(geo)
+    panel = mobility.durations_panel(labeled)
+    stay = mobility.stay_at_home_index(
+        panel, baseline_end=mq._BASELINE_END, min_home_s=900
+    )
+
+    assert report["0_pings"][0] == pings.count()
+    assert report["1_stops"][0] == stops.count()
+    assert report["2_day_segments"][0] == daily.count()
+    assert report["3_geocoded"][0] == geo.count()
+    assert report["4_labeled"][0] == labeled.count()
+    assert report["5_panel"][0] == panel.count()
+    assert report["6_stay_home"][0] == stay.count()
+
+    # F1 seam invariant: the midnight split preserves total dwell
+    assert report["1_stops"][1] == report["2_day_segments"][1]
+    # labeling is a 1:1 decoration of the geocoded frame
+    assert report["3_geocoded"][0] == report["4_labeled"][0]
+    # pivot seam: panel H-seconds equal the labeled frame's H-seconds
+    assert report["4_labeled"][1] == report["5_panel"][1]
+    # geocode is a survivorship filter, never a row multiplier
+    assert report["3_geocoded"][0] <= report["2_day_segments"][0]
+
+
+def test_mobility_e2e_polygon_join_is_broadcast(spark, sf_dir):
+    """The geocode stage's coarse cell join must broadcast the
+    dimension-sized polygon cover — never shuffle or cross-join the
+    segment side."""
+    from sdg_big_data_spark.pipelines import mobility
+    from sdg_big_data_spark.plans import mobility_queries as mq
+
+    from sdg_big_data_spark.operators import grouped
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    pings = mq._pings_anchored(spark, sf_dir)
+    stops = grouped.detect_stops_batched(pings)
+    daily = mobility.day_split_stops(stops)
+    admin = spark.createDataFrame(
+        [(g, mq._diamond_wkt(la, lo, r)) for g, la, lo, r in mq._admin_sites()],
+        schema="geom_id string, geometry string",
+    )
+    geo = mobility.geocode_stops(daily, admin, cell_deg=0.01)
+    plan = geo._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
