@@ -58,6 +58,7 @@ def _load_all() -> None:
     from . import curation_queries  # noqa: F401
     from . import eval_queries  # noqa: F401
     from . import extra_queries  # noqa: F401
+    from . import labor_queries  # noqa: F401
     from . import llm_queries  # noqa: F401
     from . import mobility_queries  # noqa: F401
     from . import relational_queries  # noqa: F401

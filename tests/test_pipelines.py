@@ -441,3 +441,50 @@ def test_mobility_e2e_polygon_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_labor_e2e_matches_stagewise(spark, sf_dir):
+    """m_labor_e2e (one-lineage survival report of the composed labor
+    pipeline) must equal the counts of the stages built independently
+    through the pipelines.labor functions."""
+    from pyspark.sql import functions as F
+
+    from sdg_big_data_spark.pipelines import labor
+    from sdg_big_data_spark.plans import labor_queries as lq
+
+    report = {
+        r["stage"]: (r["n_rows"], r["metric"])
+        for r in lq.m_labor_e2e(spark, sf_dir).collect()
+    }
+    assert set(report) == {
+        "0_tweets", "1_corpus", "2_labeling_sets", "3_scored",
+        "4_rank_eval", "5_indicator",
+    }
+
+    tweets = lq._tweets(spark, sf_dir)
+    corpus = labor.build_corpus(
+        tweets, lang=lq._LANG, sample_fraction=lq._SAMPLE_FRAC
+    ).where(F.length(F.trim(F.col("text_norm"))) > 0)
+    labeling = labor.ngram_labeling_sets(
+        corpus, list(lq._NGRAMS), n_per_ngram=lq._N_PER_NGRAM
+    )
+    scored = labor.score_corpus(corpus, list(lq._CLASSES))
+    rank_eval = labor.rank_eval_sample(scored, lq._CLASSES[0], list(lq._RANKS))
+    dated = scored.join(
+        corpus.select("tweet_id", "user_id", "created_at"), "tweet_id"
+    )
+    ind = labor.indicator(dated, lq._CLASSES[0], lq._CUTOFF)
+
+    assert report["0_tweets"][0] == tweets.count()
+    assert report["1_corpus"][0] == corpus.count()
+    assert report["2_labeling_sets"][0] == labeling.count()
+    # F6 seam: scoring is a 1:1 decoration — ids survive the Arrow
+    # boundary exactly
+    assert report["3_scored"][0] == report["1_corpus"][0] == scored.count()
+    assert report["4_rank_eval"][0] == rank_eval.count()
+    assert report["4_rank_eval"][0] <= len(lq._RANKS)
+    assert report["5_indicator"][0] == ind.count()
+    # every requested stratum that matched anything survives sampling
+    assert report["2_labeling_sets"][1] == float(
+        labeling.select("ngram").distinct().count()
+    )
