@@ -71,7 +71,52 @@ def main() -> int:
     if suspects:
         print(f"HOF duplication suspects: {suspects}", file=sys.stderr)
         rc |= 1
+    rc |= count_consistency_gate()
     return rc
+
+
+def count_consistency_gate() -> int:
+    """Fail (rc=1) if any derived record's query count differs from the
+    live catalog's — a catalog entry added AFTER round close otherwise
+    leaves stale derived records until the next round (r9: HOF_AUDIT
+    said 211 on a 212-query tree for a full round)."""
+    import re
+
+    sys.path.insert(0, str(ROOT))
+    from sdg_big_data_spark.plans import catalog
+
+    n_cat = len(catalog.queries())
+    counts: dict[str, int | None] = {}
+    try:
+        counts["HOF_AUDIT.queries_total"] = json.loads(
+            (ROOT / "HOF_AUDIT.json").read_text()
+        ).get("queries_total")
+    except (OSError, ValueError):
+        counts["HOF_AUDIT.queries_total"] = None
+    try:
+        counts["BENCH_ANCHOR_SF01.n_queries"] = json.loads(
+            (ROOT / "BENCH_ANCHOR_SF01.json").read_text()
+        ).get("n_queries")
+    except (OSError, ValueError):
+        counts["BENCH_ANCHOR_SF01.n_queries"] = None
+    try:
+        m = re.search(
+            r"Catalog queries: (\d+)", (ROOT / "DRIVER_LEDGER.md").read_text()
+        )
+        counts["DRIVER_LEDGER.catalog"] = int(m.group(1)) if m else None
+    except OSError:
+        counts["DRIVER_LEDGER.catalog"] = None
+    bad = {k: v for k, v in counts.items() if v != n_cat}
+    if bad:
+        print(
+            f"count-consistency gate FAILED: catalog has {n_cat} queries "
+            f"but derived records disagree: {bad} — re-run round_close "
+            f"(without --skip-bench if the anchor is the stale one)",
+            file=sys.stderr,
+        )
+        return 1
+    print(f"count-consistency gate OK: {n_cat} queries everywhere")
+    return 0
 
 
 if __name__ == "__main__":
