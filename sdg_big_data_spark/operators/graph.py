@@ -470,10 +470,12 @@ def triangle_counts(
     if e_und.count() <= broadcast_edges_max:  # one job against the cache
         closing = F.broadcast(closing)
     tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+    # One corner row per triangle endpoint via explode — a 3-way union of
+    # `tri` would recompute the wedge join (the dominant cost) three times,
+    # since `tri` is deliberately not cached (the wedge set is orders of
+    # magnitude larger than the edges and must stream, never persist).
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
