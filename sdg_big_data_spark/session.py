@@ -109,6 +109,17 @@ def get_spark(
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
     )
+    # Operator-supplied overrides, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd;spark.foo=bar"
+    # — the deployment seam for cluster-specific tuning (the reference
+    # hand-set its cluster's shuffle width the same way, in code); lets the
+    # same engine run the committed defaults locally and measured
+    # production values on a real cluster without a code fork.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
