@@ -17,6 +17,36 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem(cpus) -> str:
+    """Local-mode driver heap sized to the task-slot count.
+
+    In ``local[N]`` the driver JVM *is* the whole cluster: N concurrent
+    tasks share one heap, so a cluster-driver constant (8g) starves the
+    executors' working set — measured on the 32-slot bench box as 2.5x
+    wall inflation from GC pressure (6-query probe: 28 s @ 8g vs 11 s @
+    24g, reproduced twice each; OPTIMIZATION_r10.md has the table).
+    ~0.75 GB per slot, floor 8 GB (the old constant — low-core runs are
+    unchanged), capped at 30% of machine RAM so small boxes still start.
+    On a real cluster the driver does no data work and executor memory
+    is sized by the deployment (SPARK_GRAFT_EXTRA_CONF seam); this
+    default only applies to local masters and is overridden by
+    SPARK_GRAFT_DRIVER_MEM either way.
+    """
+    try:
+        cpus = int(cpus)
+    except (TypeError, ValueError):  # e.g. SPARK_GRAFT_CPUS="*" (local[*])
+        cpus = os.cpu_count() or 8
+    try:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (
+            1024.0**3
+        )
+    except (ValueError, OSError, AttributeError):
+        total_gb = 16.0
+    gb = max(8, int(cpus * 0.75))
+    gb = min(gb, max(8, int(total_gb * 0.30)))
+    return f"{gb}g"
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make ``sdg_big_data_spark`` importable on executors via
     ``sc.addPyFile`` — the standard Spark deployment path for Python
@@ -92,7 +122,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+            or (
+                _default_driver_mem(cpus)
+                if (master or f"local[{cpus}]").startswith("local")
+                else "8g"
+            ),
+        )
         # ContextCleaner reclaims shuffle files / broadcasts only via GC'd
         # weak refs; the 30 min default lets a long-lived session (resident
         # service, notebook, bench) accumulate them — measured as +40-70%
@@ -107,8 +145,32 @@ def get_spark(
         # vs a 61-query run. Generated classes are KBs; 2000 entries is
         # noise next to the driver heap.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # Status-store retention (r10): the SQL listener keeps the last
+        # 1000 executions' full metric/plan graphs and the app listener
+        # the last 1000 jobs/stages ON HEAP even with the UI disabled —
+        # a resident session cycling hundreds of distinct multi-stage
+        # queries accumulates hundreds of MB of dead bookkeeping that
+        # old-gen GC then walks every cycle. A service that wants
+        # debuggability can raise these via SPARK_GRAFT_EXTRA_CONF;
+        # the engine only needs enough history for the live query.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "20000")
         .config("spark.ui.enabled", "false")
     )
+    if (master or f"local[{cpus}]").startswith("local"):
+        # Fixed-size heap (-Xms = -Xmx): G1 on a growable heap re-sizes
+        # regions/generations as the session's query mix shifts, and the
+        # resize trajectory made identical queries measure 2-3x apart
+        # between sessions on the 32-slot bench box. A fixed heap removes
+        # that degree of freedom (standard long-running-service JVM
+        # practice). extraJavaOptions may not carry -Xmx, but -Xms is
+        # explicitly allowed; SPARK_GRAFT_EXTRA_CONF still overrides.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM') or _default_driver_mem(cpus)}",
+        )
     # Operator-supplied overrides, e.g.
     # SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd;spark.foo=bar"
     # — the deployment seam for cluster-specific tuning (the reference
