@@ -469,54 +469,38 @@ def grouped_prefix_sum(
     Ordering must be total (include a unique tiebreaker) for the result
     to be deterministic.
     """
-    import numpy as np  # noqa: F401  (documents the vectorized contract)
-
-    from ..session import ship_package
-
-    ship_package(df.sparkSession)
     gcols = list(group_cols)
     vcols = [value_col] if isinstance(value_col, str) else list(value_col)
     ccols = [cum_col] if isinstance(cum_col, str) else list(cum_col)
     if len(vcols) != len(ccols):
         raise ValueError("value_col and cum_col must have the same length")
     ordering = [F.col(c).asc() for c in gcols] + list(order_cols)
-    rp = df.repartitionByRange(*ordering).sortWithinPartitions(*ordering)
+    rp = df.repartitionByRange(*ordering)
     rp = rp.withColumn("__pid", F.spark_partition_id())
 
-    out_fields = rp.schema.fields
-    schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
-        + [f"`{c}` double" for c in ccols]
+    # In-partition running sums per group, pure JVM (r10: this stage was
+    # an Arrow mapInPandas carrying a (key, running) pair across batches —
+    # a full JVM->Python->JVM round trip of every row in the middle of
+    # the AUC/roc/spearman/packing/sampling family; guide §4 says
+    # eliminate the boundary when built-ins exist). A window partitioned
+    # by (__pid, group) IS that narrow per-chunk cumsum: the hash
+    # exchange it plans shuffles a frame this operator's callers have
+    # already collapsed (distinct values / documents), and the window's
+    # own sort replaces the explicit sortWithinPartitions the Python scan
+    # needed. Addition order per row is unchanged (sequential in the
+    # total order), so results are bit-identical.
+    w_run = (
+        Window.partitionBy("__pid", *gcols)
+        .orderBy(*list(order_cols))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    def local_cumsum(batches):
-        import pandas as pd
-
-        carry_key, carry_vals = None, [0.0] * len(vcols)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cum = (
-                pdf.groupby(gcols, sort=False, dropna=False)[vcols]
-                .cumsum()
-                .astype("float64")
-            )  # dropna=False: a NULL group key must accumulate, not NaN out
-            # NaN-safe boundary keys: NaN != NaN would break the carry for
-            # a NULL group spanning Arrow batches — substitute a sentinel
-            kf = pdf[gcols].astype(object).where(pdf[gcols].notna(), "\x00<null>")
-            keys = pd.MultiIndex.from_frame(kf)
-            same = keys == carry_key if carry_key is not None else None
-            pdf = pdf.copy()
-            for i, (v, c) in enumerate(zip(vcols, ccols)):
-                col = cum[v]
-                if same is not None:
-                    col = col + same * carry_vals[i]
-                carry_vals[i] = float(col.iloc[-1])
-                pdf[c] = col
-            carry_key = keys[-1]
-            yield pdf
-
-    local = rp.mapInPandas(local_cumsum, schema=schema)
+    local = rp.select(
+        "*",
+        *[
+            F.sum(F.col(v).cast("double")).over(w_run).alias(c)
+            for v, c in zip(vcols, ccols)
+        ],
+    )
     # Same single-materialization pin as global_rank (see the comment
     # there): a registered lazy cache, NOT localCheckpoint — under AQE
     # the latter executes the whole subtree at construction time.
