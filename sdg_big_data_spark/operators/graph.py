@@ -442,8 +442,18 @@ def triangle_counts(
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    # orient low -> high under the (deg, id) total order
-    with_deg = e_und.join(du, "u").join(dv, "v")
+    # the broadcast gate is shared by the degree joins and the closing
+    # join: counting the cache here ALSO materializes it before its
+    # first consumer, so the decision costs no extra pass
+    small = e_und.count() <= broadcast_edges_max
+    hint = F.broadcast if small else (lambda d: d)
+    # orient low -> high under the (deg, id) total order. The degree
+    # frames are |nodes|-sized (≤ 2|edges|) — broadcast them below the
+    # gate so the edge frame is never exchanged for the orientation
+    # (cached frames carry no useful size estimate, so the planner
+    # would otherwise sort-merge-join: 2 exchanges + 4 sorts of the
+    # edge frame, guide §3.1)
+    with_deg = e_und.join(hint(du), "u").join(hint(dv), "v")
     lo_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -467,7 +477,7 @@ def triangle_counts(
     closing = oriented.select(
         F.col("a").alias("b"), F.col("b").alias("c")
     )
-    if e_und.count() <= broadcast_edges_max:  # one job against the cache
+    if small:
         closing = F.broadcast(closing)
     tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
     # One corner row per triangle endpoint via explode — a 3-way union of
@@ -589,6 +599,7 @@ def common_neighbor_similarity(
     top_k: int = 20,
     min_common: int = 1,
     round_dp: int = 6,
+    broadcast_edges_max: int = 5_000_000,
 ) -> DataFrame:
     """Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
     2003): for every node pair sharing ≥ ``min_common`` neighbors,
@@ -621,6 +632,16 @@ def common_neighbor_similarity(
         .distinct()
     )
     e_und = scoped_cache(e_und)
+    # gate + materialize the cache in one job (same pattern as
+    # triangle_counts): below it, the |nodes|-sized degree frames and
+    # the |edges|-sized is_edge frame broadcast, so the PAIR frame —
+    # the Σdeg²-sized output of the wedge aggregation, orders of
+    # magnitude larger than either — is never exchanged again after its
+    # groupBy (the planner would otherwise sort-merge-join it three
+    # times: by a, by b, by (a, b); cached inputs carry no size stats,
+    # guide §3.1)
+    small = e_und.count() <= broadcast_edges_max
+    hint = F.broadcast if small else (lambda d: d)
     adj = e_und.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
         e_und.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )
@@ -641,9 +662,9 @@ def common_neighbor_similarity(
         F.col("u").alias("a"), F.col("v").alias("b"), F.lit(1).alias("are_connected")
     )
     scored = (
-        common.join(da, "a")
-        .join(db, "b")
-        .join(is_edge, ["a", "b"], "left")
+        common.join(hint(da), "a")
+        .join(hint(db), "b")
+        .join(hint(is_edge), ["a", "b"], "left")
         .select(
             F.col("a").alias("node_a"),
             F.col("b").alias("node_b"),
