@@ -91,51 +91,29 @@ def kmeans(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
-    dim = len(centroids[0]) if centroids else 0
-
-    # r10: the Lloyd loop used to re-read the source per iteration and
-    # posexplode every vector (n·d update rows through the shuffle).
-    # Cache the vector-only projection ONCE for the whole trajectory
-    # (guide §5 — reused across max_iter scans, recomputation dwarfs
-    # the memory), and aggregate per DIMENSION (d avg expressions with
-    # map-side partial aggregation) instead of exploding: the same
-    # values accumulate in the same per-partition row order, so the
-    # update is numerically identical, but nothing n·d-sized is ever
-    # materialized. avg skips NULL element_at positions exactly as the
-    # explode form never emitted them, so ragged vectors behave the
-    # same.
-    from ..cachescope import scoped_cache
-
-    it_frame = scoped_cache(df.select(F.col(vec_col).alias("__v")))
 
     for _ in range(max_iter):
-        assigned = assign_clusters(it_frame, centroids, "__v")
+        assigned = assign_clusters(df, centroids, vec_col)
         new_rows = (
-            assigned.groupBy("cluster_id")
-            .agg(
-                *[
-                    F.avg(
-                        F.element_at(F.col("__v"), i + 1).cast("double")
-                    ).alias(f"__c{i}")
-                    for i in range(dim)
-                ]
+            assigned.select(
+                "cluster_id", F.posexplode(vec_col).alias("pos", "x")
             )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("v"))
             .collect()
         )
         new_cents = [list(c) for c in centroids]
+        acc: dict[int, dict[int, float]] = {}
         for r in new_rows:
-            vals = [
-                r[f"__c{i}"] for i in range(dim) if r[f"__c{i}"] is not None
-            ]
-            if not vals:
-                continue  # all-empty-vector cluster: keep old centroid,
-                # exactly as the explode form (which emitted no rows)
+            acc.setdefault(r["cluster_id"], {})[r["pos"]] = r["v"]
+        for cid, comps in acc.items():
+            vals = [comps[p] for p in sorted(comps)]
             if round_dp is not None:
                 m = 10.0 ** round_dp
                 # floor(v*10^dp + 0.5)/10^dp — NOT Python round() (it is
                 # half-even) — so the oracle can replay it verbatim
                 vals = [math.floor(v * m + 0.5) / m for v in vals]
-            new_cents[r["cluster_id"]] = vals
+            new_cents[cid] = vals
         shift = max(
             sum((a - b) ** 2 for a, b in zip(old, new)) ** 0.5
             for old, new in zip(centroids, new_cents)
