@@ -6,8 +6,14 @@ gate here, so a future refactor can't silently reintroduce the cost:
 - ``grouped_prefix_sum`` must stay pure-JVM (its mapInPandas stage was
   removed in r10 — guide §4: no Python boundary where built-ins exist);
 - ``kmeans`` centroid updates must stay numerically identical to the
-  explode-form reference they replaced, and must not re-scan the
-  source per iteration.
+  explode-form reference (a per-dimension avg(element_at) rewrite was
+  tried in r10, measured as a same-session A/B regression, and
+  reverted — the gate keeps the equality contract either way);
+- ``triangle_counts`` / ``common_neighbor_similarity`` must broadcast
+  their |nodes|-sized degree frames below the edge-count gate instead
+  of sort-merge-joining the edge/pair frame (guide §3.1; cached frames
+  carry no size stats, so without the hint the planner exchanges and
+  sorts the BIG side).
 """
 
 from __future__ import annotations
@@ -97,3 +103,38 @@ def test_kmeans_update_matches_explode_reference(spark):
 
     _, fast_cents = kmeans(df, k=3, max_iter=3, tol=0.0, round_dp=6)
     assert fast_cents == cents
+
+
+def test_graph_degree_joins_broadcast_below_gate(spark):
+    """r10: below the edge-count gate, triangle_counts and
+    common_neighbor_similarity must plan ZERO SortMergeJoins — the
+    |nodes|-sized degree/is-edge frames broadcast, so the edge frame
+    (triangles) and the wedge-pair frame (common neighbors) are never
+    exchanged for them. Above the gate (threshold 0) the same code must
+    fall back to shuffle joins without error."""
+    from sdg_big_data_spark.operators.graph import (
+        common_neighbor_similarity,
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 40) for i in range(120)] + [(i, i + 1) for i in range(40)],
+        schema="src long, dst long",
+    )
+
+    tri = triangle_counts(edges, "src", "dst")
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    cn = common_neighbor_similarity(edges, src="src", dst="dst", top_k=5)
+    plan = cn._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+    # above-gate fallback stays correct (same rows, any join strategy)
+    small = {tuple(r) for r in tri.collect()}
+    big = {
+        tuple(r)
+        for r in triangle_counts(edges, "src", "dst", broadcast_edges_max=0).collect()
+    }
+    assert small == big
