@@ -2130,14 +2130,27 @@ def a_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
     )
-    days = e.select("day").distinct().select(F.col("day").alias("__d"))
+    # Exact verify arm. countDistinct(user) over a window depends only on
+    # the DISTINCT (day, user) pairs, so collapse the raw events first
+    # (map-side combinable), then fan each pair out to its <= 7
+    # containing window days ARITHMETICALLY (day + 0..6) instead of a
+    # range join — the range predicate planned a BroadcastNestedLoopJoin
+    # evaluating |days| x |events| conditions and fed 7x|events| rows
+    # into the distinct aggregate. A window day exists in the output iff
+    # it is an observed event day (it always matches itself at i=0), so
+    # the semi-join against the distinct-days frame reproduces the day
+    # set exactly.
+    pairs = e.distinct()
+    days = e.select("day").distinct()
     exact = (
-        days.join(
-            e,
-            (F.col("day") >= F.date_sub(F.col("__d"), 6))
-            & (F.col("day") <= F.col("__d")),
+        pairs.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__i"),
+            "day",
         )
-        .groupBy(F.col("__d").alias("day"))
+        .select(F.date_add("day", F.col("__i")).alias("day"), "user_id")
+        .join(days, "day", "left_semi")
+        .groupBy("day")
         .agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
     return exact.join(est, "day").select(
