@@ -70,11 +70,14 @@ def test_kmeans_round_dp_pins_trajectory(planted):
 
 
 def test_kmeans_assignment_is_map_only(planted):
-    """The per-iteration assignment must stay a narrow projection: the
-    centroid codebook rides in as expression literals, so the plan has
-    NO Exchange, no Join and no Python eval below the scan — the same
-    gate the PQ encoder has (a shuffle here would be per-iteration
-    corpus movement at 100 TB)."""
+    """The per-iteration assignment must stay a narrow map-only pass:
+    the centroid codebook rides in the task closure, so the plan has NO
+    Exchange and no Join (a shuffle here would be per-iteration corpus
+    movement at 100 TB). The one allowed Python node is the vectorized
+    ArrowEvalPython argmin (r10: the interpreted k×d expression fold was
+    734 s of JVM CPU at the 100x fixture; the numpy batch argmin is
+    bit-identical and ~14x faster) — row-at-a-time BatchEvalPython stays
+    banned."""
     from sdg_big_data_spark.operators.clustering import assign_clusters, kmeans
 
     _, cents = kmeans(planted, k=3, max_iter=2, tol=0.0, round_dp=6)
@@ -84,5 +87,6 @@ def test_kmeans_assignment_is_map_only(planted):
         .executedPlan()
         .toString()
     )
-    for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+    for bad in ("Exchange", "Join", "BatchEvalPython"):
         assert bad not in plan, f"assignment plan contains {bad}:\n{plan[:800]}"
+    assert plan.count("ArrowEvalPython") == 1, plan[:800]
