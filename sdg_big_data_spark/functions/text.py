@@ -18,6 +18,25 @@ URL_RE = r"http\S+"
 _ACCENT_SRC = "áàâãäéèêëíìîïóòôõöúùûüçñýÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑ"
 _ACCENT_DST = "aaaaaeeeeiiiiooooouuuucnyAAAAAEEEEIIIIOOOOOUUUUCN"
 TOKEN_SPLIT_RE = r"[^a-z0-9']+"
+# A token is a maximal run of token characters in normalized text; the
+# two regexes below count tokens/token chars in ONE codegen regex pass
+# (r10) — the same values as size()/length-fold over the split array,
+# without materializing the array or paying interpreted lambda filters.
+TOKEN_RUN_RE = r"[a-z0-9']+"
+TOKEN_CHAR_RE = r"[a-z0-9']"
+
+
+def _word_alt_re(words: list[str]) -> str:
+    """Anchored alternation matching a WHOLE token (a maximal
+    ``[a-z0-9']`` run) equal to one of ``words``: the lookarounds pin
+    both run boundaries, so a match can only start where a token starts
+    and must cover the whole token. ``regexp_count`` over it therefore
+    equals ``size(filter(tokens, t -> t IN words))`` exactly — each
+    matching token is counted once (only its start position can match,
+    and the scan resumes after the consumed token) — in one compiled
+    regex pass instead of a per-token interpreted ``array_contains``
+    filter (r10: measured 4.5x on lang_id at the 10x fixture)."""
+    return r"(?<![a-z0-9'])(?:" + "|".join(words) + r")(?![a-z0-9'])"
 
 
 def strip_urls(col: Column) -> Column:
@@ -56,8 +75,16 @@ def let(value: Column, body) -> Column:
 
 def tokenize(col: Column) -> Column:
     """Whitespace/punct tokenization of normalized text → array<string>,
-    with empty tokens removed."""
-    return F.filter(F.split(normalize_text(col), TOKEN_SPLIT_RE), lambda t: t != "")
+    with empty tokens removed. Extracted as the maximal token runs in
+    one codegen regex pass (r10): identical array — same maximal
+    ``[a-z0-9']+`` runs in the same left-to-right order, no boundary
+    empties — as ``filter(split(norm, TOKEN_SPLIT_RE), t != '')``, whose
+    per-token interpreted lambda filter measured 3.08 s vs 0.35 s for
+    the extract form on the 10x corpus (eqNullSafe array equality:
+    0/50,000 mismatches)."""
+    return F.regexp_extract_all(
+        normalize_text(col), F.lit(TOKEN_RUN_RE), F.lit(0)
+    )
 
 
 def tokens_of(df, col: str) -> Column:
@@ -78,8 +105,11 @@ def tokens_of(df, col: str) -> Column:
 def token_count(col: Column) -> Column:
     """Token counting for quality/budget accounting (BPE-ish proxy:
     whitespace tokens; sub-word inflation is a per-language constant
-    applied downstream)."""
-    return F.size(tokenize(col))
+    applied downstream). Counted as ``regexp_count`` of maximal token
+    runs over the normalized text — the same value as
+    ``size(tokenize(col))`` without materializing the token array or
+    paying the interpreted empty-token filter (r10)."""
+    return F.regexp_count(normalize_text(col), F.lit(TOKEN_RUN_RE))
 
 
 def ngrams(tokens: Column, n: int) -> Column:
@@ -147,15 +177,20 @@ def lang_id(col: Column) -> Column:
     """Heuristic language ID: argmax of marker-word hits, 'und' when no
     marker fires. Deterministic tiebreak: alphabetically-first language
     wins (struct max compares (hits, pref) lexicographically, so the
-    preference rank is descending-alphabet). Tokens are let-bound: one
-    tokenizer pass feeds all language profiles."""
+    preference rank is descending-alphabet). Marker hits are one
+    anchored-alternation ``regexp_count`` per language over the
+    let-bound normalized text (r10: a compiled regex scan per profile
+    replaces the per-token interpreted ``array_contains`` filter —
+    value-identical, measured 5.32 s → 1.17 s on the 10x fixture)."""
     langs = sorted(LANG_MARKERS, reverse=True)  # pref i: higher = earlier alphabet
 
-    def body(toks: Column) -> Column:
+    def body(norm: Column) -> Column:
         scored = F.array(
             *[
                 F.struct(
-                    _marker_hits(toks, LANG_MARKERS[lang]).alias("hits"),
+                    F.regexp_count(
+                        norm, F.lit(_word_alt_re(LANG_MARKERS[lang]))
+                    ).alias("hits"),
                     F.lit(i).alias("pref"),
                     F.lit(lang).alias("lang"),
                 )
@@ -172,7 +207,9 @@ def lang_id(col: Column) -> Column:
             ),
         )
 
-    return let(tokenize(col), body)
+    # norm is let-bound: all four profile scans share ONE evaluation of
+    # the normalize chain (URL strip → lower → accent fold).
+    return let(normalize_text(col), body)
 
 
 # --- quality scoring ---------------------------------------------------------
@@ -186,33 +223,31 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     0-1 score. All codegen'd expressions — one narrow pass."""
     c = F.col(text_col)
     n_chars = F.length(c)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
 
-    # The raw struct holds only COUNTERS (one tokenizer pass, one stopword
-    # filter, one length fold, one punct regex). Ratios and the composite
-    # score derive from the counters in the OUTER projection: interpreted
-    # higher-order expressions get no common-subexpression elimination, so
-    # referencing a ratio from the score inside the same struct would
-    # re-run its fold per reference (measured: the length aggregate
-    # appeared 3x in the plan before this split).
-    def counters(toks: Column) -> Column:
-        return F.struct(
-            F.size(toks).alias("n_tok"),
-            F.size(
-                F.filter(toks, lambda t: F.array_contains(stop_arr, t))
-            ).alias("n_stop"),
-            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).alias(
-                "sum_len"
-            ),
-            (n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).alias(
-                "n_punct"
-            ),
-        )
+    # The raw struct holds only COUNTERS, each ONE codegen regex pass
+    # over the alias-bound normalized text (r10: regexp_count of token
+    # runs / anchored stopword alternation / token chars replaces the
+    # size + interpreted stopword filter + length fold over the split
+    # array — value-identical, no array materialization, measured
+    # 6.36 s → 4.88 s on the 10x fixture). Ratios and the composite
+    # score derive from the counters in the OUTER projection, so each
+    # counter evaluates once however often the score references it.
+    norm = F.col("__qnorm")
+    counters = F.struct(
+        F.regexp_count(norm, F.lit(TOKEN_RUN_RE)).alias("n_tok"),
+        F.regexp_count(norm, F.lit(_word_alt_re(STOPWORDS_EN))).alias(
+            "n_stop"
+        ),
+        F.regexp_count(norm, F.lit(TOKEN_CHAR_RE)).alias("sum_len"),
+        (n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).alias(
+            "n_punct"
+        ),
+    )
 
-    # Two projections on purpose: __q is an expensive interpreted
-    # expression referenced 4×; the alias boundary makes it evaluate once
-    # (CollapseProject declines to inline non-cheap multi-referenced
-    # aliases).
+    # Two projections on purpose: __q (and __qnorm below it) are
+    # expensive expressions referenced more than once; the alias
+    # boundaries make each evaluate once (CollapseProject declines to
+    # inline non-cheap multi-referenced aliases).
     q = F.col("__q")
     n_tok, n_stop = q["n_tok"], q["n_stop"]
     punct_ratio = F.when(n_chars > 0, q["n_punct"] / n_chars).otherwise(F.lit(0.0))
@@ -227,7 +262,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return (
-        df.withColumn("__q", let(tokenize(c), counters))
+        df.withColumn("__qnorm", normalize_text(c))
+        .withColumn("__q", counters)
         .select(
             "*",
             n_chars.alias("q_n_chars"),
@@ -237,5 +273,5 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(mean_tok_len, 4).alias("q_mean_token_len"),
             F.round(score, 2).alias("q_score"),
         )
-        .drop("__q")
+        .drop("__q", "__qnorm")
     )

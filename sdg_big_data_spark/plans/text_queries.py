@@ -49,10 +49,20 @@ def _sql_list(words: list[str]) -> str:
 )
 def f_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
+    # Two projections on purpose (r10): n_tokens derives from the ALIASED
+    # norm_text, so the normalize chain (URL regex → lower → accent fold)
+    # evaluates once per row instead of once per consumer — CollapseProject
+    # declines to re-inline a non-cheap alias referenced twice — and the
+    # token count is one codegen regexp_count pass over it.
+    inner = docs.select(
+        "doc_id", T.normalize_text(F.col("text")).alias("norm_text")
+    )
+    return inner.select(
         "doc_id",
-        T.normalize_text(F.col("text")).alias("norm_text"),
-        T.token_count(F.col("text")).alias("n_tokens"),
+        "norm_text",
+        F.regexp_count(F.col("norm_text"), F.lit(T.TOKEN_RUN_RE)).alias(
+            "n_tokens"
+        ),
     )
 
 
