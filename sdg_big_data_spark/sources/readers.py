@@ -104,6 +104,41 @@ def small_input_lift(spark: SparkSession, df: DataFrame, path: str) -> DataFrame
     return df.repartition(int(n))
 
 
+# Resolved-plan memo: (applicationId, sf_dir, name, file-signature) →
+# DataFrame. A DataFrame is a LAZY logical plan — every action on it
+# still scans the parquet files — but *building* one costs 70-120 ms of
+# driver-side work (file listing, footer read, schema analysis round
+# trips), and the catalog calls read_table hundreds of times per bench
+# pass on the same ten immutable fixture tables. Re-using the resolved
+# plan is the same metadata reuse Spark itself performs per-session for
+# file listings (spark.sql.hive.filesourcePartitionFileCacheSize, guide
+# §6); no row data is cached. The signature (per-file size+mtime) keeps
+# mutated inputs correct: any rewrite of the table directory (the
+# incremental-append fixtures) re-resolves from disk. Entries from
+# stopped sessions are pruned by applicationId mismatch.
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _dir_signature(path: str) -> tuple | None:
+    """Cheap change-detection fingerprint of a parquet file/directory:
+    sorted (relpath, size, mtime_ns) of every file. None → unknown
+    (remote URI) → never memoize."""
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return ((path, st.st_size, st.st_mtime_ns),)
+        if os.path.isdir(path):
+            out = []
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    out.append((os.path.join(root, f), st.st_size, st.st_mtime_ns))
+            return tuple(sorted(out))
+        return None
+    except OSError:
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table, normalizing physical-type quirks.
 
@@ -125,6 +160,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    sig = _dir_signature(path)
+    app_id = None
+    if sig is not None:
+        try:
+            app_id = spark.sparkContext.applicationId
+        except Exception:  # noqa: BLE001 — stopped/odd context: no memo
+            app_id = None
+    if app_id is not None:
+        # id(spark) too: sessions sharing one context (newSession) have
+        # distinct confs, and a DataFrame is bound to its session
+        key = (app_id, id(spark), os.path.abspath(sf_dir), name, sig)
+        hit = _PLAN_MEMO.get(key)
+        if hit is not None:
+            return hit
     try:
         df = spark.read.parquet(path)
         df.schema  # force schema resolution so the fallback triggers here
@@ -142,6 +191,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     if name in _LIFT_TABLES:
         df = small_input_lift(spark, df, path)
+    if app_id is not None:
+        # prune entries from other (stopped) applications so the memo
+        # can't grow across session restarts in one process
+        for k in [k for k in _PLAN_MEMO if k[0] != app_id]:
+            del _PLAN_MEMO[k]
+        _PLAN_MEMO[key] = df
     return df
 
 
