@@ -41,14 +41,27 @@ def funnel(
     so on. Returns one row per step: (step, step_name, n_users) with
     n_users = users whose sequential chain reaches that step.
 
-    The per-user scan is expression-only: the history collapses to one
-    sorted (ts, type) array (groupBy + array_sort(collect_list) — the
-    single shuffle), then step k's time is
-    ``array_min(filter(events, type = step_k AND ts > t_{k-1}))``.
-    Strictly-after semantics make simultaneous events NOT satisfy the
-    next step (the conservative funnel definition, replayed identically
-    by the oracle's join chain).
+    The per-user scan is expression-only and ORDER-FREE: step k's time
+    is ``min(ts of step-k events strictly after t_{k-1})`` — a pure
+    min over a set, so no per-user history ordering is ever needed.
+    One groupBy(user) collapses each user to step 0's plain conditional
+    ``min`` (map-side combined) plus one timestamp array PER LATER STEP
+    (``collect_list(when(type = step_k, ts))`` — nulls skipped, so only
+    that step's events are collected, no struct packing, no array_sort:
+    the r10 form sorted a (ts, type) struct history that nothing
+    consumed in order; r11 drops the sort and shuffles one timestamp
+    column per step instead of the whole typed history). Step k > 0 is
+    then ``array_min(filter(ts_k, t > t_{k-1}))``. Strictly-after
+    semantics make simultaneous events NOT satisfy the next step (the
+    conservative funnel definition, replayed identically by the
+    oracle's join chain).
     """
+    first = steps[0]
+    aggs = [F.min(F.when(F.col("__t") == first, F.col("__ts"))).alias("__m0")]
+    aggs += [
+        F.collect_list(F.when(F.col("__t") == s, F.col("__ts"))).alias(f"__a{i}")
+        for i, s in enumerate(steps[1:], start=1)
+    ]
     evts = (
         df.select(
             F.col(user_col).alias("__u"),
@@ -57,16 +70,14 @@ def funnel(
         )
         .where(F.col("__t").isin(list(steps)))
         .groupBy("__u")
-        .agg(F.array_sort(F.collect_list(F.struct("__ts", "__t"))).alias("__h"))
+        .agg(*aggs)
     )
-    prev: Column | None = None
-    step_times = []
-    for s in steps:
-        matches = F.filter(
-            F.col("__h"),
-            (lambda p: (lambda e: (e["__t"] == s) & ((e["__ts"] > p) if p is not None else F.lit(True))))(prev),
+    step_times: list[Column] = [F.col("__m0")]
+    prev: Column = step_times[0]
+    for i in range(1, len(steps)):
+        t = F.array_min(
+            F.filter(F.col(f"__a{i}"), (lambda p: lambda x: x > p)(prev))
         )
-        t = F.array_min(F.transform(matches, lambda e: e["__ts"]))
         step_times.append(t)
         prev = t
     per_user = evts.select(
