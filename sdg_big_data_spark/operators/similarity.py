@@ -18,6 +18,10 @@ array columns — no Python). For very wide vectors or very hot loops, the
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -49,6 +53,74 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _fold_dots(A, B):
+    """(dot(a,b), dot(a,a), dot(b,b)) per row, accumulated PER DIMENSION
+    IN INDEX ORDER — bit-identical to the interpreted
+    ``zip_with``/``aggregate`` left fold of :func:`dot` (same discipline
+    as ``clustering._pairwise_sq_dists``; BLAS ``@``/``einsum`` are
+    disqualified — SIMD partial sums reorder the float accumulation)."""
+    import numpy as np
+
+    n = A.shape[0]
+    dab = np.zeros(n)
+    daa = np.zeros(n)
+    dbb = np.zeros(n)
+    for i in range(A.shape[1]):
+        x, y = A[:, i], B[:, i]
+        dab += x * y
+        daa += x * x
+        dbb += y * y
+    return dab, daa, dbb
+
+
+def _pairwise_arrow(out_of_pair):
+    """Build a (a, b) → double vectorized Arrow UDF from a function of
+    the three fold dots. Null on either side → null (as the expression
+    forms: zip_with/aggregate propagate null)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        av, bv = a.to_numpy(), b.to_numpy()
+        n = len(av)
+        out = np.full(n, np.nan)
+        mask = np.fromiter(
+            ((x is not None and y is not None) for x, y in zip(av, bv)),
+            bool,
+            n,
+        )
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            A = np.vstack(av[idx]).astype(np.float64)
+            B = np.vstack(bv[idx]).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[idx] = out_of_pair(*_fold_dots(A, B))
+        s = pd.Series(out)
+        return s.where(mask, None)
+
+    return _udf
+
+
+def dot_arrow(a: Column, b: Column) -> Column:
+    """:func:`dot` as ONE vectorized Arrow projection (r11, guide §4.2):
+    the pair-scoring joins evaluated three interpreted 64-step aggregate
+    folds PER PAIR; the numpy kernel computes the same per-dimension
+    index-order sums batch-wide — bit-identical values (gate test:
+    ``test_arrow_pair_scores_match_expression_forms``)."""
+    return _pairwise_arrow(lambda dab, daa, dbb: dab)(a, b)
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """:func:`cosine` as one vectorized Arrow projection — same floats:
+    ``dot/(sqrt(dot_aa)·sqrt(dot_bb))``, each dot in fold order (norms
+    recomputed per pair give the identical double as a per-row norm
+    column: both are the same pure function of the row's vector).
+    0/0 stays NaN exactly as the JVM division produced it."""
+    return _pairwise_arrow(
+        lambda dab, daa, dbb: dab / (np.sqrt(daa) * np.sqrt(dbb))
+    )(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,7 +141,7 @@ def brute_force_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("cos", cosine_arrow(F.col("__qv"), F.col("__cv")))
         .drop("__qv", "__cv")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -209,7 +281,7 @@ def lsh_topk(
         c.join(F.broadcast(q), "__bkt")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+            "cos", cosine_arrow(F.col("__qv"), F.col("__cv"))
         )
         .drop("__qv", "__cv", "__qn", "__cn", "__bkt")
     )
@@ -319,7 +391,7 @@ def ivf_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            dot(F.col("__qv"), F.col("__cv_vec")) / (F.col("__qn") * F.col("__cn")),
+            cosine_arrow(F.col("__qv"), F.col("__cv_vec")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -595,7 +667,7 @@ def _bucket_pairs_join(b: DataFrame, threshold: float) -> DataFrame:
         x.join(y, "__bkt")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cos", dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            "cos", cosine_arrow(F.col("__va"), F.col("__vb"))
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
@@ -825,36 +897,60 @@ def pq_encode(
     than the 64-float vector, the memory lever that lets a 100 TB
     embedding corpus fit an ANN index in cluster RAM).
 
-    MAP-ONLY: the codebook rides into the plan as literals (same
-    expression-level broadcast as `clustering.assign_clusters`), so
-    encoding is one narrow projection — no shuffle, no join. Argmin per
-    subspace = the distance ARRAY evaluated once under a `let` binding,
-    then ``array_position(arr, array_min(arr))`` — first match = lowest
-    cell on ties (codebooks are cell-sorted), matching the oracle's
-    ``ORDER BY dist, cell``. The folded ``when(d < best)`` chain was
-    measured at 52 s for 2k rows at sf0.1: each step references both
-    subtrees twice, so the expression tree (and the interpreted
-    aggregate folds inside it) grows 2^k per subspace; the array form
-    evaluates exactly m×k folds per row."""
-    from ..functions.text import let
+    MAP-ONLY: the codebook rides in the task closure (same shape as
+    `clustering.assign_clusters` after its r10 vectorization), so
+    encoding is one narrow ``ArrowEvalPython`` projection over ONLY the
+    vector column — no shuffle, no join. Distances accumulate per
+    dimension in index order (:func:`~.clustering._pairwise_sq_dists` on
+    each subspace slice), bit-identical to the interpreted
+    ``zip_with``/``aggregate`` left fold this replaces (r11 — the fold
+    ran m × cells interpreted aggregates of ``dim/m`` steps per row and
+    was the dominant term of e_pq_encode/e_pq_topk at sf0.1), and
+    ``np.argmin`` keeps the first-minimum tie-break of
+    ``array_position(arr, array_min(arr))`` — lowest cell on ties
+    (codebooks are cell-sorted), matching the oracle's
+    ``ORDER BY dist, cell``. Null vectors yield an array of m nulls,
+    exactly as the expression form did (each sub-code evaluated null).
+    Equality with the expression form is pinned by
+    ``tests/test_r11_optimizations.py::test_pq_encode_matches_expression_form``."""
+    import numpy as np
 
-    def argmin_code(d_arr: Column, cells_arr: Column) -> Column:
-        # one-arg lambda ONLY: a two-arg lambda is treated by transform
-        # as its (element, index) form and hijacks the second parameter
-        return let(
-            d_arr,
-            lambda a: F.element_at(
-                cells_arr, F.array_position(a, F.array_min(a)).cast("int")
-            ),
-        )
+    from .clustering import _pairwise_sq_dists
 
     sub = len(codebooks[0][0][1])
-    codes = []
-    for j, cb in enumerate(codebooks):
-        d_arr = _sub_dist_arr(F.col(vec_col), j, sub, [cent for _, cent in cb])
-        cells_arr = F.lit([int(c) for c, _ in cb])
-        codes.append(argmin_code(d_arr, cells_arr))
-    return df.withColumn(code_col, F.array(*codes))
+    m = len(codebooks)
+    cell_ids = [np.array([int(c) for c, _ in cb]) for cb in codebooks]
+    cents = [
+        np.array([cent for _, cent in cb], dtype=np.float64) for cb in codebooks
+    ]
+
+    @F.pandas_udf("array<int>")
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            vals = s.to_numpy()
+            null_mask = np.fromiter(
+                (v is None for v in vals), dtype=bool, count=len(vals)
+            )
+            out = np.empty(len(vals), dtype=object)
+            if null_mask.any():
+                for i in np.flatnonzero(null_mask):
+                    out[i] = [None] * m
+            good = ~null_mask
+            if good.any():
+                V = np.vstack(vals[good]).astype(np.float64)
+                codes = np.empty((V.shape[0], m), dtype=np.int64)
+                for j in range(m):
+                    D = _pairwise_sq_dists(V[:, j * sub : (j + 1) * sub], cents[j])
+                    codes[:, j] = cell_ids[j][np.argmin(D, axis=1)]
+                rows = codes.tolist()
+                for i, gi in enumerate(np.flatnonzero(good)):
+                    out[gi] = rows[i]
+            yield pd.Series(out)
+
+    return df.withColumn(code_col, _encode(F.col(vec_col)))
 
 
 def pq_adc_topk(
@@ -1024,7 +1120,7 @@ def mmr_rerank(
         .where(F.col("cand_id") != F.col("other_id"))
         .select(
             "query_id", "cand_id", "rel", "other_id",
-            cosine(F.col("__va"), F.col("__vb")).alias("sim"),
+            cosine_arrow(F.col("__va"), F.col("__vb")).alias("sim"),
         )
     )
     # One null-sim SELF row per candidate rides along so a query whose
@@ -1140,7 +1236,7 @@ def truncated_rerank_topk(
     )
     coarse = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("__coarse", dot(F.col("__qc"), F.col("__cc")))
+        .withColumn("__coarse", dot_arrow(F.col("__qc"), F.col("__cc")))
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("__coarse").desc(), F.col("neighbor_id").asc()
@@ -1148,7 +1244,7 @@ def truncated_rerank_topk(
     cands = coarse.withColumn("__crank", F.row_number().over(w1)).where(
         F.col("__crank") <= k_coarse
     )
-    rer = cands.withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    rer = cands.withColumn("cos", cosine_arrow(F.col("__qv"), F.col("__cv")))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
