@@ -912,17 +912,28 @@ def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_discount", "l_extendedprice"]
-    aggs = []
+    # r11: the three countDistincts moved OUT of the shared aggregate —
+    # multiple distinct aggregates plan as an Expand that replicates
+    # every input row (1 + n_distinct_cols)×, then shuffles the widened
+    # frame (measured 2x the whole query at sf0.1). Each countDistinct
+    # now runs as its own two-phase hash aggregate (partial distinct
+    # map-side) over a single-column pruned scan, attached to the 1-row
+    # stats frame by broadcast crossJoin — same values, no Expand; at
+    # scale, 3 single-column parquet scans cost less than 4x-replicating
+    # the corpus through one shuffle.
+    base_aggs = []
     for c in cols:
-        aggs += [
+        base_aggs += [
             F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__null"),
-            F.countDistinct(c).cast("long").alias(f"{c}__nd"),
             F.round(F.min(c), 4).alias(f"{c}__min"),
             F.round(F.max(c), 4).alias(f"{c}__max"),
             F.round(F.avg(c), 4).alias(f"{c}__mean"),
         ]
-    g = li.agg(*aggs)
+    g = li.agg(*base_aggs)
+    for c in cols:
+        nd = li.agg(F.countDistinct(c).cast("long").alias(f"{c}__nd"))
+        g = g.crossJoin(F.broadcast(nd))
     rows = F.array(
         *[
             F.struct(
