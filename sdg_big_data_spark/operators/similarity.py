@@ -225,25 +225,56 @@ def pandas_cosine_topk(
     )
 
 
+def _plane_matrix(dim: int, n_planes: int):
+    """The fixed pseudo-random hyperplanes as an (n_planes, dim) float64
+    matrix — each component computed with the SAME Python-float
+    arithmetic the expression literals used, so projections are
+    bit-identical."""
+    return np.array(
+        [
+            [
+                (((p * 1_000_003 + j) * _HP_MIX_A + _HP_MIX_B) % 2_000_001)
+                / 1_000_000.0
+                - 1.0
+                for j in range(dim)
+            ]
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+
+
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of ``n_planes`` fixed
     pseudo-random hyperplanes. Hyperplane p's j-th component is a
-    deterministic integer mix in [-1, 1] — reproducible everywhere."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        comps = F.array(
-            *[
-                F.lit(
-                    (((p * 1_000_003 + j) * _HP_MIX_A + _HP_MIX_B) % 2_000_001)
-                    / 1_000_000.0
-                    - 1.0
-                )
-                for j in range(dim)
-            ]
-        )
-        proj = dot(vec, comps)
-        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return bucket
+    deterministic integer mix in [-1, 1] — reproducible everywhere.
+
+    One vectorized Arrow projection (r11): the expression form ran
+    n_planes interpreted 64-step aggregate folds per row. Projections
+    accumulate per dimension in index order (same floats as the fold →
+    same sign bits → same bucket, oracle-replayable by the identical
+    ``_sql_bucket`` literals); a NULL vector keeps its expression-form
+    bucket 0 (every ``when(null > 0)`` took the otherwise branch).
+    Parity gate: ``test_hyperplane_bucket_matches_expression_form``."""
+    P = _plane_matrix(dim, n_planes)
+    weights = np.array([2**p for p in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _bucket(s: pd.Series) -> pd.Series:
+        vals = s.to_numpy()
+        n = len(vals)
+        out = np.zeros(n, dtype=np.int64)
+        mask = np.fromiter((v is not None for v in vals), bool, n)
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            V = np.vstack(vals[idx]).astype(np.float64)
+            proj = np.zeros((V.shape[0], P.shape[0]))
+            for i in range(V.shape[1]):
+                proj += V[:, i, None] * P[None, :, i]
+            out[idx] = (proj > 0) @ weights
+        return pd.Series(out)
+
+    return _bucket(vec)
 
 
 def lsh_topk(

@@ -178,6 +178,39 @@ def test_arrow_pair_scores_match_expression_forms(spark):
     assert bad == 0, "Arrow pair kernels diverged from the expression folds"
 
 
+def test_hyperplane_bucket_matches_expression_form(spark):
+    """The vectorized bucket must reproduce the expression form's bucket
+    for every row: same fold-order projections → same sign bits (and a
+    null vector keeps bucket 0)."""
+    from sdg_big_data_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def expression_bucket(vec, dim, n_planes):  # the pre-r11 form
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            comps = F.array(
+                *[
+                    F.lit(
+                        (((p * 1_000_003 + j) * S._HP_MIX_A + S._HP_MIX_B)
+                         % 2_000_001) / 1_000_000.0 - 1.0
+                    )
+                    for j in range(dim)
+                ]
+            )
+            proj = S.dot(vec, comps)
+            bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        return bucket
+
+    for n_planes in (4, 8):
+        both = emb.select(
+            expression_bucket(F.col("embedding"), 64, n_planes).alias("b_ref"),
+            S.hyperplane_bucket(F.col("embedding"), 64, n_planes).alias("b_new"),
+        )
+        bad = both.where(~F.col("b_ref").eqNullSafe(F.col("b_new"))).count()
+        assert bad == 0, f"bucket diverged at n_planes={n_planes}"
+
+
 def test_read_table_plan_memo_hits_and_invalidates(spark, tmp_path):
     from sdg_big_data_spark.sources.readers import read_table
 
