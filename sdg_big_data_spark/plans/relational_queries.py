@@ -1549,8 +1549,21 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    parts = table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    # r11: the selective part filter now prunes lineitem BEFORE the
+    # (partkey, suppkey) aggregate (broadcast semi-join — guide §3.2's
+    # reduce-the-big-side; filtering on the group key commutes with the
+    # groupBy, so results are unchanged and the aggregate shuffles only
+    # the eligible parts' offers). The old shape aggregated every pair,
+    # then threw most of them away at the part join.
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    ).join(
+        F.broadcast(parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
     )
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(
@@ -1568,12 +1581,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    parts = table(spark, sf_dir, "part").where(
-        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
-    ).select("p_partkey")
-    eligible = (
-        offers.join(F.broadcast(parts), offers["l_partkey"] == parts["p_partkey"])
-        .join(F.broadcast(supp), offers["l_suppkey"] == supp["s_suppkey"])
+    eligible = offers.join(
+        F.broadcast(supp), offers["l_suppkey"] == supp["s_suppkey"]
     )
     w = Window.partitionBy("l_partkey").orderBy("cost_cents", "s_name")
     return (
