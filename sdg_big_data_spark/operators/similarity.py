@@ -274,7 +274,13 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
             out[idx] = (proj > 0) @ weights
         return pd.Series(out)
 
-    return _bucket(vec)
+    # asNondeterministic: an optimizer FENCE, not a semantics claim (the
+    # bucket is a pure function of the vector). Without it the
+    # isnotnull(join-key) filter the planner derives for the bucket
+    # equi-join is pushed BELOW the projection and the UDF is evaluated
+    # TWICE per side (guide §4.4 — observed as 5 ArrowEvalPython nodes
+    # in e_lsh_topk's plan, audit r11). Values are unchanged either way.
+    return _bucket.asNondeterministic()(vec)
 
 
 def lsh_topk(

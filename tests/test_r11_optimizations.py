@@ -211,6 +211,21 @@ def test_hyperplane_bucket_matches_expression_form(spark):
         assert bad == 0, f"bucket diverged at n_planes={n_planes}"
 
 
+def test_lsh_bucket_udf_not_duplicated_by_join_null_filter(spark):
+    """Guide §4.4 fence: the planner derives an isnotnull() filter for
+    the bucket equi-join key and, for a deterministic UDF, pushes it
+    below the projection — evaluating the bucket UDF twice per side
+    (observed as 5 ArrowEvalPython nodes). The nondeterministic fence
+    must keep it at one evaluation per side + one pair scorer."""
+    from sdg_big_data_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = S.lsh_topk(emb, emb.where("vec_id < 5"), dim=64, k=5, n_planes=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("ArrowEvalPython")
+    assert n <= 3, f"bucket UDF duplicated again: {n} ArrowEvalPython nodes"
+
+
 def test_read_table_plan_memo_hits_and_invalidates(spark, tmp_path):
     from sdg_big_data_spark.sources.readers import read_table
 
